@@ -1,0 +1,28 @@
+"""Test config: force an 8-device virtual CPU mesh so sharding tests run
+anywhere (SURVEY.md §4 — the reference has no tests; multi-chip behavior is
+validated on host devices via XLA's host-platform device-count flag).
+
+Note: this environment pre-imports jax at interpreter startup (sitecustomize),
+so plain env-var exports are too late — we must go through jax.config, which
+takes effect as long as no backend has been initialized yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,314 @@
+"""L0 geometry core: quaternions, SE(3), pinhole unprojection, bbox utilities.
+
+TPU-native replacement for the reference's (snapshot-missing)
+``src/utils/transformations.py::Transforms`` — the contract is pinned by its
+call sites (reference ``src/mapper/pose_processor.py:140,174-206,254`` and
+``src/mapper/mapping.py:163-165,187``).  Everything here is a pure function
+over fixed-shape ``jnp`` arrays, safe under ``jit`` / ``vmap`` / ``shard_map``.
+
+Conventions
+-----------
+* Pose row: ``[tx, ty, tz, qx, qy, qz, qw]`` (RTAB-Map ``poses.txt`` order
+  after dropping timestamp/id — reference ``src/mapper/database_query.py:22``).
+* ``pose_to_matrix`` is camera→world; extrinsics (world→camera) is its
+  inverse (reference ``src/mapper/pose_processor.py:140-141``).
+* 2D bbox: ``[x1, y1, x2, y2]`` in pixels.
+* Depth images are float32 metres×`scale` (the ingest layer stores mm, i.e.
+  metres×1000, matching reference ``src/detector/dataset.py:77``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# Quaternions / SE(3)
+# ---------------------------------------------------------------------------
+
+
+def quat_to_rotmat(q: Array) -> Array:
+    """(qx, qy, qz, qw) → 3×3 rotation matrix. Normalises the quaternion."""
+    q = q / jnp.linalg.norm(q)
+    x, y, z, w = q[0], q[1], q[2], q[3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)]),
+            jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)]),
+            jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)]),
+        ]
+    )
+
+
+def rotmat_to_quat(R: Array) -> Array:
+    """3×3 rotation matrix → (qx, qy, qz, qw), branch-free for jit.
+
+    Uses the numerically-stable four-branch construction, selecting the
+    branch with the largest pivot via ``jnp.where`` (all four are computed;
+    shapes stay static).
+    """
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 1e-12))
+
+    # branch w
+    sw = safe_sqrt(tr + 1.0) * 2.0
+    qw_w = jnp.stack([(m21 - m12) / sw, (m02 - m20) / sw, (m10 - m01) / sw, 0.25 * sw])
+    # branch x
+    sx = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    qx_b = jnp.stack([0.25 * sx, (m01 + m10) / sx, (m02 + m20) / sx, (m21 - m12) / sx])
+    # branch y
+    sy = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    qy_b = jnp.stack([(m01 + m10) / sy, 0.25 * sy, (m12 + m21) / sy, (m02 - m20) / sy])
+    # branch z
+    sz = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    qz_b = jnp.stack([(m02 + m20) / sz, (m12 + m21) / sz, 0.25 * sz, (m10 - m01) / sz])
+
+    use_w = tr > 0.0
+    use_x = (~use_w) & (m00 >= m11) & (m00 >= m22)
+    use_y = (~use_w) & (~use_x) & (m11 >= m22)
+    q = jnp.where(use_w, qw_w, jnp.where(use_x, qx_b, jnp.where(use_y, qy_b, qz_b)))
+    return q / jnp.linalg.norm(q)
+
+
+def pose_to_matrix(pose: Array) -> Array:
+    """[tx,ty,tz,qx,qy,qz,qw] → 4×4 camera→world SE(3) matrix."""
+    t = pose[:3]
+    R = quat_to_rotmat(pose[3:7])
+    T = jnp.eye(4, dtype=pose.dtype)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+def invert_se3(T: Array) -> Array:
+    """Closed-form inverse of an SE(3) matrix (no general solve)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
+def transform_points(T: Array, pts: Array) -> Array:
+    """Apply 4×4 transform to (..., 3) points."""
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def camera_direction(pose: Array, forward: Array | None = None) -> Array:
+    """Unit view direction of a camera pose (rotated +Z axis).
+
+    Parity target: ``Transforms.get_camera_direction`` consumed at reference
+    ``src/mapper/mapping.py:187`` and ``src/mapper/database_query.py:37``.
+    """
+    if forward is None:
+        forward = jnp.array([0.0, 0.0, 1.0], dtype=pose.dtype)
+    return quat_to_rotmat(pose[3:7]) @ forward
+
+
+# ---------------------------------------------------------------------------
+# SO(3)/SE(3) log & exp — closed-form (replaces scipy logm/expm used at
+# reference src/map_alignment/visualise.py:117-130 for transform interpolation)
+# ---------------------------------------------------------------------------
+
+
+def so3_log(R: Array) -> Array:
+    """Rotation matrix → axis-angle vector (omega, |omega| = angle)."""
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # sin(theta) ~ 0 handling: use first-order expansion for small theta
+    w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    scale = jnp.where(theta < 1e-6, 0.5, theta / (2.0 * jnp.sin(jnp.maximum(theta, 1e-12))))
+    return w * scale
+
+
+def so3_exp(omega: Array) -> Array:
+    """Axis-angle vector → rotation matrix (Rodrigues)."""
+    theta = jnp.linalg.norm(omega)
+    safe = jnp.maximum(theta, 1e-12)
+    k = omega / safe
+    K = jnp.array(
+        [
+            [0.0, -k[2], k[1]],
+            [k[2], 0.0, -k[0]],
+            [-k[1], k[0], 0.0],
+        ],
+        dtype=omega.dtype,
+    )
+    R = jnp.eye(3, dtype=omega.dtype) + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * (K @ K)
+    return jnp.where(theta < 1e-8, jnp.eye(3, dtype=omega.dtype), R)
+
+
+def se3_interpolate(T: Array, alpha: Array) -> Array:
+    """Fractional power T^alpha of an SE(3) transform (geodesic interpolation).
+
+    Closed-form replacement for ``expm(logm(T) * alpha)``
+    (reference src/map_alignment/visualise.py:128-130).
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    omega = so3_log(R)
+    theta = jnp.linalg.norm(omega)
+
+    # V matrix of the SE(3) log: t = V @ rho  =>  rho = V^-1 t; interpolate
+    # rho * alpha. Series fallback keeps small-angle cases stable.
+    safe = jnp.maximum(theta, 1e-12)
+    k = omega / safe
+    K = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]],
+        dtype=T.dtype,
+    )
+    small = theta < 1e-6
+    A = jnp.where(small, 0.5, (1 - jnp.cos(theta)) / safe**2)  # (1-cos)/th^2
+    B = jnp.where(small, 1.0 / 6.0, (theta - jnp.sin(theta)) / safe**3)
+    V = jnp.eye(3, dtype=T.dtype) + A * (K * safe) + B * ((K @ K) * safe**2)
+    rho = jnp.linalg.solve(V, t)
+
+    om_a = omega * alpha
+    R_a = so3_exp(om_a)
+    th_a = jnp.linalg.norm(om_a)
+    safe_a = jnp.maximum(th_a, 1e-12)
+    k_a = om_a / safe_a
+    K_a = jnp.array(
+        [[0.0, -k_a[2], k_a[1]], [k_a[2], 0.0, -k_a[0]], [-k_a[1], k_a[0], 0.0]],
+        dtype=T.dtype,
+    )
+    small_a = th_a < 1e-6
+    A_a = jnp.where(small_a, 0.5, (1 - jnp.cos(th_a)) / safe_a**2)
+    B_a = jnp.where(small_a, 1.0 / 6.0, (th_a - jnp.sin(th_a)) / safe_a**3)
+    V_a = jnp.eye(3, dtype=T.dtype) + A_a * (K_a * safe_a) + B_a * ((K_a @ K_a) * safe_a**2)
+    t_a = V_a @ (rho * alpha)
+
+    out = jnp.eye(4, dtype=T.dtype)
+    out = out.at[:3, :3].set(R_a)
+    out = out.at[:3, 3].set(t_a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bounding-box utilities
+# ---------------------------------------------------------------------------
+
+
+def scale_bbox(bbox: Array, from_wh: Array, to_wh: Array) -> Array:
+    """Rescale [x1,y1,x2,y2] from one image resolution to another.
+
+    Parity target: ``Transforms.scale_bounding_box`` (reference
+    src/mapper/pose_processor.py:174-178 — RGB resolution → depth resolution).
+    """
+    sx = to_wh[0] / from_wh[0]
+    sy = to_wh[1] / from_wh[1]
+    return bbox * jnp.stack([sx, sy, sx, sy])
+
+
+def bbox_corners_2d(bbox: Array) -> Array:
+    """[x1,y1,x2,y2] → 4 corner pixels (TL, BL, BR, TR), shape (4, 2).
+
+    Corner order mirrors the homography source-point order the reference uses
+    (src/detector/detector.py:202) so downstream quad handling is consistent.
+    """
+    x1, y1, x2, y2 = bbox[0], bbox[1], bbox[2], bbox[3]
+    return jnp.stack(
+        [
+            jnp.stack([x1, y1]),
+            jnp.stack([x1, y2]),
+            jnp.stack([x2, y2]),
+            jnp.stack([x2, y1]),
+        ]
+    )
+
+
+def scale_intrinsics(fx, fy, cx, cy, rgb_width, depth_width):
+    """Scale RGB-resolution intrinsics to depth resolution (reference
+    src/mapper/pose_processor.py:133-137)."""
+    s = rgb_width / depth_width
+    return fx / s, fy / s, cx / s, cy / s
+
+
+# ---------------------------------------------------------------------------
+# Masked median depth
+# ---------------------------------------------------------------------------
+
+
+def masked_median(values: Array, mask: Array) -> tuple[Array, Array]:
+    """Median of ``values`` where ``mask`` is True, with numpy semantics
+    (average of the two middle elements for even counts).
+
+    Returns (median, valid) where valid is False when the mask is empty.
+    Static shapes: invalid entries are sorted to +inf and selection is done
+    by count, so this is jit/vmap-safe.
+    """
+    flat_v = values.reshape(-1)
+    flat_m = mask.reshape(-1)
+    n = jnp.sum(flat_m.astype(jnp.int32))
+    s = jnp.sort(jnp.where(flat_m, flat_v, jnp.inf))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    med = (s[lo] + s[hi]) * 0.5
+    valid = n > 0
+    return jnp.where(valid, med, 0.0), valid
+
+
+def bbox_region_mask(bbox: Array, height: int, width: int) -> Array:
+    """Boolean (height, width) mask of pixels inside [x1,y1,x2,y2] (inclusive)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    x1 = jnp.floor(jnp.minimum(bbox[0], bbox[2]))
+    x2 = jnp.ceil(jnp.maximum(bbox[0], bbox[2]))
+    y1 = jnp.floor(jnp.minimum(bbox[1], bbox[3]))
+    y2 = jnp.ceil(jnp.maximum(bbox[1], bbox[3]))
+    return (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)
+
+
+def bbox_median_depth(depth: Array, bbox: Array, min_depth: float = 1e-6) -> tuple[Array, Array]:
+    """Median of valid (> min_depth) depth values inside a bbox.
+
+    This is the designed semantic of the reference's ``_depth_to_3d``
+    "z-values from median over bbox (x, y) range"
+    (src/mapper/pose_processor.py:182-196): all four corners of a detection
+    share one robust z, the median depth over the box region — right for the
+    planar signage the pipeline maps, and robust to depth holes.
+    """
+    h, w = depth.shape
+    mask = bbox_region_mask(bbox, h, w) & (depth > min_depth)
+    return masked_median(depth, mask)
+
+
+# ---------------------------------------------------------------------------
+# Pinhole unprojection
+# ---------------------------------------------------------------------------
+
+
+def unproject(px: Array, py: Array, z: Array, fx, fy, cx, cy) -> Array:
+    """Pixel (px, py) at depth z → camera-frame (X, Y, Z)."""
+    X = (px - cx) * z / fx
+    Y = (py - cy) * z / fy
+    return jnp.stack([X, Y, jnp.broadcast_to(z, jnp.shape(X))], axis=-1)
+
+
+def create_3d_bounding_box(corners4: Array, depth_buffer: Array | float) -> Array:
+    """Extrude a planar 4-corner quad into an 8-corner 3D box along its normal.
+
+    Parity target: ``Transforms.create_3d_bounding_box`` (reference
+    src/mapper/pose_processor.py:204-206, src/mapper/mapping.py:163-165) —
+    used with a small depth buffer to give detected signs physical thickness.
+
+    Returns (8, 3): corners4 - n*buffer then corners4 + n*buffer.
+    """
+    v1 = corners4[1] - corners4[0]
+    v2 = corners4[3] - corners4[0]
+    n = jnp.cross(v1, v2)
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+    front = corners4 - n * depth_buffer
+    back = corners4 + n * depth_buffer
+    return jnp.concatenate([front, back], axis=0)
