@@ -1,0 +1,200 @@
+"""L1 ingestion tests: synthetic scan generation → extraction → Scan pytree.
+
+Covers the reference contracts: depth CV_8UC4→float32 byte reinterpret
+(src/detector/dataset.py:72-77), natural-sorted RGB/depth pairing, poses.txt
+parsing (src/mapper/database_query.py:20-25), RTAB-Map SQLite extraction
+(src/detector/database_query.py:28-42), and PLY round-trips.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3dlm.data import ply as plyio
+from tpu3dlm.data import synthetic
+from tpu3dlm.data.dataset import ScanDataset, load_depth_image, load_scan
+from tpu3dlm.data.poses import load_poses, poses_from_dataframe, poses_to_dataframe
+from tpu3dlm.data.rtabmap_db import ImageExtractor, encode_depth, reinterpret_depth
+from tpu3dlm.data.scan import Detections, detections_from_frame_dict
+from tpu3dlm.utils.natsort import natsorted
+
+
+@pytest.fixture(scope="module")
+def scan_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scans")
+    scene = synthetic.generate_scan(str(root), "gold_std", num_frames=4)
+    return str(root), scene
+
+
+class TestNatsort:
+    def test_numeric_order(self):
+        names = ["10.jpg", "2.jpg", "1.jpg", "21.jpg", "3.jpg"]
+        assert natsorted(names) == ["1.jpg", "2.jpg", "3.jpg", "10.jpg", "21.jpg"]
+
+
+class TestDepthCodec:
+    def test_byte_reinterpret_roundtrip(self, rng):
+        depth = rng.uniform(0.1, 5.0, size=(16, 12)).astype(np.float32)
+        u8 = encode_depth(depth)
+        assert u8.shape == (16, 12, 4) and u8.dtype == np.uint8
+        back = reinterpret_depth(u8)
+        np.testing.assert_array_equal(back, depth)  # bit-exact
+
+    def test_depth_png_roundtrip(self, scan_dir):
+        root, scene = scan_dir
+        depth_dir = os.path.join(root, "gold_std", "rtabmap_extract", "data_depth")
+        d = load_depth_image(os.path.join(depth_dir, "1.png"), 256, 192)
+        assert d.shape == (256, 192)
+        # wall at ~3m from camera at x=-0.5 → depth(mm) near 3000 at centre
+        assert 2000.0 < d[128, 96] < 4000.0
+
+
+class TestPoses:
+    def test_load_poses(self, scan_dir):
+        root, scene = scan_dir
+        ts, poses = load_poses(os.path.join(root, "gold_std", "poses.txt"))
+        assert poses.shape == (4, 7)
+        np.testing.assert_allclose(poses, scene.poses, atol=1e-5)
+
+    def test_dataframe_roundtrip(self, scan_dir):
+        root, scene = scan_dir
+        ts, poses = load_poses(os.path.join(root, "gold_std", "poses.txt"))
+        df = poses_to_dataframe(ts, poses)
+        assert list(df.columns) == ["timestamp", "tx", "ty", "tz", "qx", "qy", "qz", "qw"]
+        back = poses_from_dataframe(df)
+        np.testing.assert_allclose(back, poses, atol=1e-6)
+
+
+class TestExtractor:
+    def test_db_matches_files(self, scan_dir, tmp_path):
+        root, scene = scan_dir
+        db_path = os.path.join(root, "gold_std", "data.db")
+        out_depth = str(tmp_path / "depth")
+        out_rgb = str(tmp_path / "rgb")
+        ex = ImageExtractor(db_path, out_depth, out_rgb)
+        n = ex.fetch_data()
+        ex.close()
+        assert n == 4
+        # extracted depth PNG decodes identically to the generator's file
+        got = load_depth_image(os.path.join(out_depth, "1.png"), 256, 192)
+        want = load_depth_image(
+            os.path.join(root, "gold_std", "rtabmap_extract", "data_depth", "1.png"),
+            256,
+            192,
+        )
+        np.testing.assert_array_equal(got, want)
+        assert os.path.exists(os.path.join(out_rgb, "1.jpg"))
+
+    def test_fetch_arrays(self, scan_dir):
+        root, scene = scan_dir
+        ex = ImageExtractor(
+            os.path.join(root, "gold_std", "data.db"), "/tmp/_ignore_depth"
+        )
+        rgbs, depths = ex.fetch_arrays()
+        ex.close()
+        assert len(rgbs) == len(depths) == 4
+        assert depths[0].dtype == np.float32
+        assert rgbs[0].shape == (640, 480, 3)
+
+
+class TestPLY:
+    def test_binary_roundtrip(self, tmp_path, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        cols = rng.uniform(size=(100, 3)).astype(np.float32)
+        p = str(tmp_path / "a.ply")
+        plyio.save_ply(p, pts, cols)
+        pts2, cols2 = plyio.load_ply(p)
+        np.testing.assert_array_equal(pts2, pts)
+        np.testing.assert_allclose(cols2, cols, atol=1 / 255.0)
+
+    def test_ascii_roundtrip(self, tmp_path, rng):
+        pts = rng.normal(size=(10, 3)).astype(np.float32)
+        p = str(tmp_path / "b.ply")
+        plyio.save_ply(p, pts, binary=False)
+        pts2, cols2 = plyio.load_ply(p)
+        assert cols2 is None
+        np.testing.assert_allclose(pts2, pts, rtol=1e-5)
+
+    def test_nan_points_dropped(self, tmp_path):
+        pts = np.array([[0, 0, 0], [np.nan, 1, 1], [2, 2, 2]], np.float32)
+        p = str(tmp_path / "c.ply")
+        plyio.save_ply(p, pts)
+        pts2, _ = plyio.load_ply(p)
+        assert pts2.shape == (2, 3)
+
+    def test_generated_cloud_loads(self, scan_dir):
+        root, scene = scan_dir
+        pts, cols = plyio.load_ply(os.path.join(root, "gold_std", "cloud.ply"))
+        assert pts.shape[0] > 1000
+        assert cols is not None
+        # wall points sit at z == wall_z
+        assert np.isclose(np.median(pts[:, 2]), scene.wall_z, atol=0.3)
+
+
+class TestScanDataset:
+    def test_indexing_and_modes(self, scan_dir):
+        root, scene = scan_dir
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        ds = ScanDataset(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            img_size=320,
+            processing=True,
+        )
+        assert len(ds) == 4
+        rgb, depth, calib = ds[0]
+        assert rgb.shape == (320, 320, 3)
+        assert depth.shape == (256, 192)
+        assert calib["image_width"] == 480
+        ds2 = ScanDataset(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            img_size=320,
+            processing=False,
+        )
+        rgb2, _, _ = ds2[0]
+        assert rgb2.shape == (256, 192, 3)
+
+    def test_load_scan_pytree(self, scan_dir):
+        root, scene = scan_dir
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        scan = load_scan(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=320,
+        )
+        assert scan.num_frames == 4
+        assert scan.rgb.shape == (4, 320, 320, 3)
+        assert scan.depth.shape == (4, 256, 192)
+        assert scan.intrinsics.shape == (4, 4)
+        np.testing.assert_allclose(scan.poses, scene.poses, atol=1e-5)
+        fx = scene.intrinsics[0]
+        np.testing.assert_allclose(scan.intrinsics[:, 0], fx, rtol=1e-6)
+
+
+class TestDetectionsPytree:
+    def test_frame_dict_roundtrip(self, scan_dir):
+        root, scene = scan_dir
+        # synthesize reference-shaped records with damage inserted at -2
+        preds = {
+            f: [b[:4] + [0, b[4], b[5]] for b in boxes]
+            for f, boxes in scene.gt_boxes_2d.items()
+        }
+        det = detections_from_frame_dict(preds, num_frames=4)
+        assert isinstance(det, Detections)
+        back = det.to_frame_dict()
+        for f in range(4):
+            assert len(back[f]) == len(preds[f])
+            for a, b in zip(back[f], preds[f]):
+                np.testing.assert_allclose(a[:4], b[:4], rtol=1e-6)
+                assert a[4] == b[4] and a[6] == b[6]
+
+    def test_gt_boxes_exist(self, scan_dir):
+        root, scene = scan_dir
+        total = sum(len(v) for v in scene.gt_boxes_2d.values())
+        assert total >= 6  # signs visible across frames

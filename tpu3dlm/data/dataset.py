@@ -1,0 +1,171 @@
+"""Paired RGB/depth/calibration dataset → fixed-shape ``Scan`` pytree.
+
+Parity target: ``ImageDataset`` (reference src/detector/dataset.py) —
+natural-sorted pairing of ``<n>.jpg`` RGB with ``<n>.png`` depth and
+``<n>.yaml`` calibration, the CV_8UC4→float32 byte-reinterpret depth decode
+(×1000 metres→mm, reshaped to (depth_height, depth_width)), and the two
+resize modes (detector input vs depth-resolution for 3D projection).
+
+The TPU-native difference: instead of a torch Dataset yielding one frame at
+a time into a Python loop, `load_scan` stacks the whole capture into padded
+arrays once, so detection/projection run as single jitted calls over the
+frame axis (shardable over a mesh).
+"""
+
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+from tpu3dlm.data.calibration import load_calibration
+from tpu3dlm.data.poses import load_poses
+from tpu3dlm.data.scan import Scan
+from tpu3dlm.utils.natsort import natsorted
+
+
+def _pair_filenames(image_dir: str, depth_image_dir: str) -> list[tuple[str, str]]:
+    image_filenames = natsorted(os.listdir(image_dir))
+    depth_filenames = set(os.listdir(depth_image_dir))
+    pairs = []
+    for image_filename in image_filenames:
+        depth_filename = os.path.splitext(image_filename)[0] + ".png"
+        if depth_filename in depth_filenames:
+            pairs.append((image_filename, depth_filename))
+    return pairs
+
+
+def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarray:
+    """Decode an RTAB-Map depth PNG → (depth_height, depth_width) float32 mm.
+
+    Byte-level reinterpret of the CV_8UC4 PNG as float32 metres, then ×1000
+    (reference src/detector/dataset.py:68-81) — a value cast would corrupt
+    the data.
+    """
+    raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if raw is None:
+        raise FileNotFoundError(path)
+    if raw.ndim != 3 or raw.shape[2] != 4:
+        raise ValueError(f"depth PNG {path} is not CV_8UC4 (shape {raw.shape})")
+    depth = np.ascontiguousarray(raw).reshape(raw.shape[0], raw.shape[1] * 4).view(
+        np.float32
+    )
+    depth = depth * 1000.0  # metres → millimetres
+    return depth.reshape(depth_height, depth_width)
+
+
+def load_rgb_image(path: str, size_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """Load an RGB frame as (H, W, 3) uint8, optionally resized to (h, w)."""
+    bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise FileNotFoundError(path)
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    if size_hw is not None and rgb.shape[:2] != tuple(size_hw):
+        rgb = cv2.resize(rgb, (size_hw[1], size_hw[0]), interpolation=cv2.INTER_LINEAR)
+    return rgb
+
+
+class ScanDataset:
+    """Per-frame indexable view (reference ImageDataset API parity).
+
+    ``processing=True`` yields detector-sized square RGB; ``False`` yields
+    RGB resized to the depth resolution for 3D-projection-time use
+    (reference src/detector/dataset.py:83-100).
+    """
+
+    def __init__(
+        self,
+        image_dir: str,
+        depth_image_dir: str,
+        calibration_dir: str,
+        img_size: int,
+        depth_width: int = 192,
+        depth_height: int = 256,
+        processing: bool = True,
+    ):
+        self.image_dir = image_dir
+        self.depth_image_dir = depth_image_dir
+        self.calibration_dir = calibration_dir
+        self.img_size = img_size
+        self.depth_width = depth_width
+        self.depth_height = depth_height
+        self.processing = processing
+        self.paired_filenames = _pair_filenames(image_dir, depth_image_dir)
+
+    def __len__(self) -> int:
+        return len(self.paired_filenames)
+
+    def __getitem__(self, idx: int):
+        image_filename, depth_filename = self.paired_filenames[idx]
+        depth = load_depth_image(
+            os.path.join(self.depth_image_dir, depth_filename),
+            self.depth_height,
+            self.depth_width,
+        )
+        if self.processing:
+            rgb = load_rgb_image(
+                os.path.join(self.image_dir, image_filename),
+                (self.img_size, self.img_size),
+            )
+        else:
+            rgb = load_rgb_image(
+                os.path.join(self.image_dir, image_filename),
+                (self.depth_height, self.depth_width),
+            )
+        calib = load_calibration(
+            os.path.join(
+                self.calibration_dir, os.path.splitext(image_filename)[0] + ".yaml"
+            )
+        )
+        return rgb, depth, calib
+
+
+def load_scan(
+    image_dir: str,
+    depth_image_dir: str,
+    calibration_dir: str,
+    pose_path: str,
+    img_size: int = 640,
+    depth_width: int = 192,
+    depth_height: int = 256,
+) -> Scan:
+    """Stack a full capture into a ``Scan`` pytree.
+
+    RGB frames are stored at detector resolution (img_size, img_size) uint8;
+    depth at native depth resolution in mm; intrinsics/poses per frame.
+    The frame count is min(paired frames, pose rows) — RTAB-Map exports can
+    be off by a trailing frame.
+    """
+    pairs = _pair_filenames(image_dir, depth_image_dir)
+    timestamps, poses = load_poses(pose_path)
+    n = min(len(pairs), poses.shape[0])
+    if n == 0:
+        raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
+
+    rgb = np.zeros((n, img_size, img_size, 3), np.uint8)
+    depth = np.zeros((n, depth_height, depth_width), np.float32)
+    intrinsics = np.zeros((n, 4), np.float32)
+    rgb_size = np.zeros((n, 2), np.float32)
+
+    for i, (image_filename, depth_filename) in enumerate(pairs[:n]):
+        rgb[i] = load_rgb_image(
+            os.path.join(image_dir, image_filename), (img_size, img_size)
+        )
+        depth[i] = load_depth_image(
+            os.path.join(depth_image_dir, depth_filename), depth_height, depth_width
+        )
+        calib = load_calibration(
+            os.path.join(calibration_dir, os.path.splitext(image_filename)[0] + ".yaml")
+        )
+        intrinsics[i] = [calib["fx"], calib["fy"], calib["cx"], calib["cy"]]
+        rgb_size[i] = [calib["image_width"], calib["image_height"]]
+
+    return Scan(
+        rgb=rgb,
+        depth=depth,
+        intrinsics=intrinsics,
+        rgb_size=rgb_size,
+        poses=poses[:n],
+        timestamps=timestamps[:n],
+    )

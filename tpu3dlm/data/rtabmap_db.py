@@ -1,0 +1,102 @@
+"""RTAB-Map SQLite (.db) frame extractor.
+
+Parity target: ``ImageExtractor`` (reference src/detector/database_query.py):
+``SELECT Data.image, Data.depth FROM Data JOIN Node ON Data.id = Node.id``,
+depth blobs decoded with cv2.imdecode and written as ``<idx>.png`` (1-based
+index). We additionally support writing the RGB frames (``<idx>.jpg``) so a
+bare .db is a complete input, and an in-memory fast path that skips the
+PNG round-trip entirely when feeding the TPU directly.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import cv2
+import numpy as np
+
+_QUERY = "SELECT Data.image, Data.depth FROM Data JOIN Node ON Data.id = Node.id"
+
+
+class ImageExtractor:
+    """Extract RGB/depth frames from an RTAB-Map database."""
+
+    def __init__(self, db_path: str, depth_dir: str, image_dir: str | None = None):
+        self.db_path = db_path
+        self.depth_dir = depth_dir
+        self.image_dir = image_dir
+        os.makedirs(depth_dir, exist_ok=True)
+        if image_dir:
+            os.makedirs(image_dir, exist_ok=True)
+        self.conn = sqlite3.connect(db_path)
+
+    def fetch_data(self) -> int:
+        """Write depth PNGs (and RGB JPEGs when image_dir given). Returns frame count."""
+        cursor = self.conn.cursor()
+        cursor.execute(_QUERY)
+        count = 0
+        for i, (image_blob, depth_blob) in enumerate(cursor.fetchall()):
+            idx = i + 1  # 1-based filenames, matching the reference extractor
+            depth = cv2.imdecode(
+                np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            cv2.imwrite(os.path.join(self.depth_dir, f"{idx}.png"), depth)
+            if self.image_dir and image_blob is not None:
+                with open(os.path.join(self.image_dir, f"{idx}.jpg"), "wb") as f:
+                    f.write(image_blob)
+            count += 1
+        return count
+
+    def fetch_arrays(self) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """In-memory fast path: decode straight to (rgb_frames, depth_frames).
+
+        Depth blobs are PNG-encoded CV_8UC4 images whose bytes are float32
+        metres (the RTAB-Map iOS export trick — reference
+        src/detector/dataset.py:72-77); we do the byte-level reinterpret here
+        and return float32 metre images.
+        """
+        cursor = self.conn.cursor()
+        cursor.execute(_QUERY)
+        rgbs, depths = [], []
+        for image_blob, depth_blob in cursor.fetchall():
+            depth_u8 = cv2.imdecode(
+                np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            depths.append(reinterpret_depth(depth_u8))
+            if image_blob is not None:
+                rgb = cv2.imdecode(
+                    np.frombuffer(image_blob, dtype=np.uint8), cv2.IMREAD_COLOR
+                )
+                rgbs.append(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
+        return rgbs, depths
+
+    def close(self):
+        self.conn.close()
+
+
+def reinterpret_depth(depth_u8: np.ndarray) -> np.ndarray:
+    """CV_8UC4 (H, W, 4) uint8 → (H, W) float32 metres via byte reinterpret.
+
+    This must be a bit-level reinterpretation, NOT a value cast
+    (reference src/detector/dataset.py:72-74 reshapes to (H, W*4) and
+    flips the dtype field).
+    """
+    if depth_u8.ndim != 3 or depth_u8.shape[2] != 4:
+        raise ValueError(f"expected (H, W, 4) uint8 depth image, got {depth_u8.shape}")
+    h, w = depth_u8.shape[:2]
+    return np.ascontiguousarray(depth_u8).reshape(h, w * 4).view(np.float32)
+
+
+def encode_depth(depth_m: np.ndarray) -> np.ndarray:
+    """(H, W) float32 metres → CV_8UC4 image carrying the raw bytes.
+
+    Inverse of `reinterpret_depth`; used by the synthetic-scan generator to
+    produce byte-identical RTAB-Map-style depth PNGs.
+    """
+    h, w = depth_m.shape
+    return (
+        np.ascontiguousarray(depth_m.astype(np.float32))
+        .view(np.uint8)
+        .reshape(h, w, 4)
+    )
