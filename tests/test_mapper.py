@@ -1,0 +1,176 @@
+"""L3 mapper tests: fused 2D→3D projection and 3D NMS against the synthetic
+scene's closed-form ground truth (SURVEY.md §7 build step 3)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dlm.data import synthetic
+from tpu3dlm.data.dataset import load_scan
+from tpu3dlm.data.scan import detections_from_frame_dict
+from tpu3dlm.mapper import project_detections, suppress_bboxes
+
+
+@pytest.fixture(scope="module")
+def scene_and_scan(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scans"))
+    scene = synthetic.generate_scan(root, "gold_std", num_frames=6)
+    base = os.path.join(root, "gold_std", "rtabmap_extract")
+    scan = load_scan(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(root, "gold_std", "poses.txt"),
+        img_size=320,
+    )
+    det = detections_from_frame_dict(scene.gt_boxes_2d, scan.num_frames)
+    return scene, scan, det
+
+
+class TestProjection:
+    def test_output_shapes(self, scene_and_scan):
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        F, B = det.mask.shape
+        assert g.corners.shape == (F, B, 4, 3)
+        assert g.mask.shape == (F, B)
+        assert bool(jnp.any(g.mask))
+
+    def test_projected_corners_match_world_signs(self, scene_and_scan):
+        """Every projected box should land on one sign's known world rect."""
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        corners = np.asarray(g.corners)
+        labels = np.asarray(g.label)
+        mask = np.asarray(g.mask)
+
+        checked = 0
+        for f in range(mask.shape[0]):
+            for b in range(mask.shape[1]):
+                if not mask[f, b]:
+                    continue
+                quad = corners[f, b]  # (4, 3)
+                lab = int(labels[f, b])
+                # labels repeat across signs: pick the same-label sign whose
+                # centre is nearest the projected quad centre
+                cands = [s for s in scene.signs if s.label == lab]
+                centre = quad.mean(axis=0)
+                sign = min(
+                    cands,
+                    key=lambda s: np.linalg.norm(
+                        centre[:2] - [(s.x0 + s.x1) / 2, (s.y0 + s.y1) / 2]
+                    ),
+                )
+                # z: all corners on the sign plane
+                np.testing.assert_allclose(
+                    quad[:, 2], sign.z, atol=0.08,
+                    err_msg=f"frame {f} box {b} depth off sign plane",
+                )
+                rect = np.array([[sign.x0, sign.y0], [sign.x1, sign.y1]])
+                # xy extents approximate the sign rect (only when the sign is
+                # fully in view — GT boxes are clipped at frame edges, so use
+                # a containment check with tolerance)
+                assert quad[:, 0].min() > rect[0, 0] - 0.12
+                assert quad[:, 0].max() < rect[1, 0] + 0.12
+                assert quad[:, 1].min() > rect[0, 1] - 0.12
+                assert quad[:, 1].max() < rect[1, 1] + 0.12
+                checked += 1
+        assert checked >= 6
+
+    def test_full_view_box_tight(self, scene_and_scan):
+        """A fully-visible sign's projected quad ≈ its world corners."""
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        corners = np.asarray(g.corners)
+        labels = np.asarray(g.label)
+        mask = np.asarray(g.mask)
+        boxes2d = np.asarray(det.boxes)
+
+        rgb_w, rgb_h = scene.rgb_wh
+        best_err = np.inf
+        for f in range(mask.shape[0]):
+            for b in range(mask.shape[1]):
+                if not mask[f, b]:
+                    continue
+                x1, y1, x2, y2 = boxes2d[f, b]
+                # skip boxes clipped at the frame edge
+                if x1 <= 1 or y1 <= 1 or x2 >= rgb_w - 2 or y2 >= rgb_h - 2:
+                    continue
+                got = corners[f, b]
+                centre = got.mean(axis=0)
+                sign = min(
+                    (s for s in scene.signs if s.label == int(labels[f, b])),
+                    key=lambda s: np.linalg.norm(
+                        centre[:2] - [(s.x0 + s.x1) / 2, (s.y0 + s.y1) / 2]
+                    ),
+                )
+                want = sign.corners_world
+                # match corner sets irrespective of order
+                err = max(
+                    float(np.abs(np.sort(got[:, i]) - np.sort(want[:, i])).max())
+                    for i in range(3)
+                )
+                best_err = min(best_err, err)
+        assert best_err < 0.06, f"best full-view corner error {best_err}"
+
+    def test_empty_detections(self, scene_and_scan):
+        scene, scan, det = scene_and_scan
+        import dataclasses
+
+        empty = dataclasses.replace(det, mask=np.zeros_like(np.asarray(det.mask)))
+        g = project_detections(scan, empty)
+        assert not bool(jnp.any(g.mask))
+
+
+class TestNMS3D:
+    def test_duplicates_collapse_to_sign_count(self, scene_and_scan):
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        out = suppress_bboxes(g, jnp.asarray(scan.poses))
+        kept = int(np.asarray(out.mask).sum())
+        n_signs = len(scene.signs)
+        # each sign seen in up to 6 frames collapses to one (or two, if a
+        # partially-clipped view overlaps the full view too little)
+        assert n_signs <= kept <= 2 * n_signs, f"kept {kept} of {int(np.asarray(g.mask).sum())}"
+
+    def test_keeps_highest_conf(self, scene_and_scan):
+        import dataclasses
+
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        # give frame 2 higher confidence — its boxes must survive
+        conf = np.asarray(g.conf).copy()
+        conf[2, :] = 0.99
+        g2 = dataclasses.replace(g, conf=jnp.asarray(conf))
+        out = suppress_bboxes(g2, jnp.asarray(scan.poses))
+        mask = np.asarray(out.mask)
+        orig = np.asarray(g.mask)
+        # every valid frame-2 box kept
+        np.testing.assert_array_equal(mask[2], orig[2])
+
+    def test_record_shape_roundtrip(self, scene_and_scan):
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        out = suppress_bboxes(g, jnp.asarray(scan.poses))
+        d = out.to_frame_dict()
+        assert set(d.keys()) == set(range(scan.num_frames))
+        for rows in d.values():
+            for r in rows:
+                assert len(r) == 7  # 4 corners + damage + conf + label
+                assert all(np.shape(c) == (3,) for c in r[:4])
+
+    def test_area_gate_drops_degenerate(self, scene_and_scan):
+        import dataclasses
+
+        scene, scan, det = scene_and_scan
+        g = project_detections(scan, det)
+        # collapse one box to zero area
+        corners = np.asarray(g.corners).copy()
+        f0 = 0
+        b0 = int(np.asarray(g.mask)[f0].argmax())
+        corners[f0, b0] = corners[f0, b0, 0:1]  # all 4 corners identical
+        g2 = dataclasses.replace(g, corners=jnp.asarray(corners))
+        out = suppress_bboxes(g2, jnp.asarray(scan.poses))
+        assert not bool(np.asarray(out.mask)[f0, b0])

@@ -1,0 +1,139 @@
+"""3D non-maximum suppression over global bounding boxes.
+
+Replaces the reference's missing ``src/mapper/bbox_optimiser.py::
+BoundingBoxProcessor.suppress_bboxes`` (contract at task_def.py:146-148:
+same dict-of-frames record shape in and out). The reference maps one
+physical sign from many camera frames, so the same object appears as many
+near-coincident 3D quads; suppression de-duplicates them, keeping the
+highest-confidence instance.
+
+Design (static shapes, one jit):
+  1. quality gates hinted by the reference's unused thresholds
+     (src/mapper/mapping.py:34-36, 199-206): minimum quad area
+     (``area_bbox_min_th``) and minimum camera-to-box distance
+     (``cam_to_bbox_min_th``);
+  2. each planar quad is extruded ±depth-buffer along its normal
+     (Transforms.create_3d_bounding_box semantics) and reduced to an AABB;
+  3. pairwise AABB IoU over the top-K boxes by confidence;
+  4. greedy suppression by confidence order as a ``lax.fori_loop`` —
+     deterministic ties (lower frame index wins).
+
+O(K²) IoU with K a static cap (default 1024) keeps memory bounded
+regardless of scan length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dlm.mapper.projection import GlobalBoxes
+from tpu3dlm.ops import geometry as G
+
+
+def _quad_area(corners: jax.Array) -> jax.Array:
+    """Area of a planar quad given (4, 3) corners (TL, BL, BR, TR)."""
+    d1 = corners[2] - corners[0]
+    d2 = corners[3] - corners[1]
+    return 0.5 * jnp.linalg.norm(jnp.cross(d1, d2))
+
+
+def _aabb_from_quad(corners: jax.Array, depth_buffer: float) -> jax.Array:
+    """(4, 3) planar quad → (6,) AABB [min_xyz, max_xyz] of the extruded box."""
+    box8 = G.create_3d_bounding_box(corners, depth_buffer)
+    return jnp.concatenate([box8.min(axis=0), box8.max(axis=0)])
+
+
+def _pairwise_aabb_iou(aabbs: jax.Array) -> jax.Array:
+    """(K, 6) AABBs → (K, K) IoU matrix."""
+    mins = aabbs[:, :3]
+    maxs = aabbs[:, 3:]
+    inter_min = jnp.maximum(mins[:, None, :], mins[None, :, :])
+    inter_max = jnp.minimum(maxs[:, None, :], maxs[None, :, :])
+    inter = jnp.prod(jnp.maximum(inter_max - inter_min, 0.0), axis=-1)
+    vol = jnp.prod(jnp.maximum(maxs - mins, 0.0), axis=-1)
+    union = vol[:, None] + vol[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iou_threshold", "depth_buffer", "area_min", "cam_dist_min", "top_k"),
+)
+def nms3d_mask(
+    corners: jax.Array,  # (F, B, 4, 3)
+    conf: jax.Array,  # (F, B)
+    mask: jax.Array,  # (F, B)
+    cam_positions: jax.Array,  # (F, 3)
+    iou_threshold: float = 0.25,
+    depth_buffer: float = 0.03,
+    area_min: float = 0.001,
+    cam_dist_min: float = 0.01,
+    top_k: int = 1024,
+) -> jax.Array:
+    """Returns the (F, B) keep mask after 3D NMS + quality gates."""
+    F, B = conf.shape
+    N = F * B
+    K = min(top_k, N)
+
+    flat_corners = corners.reshape(N, 4, 3)
+    flat_conf = conf.reshape(N)
+    flat_mask = mask.reshape(N)
+
+    # quality gates
+    areas = jax.vmap(_quad_area)(flat_corners)  # (N,)
+    cam_pos = jnp.repeat(cam_positions, B, axis=0)  # (N, 3)
+    d_cam = jnp.linalg.norm(flat_corners - cam_pos[:, None, :], axis=-1)  # (N, 4)
+    too_close = jnp.any(d_cam < cam_dist_min, axis=-1)
+    flat_mask = flat_mask & (areas >= area_min) & (~too_close)
+
+    # top-K by confidence (invalid → -inf so they sort last)
+    score = jnp.where(flat_mask, flat_conf, -jnp.inf)
+    order = jnp.argsort(-score)[:K]  # conf desc, stable → frame order ties
+    sel_valid = flat_mask[order]
+    aabbs = jax.vmap(_aabb_from_quad, in_axes=(0, None))(
+        flat_corners[order], depth_buffer
+    )
+    iou = _pairwise_aabb_iou(aabbs)
+
+    idx = jnp.arange(K)
+    later = idx[None, :] > idx[:, None]  # j strictly after i in conf order
+
+    def body(i, keep):
+        suppress = keep[i] & sel_valid[i] & later[i] & (iou[i] > iou_threshold)
+        return keep & ~suppress
+
+    keep_sorted = jax.lax.fori_loop(0, K, body, sel_valid)
+
+    keep_flat = jnp.zeros(N, bool).at[order].set(keep_sorted)
+    keep_flat = keep_flat & flat_mask
+    return keep_flat.reshape(F, B)
+
+
+def suppress_bboxes(
+    gboxes: GlobalBoxes,
+    poses: jax.Array,  # (F, 7)
+    iou_threshold: float = 0.25,
+    depth_buffer: float = 0.03,
+    area_min: float = 0.001,
+    cam_dist_min: float = 0.01,
+) -> GlobalBoxes:
+    """3D NMS over a scan's GlobalBoxes → GlobalBoxes with pruned mask.
+
+    API parity: ``BoundingBoxProcessor(global_bboxes_data, pose_df)
+    .suppress_bboxes()`` (reference task_def.py:147-148).
+    """
+    keep = nms3d_mask(
+        jnp.asarray(gboxes.corners),
+        jnp.asarray(gboxes.conf),
+        jnp.asarray(gboxes.mask),
+        jnp.asarray(poses)[:, :3],
+        iou_threshold=iou_threshold,
+        depth_buffer=depth_buffer,
+        area_min=area_min,
+        cam_dist_min=cam_dist_min,
+    )
+    return dataclasses.replace(gboxes, mask=keep)

@@ -1,0 +1,153 @@
+"""Fused 2D→3D bounding-box projection — the reference's hot loop as one jit.
+
+Replaces ``ProcessPose.get_global_coordinates`` (reference
+src/mapper/pose_processor.py:88-260): a per-frame Python loop with per-box
+list comprehensions and per-corner numpy matmuls becomes a single
+``vmap(vmap(...))`` transform over (frames, boxes) that XLA fuses into a
+handful of TPU kernels. Complexity O(frames × boxes × depth-pixels) runs as
+one device program instead of O(frames × boxes × 4) host round-trips.
+
+Semantics (matching the reference chain):
+  1. intrinsics are scaled RGB→depth resolution by image_width/depth_width
+     (pose_processor.py:133-137);
+  2. each box is rescaled from RGB pixels to depth pixels
+     (pose_processor.py:174-178);
+  3. the box becomes 4 corner pixels (pose_processor.py:181);
+  4. every corner is unprojected with z = median of the valid depth values
+     over the box region, in metres (z mm / scale_depth)
+     (pose_processor.py:184-196 — `_depth_to_3d` "median over bbox range");
+  5. camera-frame corners are mapped to world via the pose matrix
+     (pose_processor.py:199-201, 242-260).
+
+Output record semantics match the reference: 4 global corners +
+[damage, conf, label] per box (pose_processor.py:208), with a static-shape
+validity mask instead of ragged lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.data.scan import Detections, Scan
+from tpu3dlm.ops import geometry as G
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GlobalBoxes:
+    """Padded per-frame global 3D boxes (4 planar corners each)."""
+
+    corners: Any  # (F, B, 4, 3) float32 — world-frame quad corners
+    damage: Any  # (F, B) int32
+    conf: Any  # (F, B) float32
+    label: Any  # (F, B) int32
+    mask: Any  # (F, B) bool — valid box AND valid median depth
+
+    def to_frame_dict(self) -> dict[int, list[list]]:
+        """Reference record shape: {frame: [[c0, c1, c2, c3, dmg, conf, label]]}
+        with each corner a length-3 ndarray (pose_processor.py:208)."""
+        corners = np.asarray(self.corners)
+        damage = np.asarray(self.damage)
+        conf = np.asarray(self.conf)
+        label = np.asarray(self.label)
+        mask = np.asarray(self.mask)
+        out: dict[int, list[list]] = {}
+        for f in range(corners.shape[0]):
+            rows = []
+            for b in range(corners.shape[1]):
+                if mask[f, b]:
+                    rows.append(
+                        [corners[f, b, i] for i in range(4)]
+                        + [int(damage[f, b]), float(conf[f, b]), int(label[f, b])]
+                    )
+            out[f] = rows
+        return out
+
+
+def _project_one_box(
+    bbox: jax.Array,  # (4,) x1,y1,x2,y2 in RGB pixels
+    box_valid: jax.Array,  # () bool
+    depth: jax.Array,  # (Hd, Wd) float32 mm
+    intrinsics: jax.Array,  # (4,) fx, fy, cx, cy at RGB resolution
+    rgb_size: jax.Array,  # (2,) width, height
+    pose: jax.Array,  # (7,)
+    scale_depth: float,
+) -> tuple[jax.Array, jax.Array]:
+    """One box → (4, 3) world corners + validity."""
+    hd, wd = depth.shape
+    depth_wh = jnp.array([wd, hd], dtype=bbox.dtype)
+
+    s = rgb_size[0] / depth_wh[0]
+    fx, fy, cx, cy = (
+        intrinsics[0] / s,
+        intrinsics[1] / s,
+        intrinsics[2] / s,
+        intrinsics[3] / s,
+    )
+
+    scaled = G.scale_bbox(bbox, rgb_size, depth_wh)
+    z_mm, z_valid = G.bbox_median_depth(depth, scaled)
+    z = z_mm / scale_depth  # mm → metres
+
+    corners = G.bbox_corners_2d(scaled)  # (4, 2)
+    cam_pts = G.unproject(corners[:, 0], corners[:, 1], z, fx, fy, cx, cy)
+
+    T = G.pose_to_matrix(pose)
+    world = G.transform_points(T, cam_pts)
+    return world, box_valid & z_valid
+
+
+@partial(jax.jit, static_argnames=("scale_depth",))
+def project_boxes(
+    boxes: jax.Array,  # (F, B, 4)
+    box_mask: jax.Array,  # (F, B)
+    depth: jax.Array,  # (F, Hd, Wd)
+    intrinsics: jax.Array,  # (F, 4)
+    rgb_size: jax.Array,  # (F, 2)
+    poses: jax.Array,  # (F, 7)
+    scale_depth: float = 1000.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused kernel: all frames × boxes → ((F, B, 4, 3) corners, (F, B) mask)."""
+    per_frame = jax.vmap(  # over boxes within a frame
+        _project_one_box, in_axes=(0, 0, None, None, None, None, None)
+    )
+    all_frames = jax.vmap(  # over frames
+        per_frame, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
+    return all_frames(
+        boxes.astype(jnp.float32),
+        box_mask,
+        depth,
+        intrinsics.astype(jnp.float32),
+        rgb_size.astype(jnp.float32),
+        poses.astype(jnp.float32),
+        scale_depth,
+    )
+
+
+def project_detections(
+    scan: Scan, det: Detections, scale_depth: float = 1000.0
+) -> GlobalBoxes:
+    """Scan + 2D Detections → GlobalBoxes (world-frame quads)."""
+    corners, mask = project_boxes(
+        jnp.asarray(det.boxes),
+        jnp.asarray(det.mask),
+        jnp.asarray(scan.depth),
+        jnp.asarray(scan.intrinsics),
+        jnp.asarray(scan.rgb_size),
+        jnp.asarray(scan.poses),
+        scale_depth=scale_depth,
+    )
+    return GlobalBoxes(
+        corners=corners,
+        damage=jnp.asarray(det.damage),
+        conf=jnp.asarray(det.conf),
+        label=jnp.asarray(det.label),
+        mask=mask,
+    )
