@@ -1,0 +1,229 @@
+"""L2 model tests: YOLOv10 forward/postprocess, BEiT numerical equivalence
+against HF torch (golden architecture + converter test), converter mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
+from tpu3dlm.models.weights import (
+    assert_tree_matches,
+    convert_beit_state_dict,
+    convert_yolov10_state_dict,
+)
+from tpu3dlm.models.yolov10 import REG_MAX, YOLOv10, make_anchors, postprocess
+
+
+@pytest.fixture(scope="module")
+def yolo_n():
+    model = YOLOv10(nc=8, variant="n")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+class TestYOLOv10:
+    def test_forward_shapes(self, yolo_n):
+        model, variables = yolo_n
+        x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+        out = model.apply(variables, x)
+        assert len(out["one2one"]) == 3
+        for o, s in zip(out["one2one"], (8, 16, 32)):
+            assert o.shape == (2, 128 // s, 128 // s, 4 * REG_MAX + 8)
+
+    def test_postprocess_static_shapes(self, yolo_n):
+        model, variables = yolo_n
+        x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+        out = model.apply(variables, x)
+        post = postprocess(out["one2one"], img_size=128, max_det=20)
+        assert post["boxes"].shape == (2, 20, 4)
+        assert post["conf"].shape == (2, 20)
+        assert post["label"].shape == (2, 20)
+        # conf sorted descending
+        conf = np.asarray(post["conf"])
+        assert (np.diff(conf, axis=1) <= 1e-6).all()
+
+    def test_anchors(self):
+        anchors, strides = make_anchors(128)
+        n = (128 // 8) ** 2 + (128 // 16) ** 2 + (128 // 32) ** 2
+        assert anchors.shape == (n, 2)
+        assert strides.shape == (n,)
+        np.testing.assert_allclose(np.asarray(anchors[0]), [0.5, 0.5])
+        assert float(strides[0]) == 8.0 and float(strides[-1]) == 32.0
+
+    def test_decode_centered_box(self, yolo_n):
+        """Uniform DFL logits → expected offset (REG_MAX-1)/2 per side."""
+        from tpu3dlm.models.yolov10 import decode_raw
+
+        raw = [jnp.zeros((1, 128 // s, 128 // s, 4 * REG_MAX + 8)) for s in (8, 16, 32)]
+        boxes, cls = decode_raw(raw, 128)
+        anchors, strides = make_anchors(128)
+        off = (REG_MAX - 1) / 2.0
+        want_x1 = (np.asarray(anchors)[:, 0] - off) * np.asarray(strides)
+        np.testing.assert_allclose(np.asarray(boxes[0, :, 0]), want_x1, rtol=1e-5)
+
+    def test_batch_invariance(self, yolo_n):
+        model, variables = yolo_n
+        rng = np.random.default_rng(0)
+        img = jnp.array(rng.uniform(size=(1, 128, 128, 3)), jnp.float32)
+        single = model.apply(variables, img)["one2one"][0]
+        batched = model.apply(variables, jnp.concatenate([img, img]))["one2one"][0]
+        np.testing.assert_allclose(
+            np.asarray(single[0]), np.asarray(batched[1]), atol=1e-5
+        )
+
+
+class TestYoloConverter:
+    def test_roundtrip_structure(self, yolo_n):
+        """Reverse-map the flax tree to ultralytics keys, convert back, and
+        require an exact structural/shape match."""
+        model, variables = yolo_n
+        sd = {}
+
+        def emit(tree, path, collection):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    emit(v, path + [k], collection)
+                else:
+                    sd[_torch_key(path + [k], collection)] = _torch_val(
+                        np.asarray(v), path + [k]
+                    )
+
+        def _torch_key(path, collection):
+            toks = []
+            scope = path[0]
+            if scope.startswith("detect_"):
+                branch_prefix = "" if scope == "detect_o2m" else "one2one_"
+                name = path[1]  # e.g. cv2_0_1
+                parts = name.split("_")
+                toks = ["model", "23", branch_prefix + parts[0], *parts[1:]]
+                rest = path[2:]
+            else:
+                toks = ["model", scope[1:]]
+                rest = path[1:]
+            for t in rest[:-1]:
+                toks.extend(t.split("_") if _is_seq(t) else [t])
+            leaf = rest[-1]
+            parent = toks[-1]
+            leafmap_params = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+            leafmap_stats = {"mean": "running_mean", "var": "running_var"}
+            toks.append(
+                leafmap_params[leaf] if collection == "params" else leafmap_stats[leaf]
+            )
+            del parent
+            return ".".join(toks)
+
+        def _is_seq(t):
+            parts = t.split("_")
+            return len(parts) > 1 and all(p.isdigit() for p in parts[1:])
+
+        def _torch_val(v, path):
+            if path[-1] == "kernel":
+                if v.ndim == 4:
+                    return np.transpose(v, (3, 2, 0, 1))
+                return v.T
+            return v
+
+        emit(variables["params"], [], "params")
+        emit(variables["batch_stats"], [], "batch_stats")
+
+        converted = convert_yolov10_state_dict(sd)
+        problems = assert_tree_matches(
+            converted["params"], jax.tree.map(np.asarray, variables["params"])
+        )
+        problems += assert_tree_matches(
+            converted["batch_stats"], jax.tree.map(np.asarray, variables["batch_stats"])
+        )
+        assert not problems, problems[:20]
+
+        # values survive the transpose round-trip bit-exactly
+        flat_c = jax.tree_util.tree_leaves(converted["params"])
+        flat_r = jax.tree_util.tree_leaves(
+            jax.tree.map(np.asarray, variables["params"])
+        )
+        for a, b in zip(flat_c, flat_r):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestBeit:
+    def test_matches_hf_torch(self):
+        """Random-weight HF torch BEiT vs converted Flax — logits must match."""
+        torch = pytest.importorskip("torch")
+        from transformers import BeitConfig as HFConfig
+        from transformers import BeitForImageClassification
+
+        hf_cfg = HFConfig(
+            image_size=32,
+            patch_size=16,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            intermediate_size=64,
+            num_labels=3,
+            use_relative_position_bias=True,
+            use_mean_pooling=True,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf = BeitForImageClassification(hf_cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+        cfg = BeitConfig(
+            image_size=32,
+            patch_size=16,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=64,
+            num_labels=3,
+        )
+        flax_model = BeitClassifier(cfg)
+        variables = convert_beit_state_dict(sd)
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(img.transpose(0, 3, 1, 2))).logits.numpy()
+        got = np.asarray(flax_model.apply(variables, jnp.array(img)))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_converter_covers_tree(self):
+        torch = pytest.importorskip("torch")
+        from transformers import BeitConfig as HFConfig
+        from transformers import BeitForImageClassification
+
+        hf_cfg = HFConfig(
+            image_size=32,
+            patch_size=16,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            intermediate_size=64,
+            num_labels=3,
+            use_relative_position_bias=True,
+            use_mean_pooling=True,
+        )
+        hf = BeitForImageClassification(hf_cfg)
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        converted = convert_beit_state_dict(sd)
+
+        cfg = BeitConfig(
+            image_size=32, patch_size=16, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64, num_labels=3,
+        )
+        ref = BeitClassifier(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        problems = assert_tree_matches(
+            converted["params"], jax.tree.map(np.asarray, ref["params"])
+        )
+        assert not problems, problems[:20]
+
+    def test_preprocess(self):
+        x = preprocess_crops(jnp.full((1, 4, 4, 3), 255, jnp.uint8))
+        np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-6)
+        x = preprocess_crops(jnp.zeros((1, 4, 4, 3), jnp.uint8))
+        np.testing.assert_allclose(np.asarray(x), -1.0, atol=1e-6)

@@ -1,0 +1,187 @@
+"""BEiT image classifier in Flax — batched damage classification.
+
+TPU-native replacement for the reference's per-crop torch loop
+(src/damage/classifier.py:55-90 — its own docstring flags the missing
+batching as a deficiency). Here classification is one jitted call over a
+padded (batch, 224, 224, 3) crop tensor, so a whole frame's sign crops — or
+a whole scan's — classify in one device program.
+
+Architecture matches HF ``BeitForImageClassification`` parameter-for-
+parameter (patch embed, per-layer relative position bias, k-bias-free QKV,
+layer-scale residuals, mean pooling + final LayerNorm head) so the
+reference's finetuned checkpoints (BEiT-coarse/fine-finetuned,
+classifier.py:32-35) convert directly via models/weights.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class BeitConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    num_labels: int = 2
+    layer_norm_eps: float = 1e-12
+    layer_scale_init_value: float = 0.1
+    use_mean_pooling: bool = True
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+
+def relative_position_index(grid: int) -> np.ndarray:
+    """(N+1, N+1) int32 index into the relative-position-bias table.
+
+    Window-relative 2D offsets for patch↔patch, plus three special entries
+    for cls↔patch / patch↔cls / cls↔cls (the BEiT scheme).
+    """
+    h = w = grid
+    coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)  # (2, N)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += h - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    num_rel = (2 * h - 1) * (2 * w - 1) + 3
+    n = h * w
+    index = np.zeros((n + 1, n + 1), np.int32)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, 0:] = num_rel - 3
+    index[0:, 0] = num_rel - 2
+    index[0, 0] = num_rel - 1
+    return index
+
+
+class BeitAttention(nn.Module):
+    cfg: BeitConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, N, H = x.shape
+        hd = c.hidden_size // c.num_heads
+
+        # BEiT quirk: q and v carry biases, k does not.
+        q = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="value")(x)
+
+        def split(t):
+            return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(hd).astype(attn.dtype)
+
+        num_rel = (2 * c.grid - 1) * (2 * c.grid - 1) + 3
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            (num_rel, c.num_heads),
+        )
+        index = relative_position_index(c.grid)
+        bias = table[index.reshape(-1)].reshape(N, N, c.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, c.hidden_size)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(out)
+
+
+class BeitLayer(nn.Module):
+    cfg: BeitConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        ls1 = self.param(
+            "lambda_1",
+            nn.initializers.constant(c.layer_scale_init_value),
+            (c.hidden_size,),
+        )
+        ls2 = self.param(
+            "lambda_2",
+            nn.initializers.constant(c.layer_scale_init_value),
+            (c.hidden_size,),
+        )
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln1")(x)
+        h = BeitAttention(c, dtype=self.dtype, name="attn")(h)
+        x = x + ls1 * h
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + ls2 * h
+
+
+class BeitClassifier(nn.Module):
+    """BEiT encoder + mean-pool classification head."""
+
+    cfg: BeitConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels):
+        """pixels: (B, H, W, 3) float32, already normalized. → (B, num_labels)."""
+        c = self.cfg
+        B = pixels.shape[0]
+        x = nn.Conv(
+            c.hidden_size,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(pixels)
+        x = x.reshape(B, -1, c.hidden_size)
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, c.hidden_size)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, c.hidden_size)).astype(x.dtype), x], axis=1)
+
+        for i in range(c.num_layers):
+            x = BeitLayer(c, dtype=self.dtype, name=f"layer{i}")(x)
+
+        if c.use_mean_pooling:
+            pooled = x[:, 1:, :].mean(axis=1)
+            pooled = nn.LayerNorm(
+                epsilon=c.layer_norm_eps, dtype=self.dtype, name="pool_ln"
+            )(pooled)
+        else:
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_ln")(x)
+            pooled = x[:, 0]
+        return nn.Dense(self.cfg.num_labels, dtype=self.dtype, name="classifier")(pooled)
+
+
+IMAGENET_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_STD = (0.5, 0.5, 0.5)
+
+
+def preprocess_crops(crops: jax.Array) -> jax.Array:
+    """uint8 (B, 224, 224, 3) → normalized float32 (BeitImageProcessor parity:
+    rescale 1/255 then mean/std 0.5)."""
+    x = crops.astype(jnp.float32) / 255.0
+    mean = jnp.array(IMAGENET_MEAN, jnp.float32)
+    std = jnp.array(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std

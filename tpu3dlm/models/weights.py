@@ -1,0 +1,232 @@
+"""Checkpoint conversion: torch state-dicts → Flax variables.
+
+Supports the two finetuned checkpoints the reference pipeline loads:
+* ultralytics YOLOv10 ``best.pt`` (src/detector/detector.py:36) via
+  `convert_yolov10_state_dict` — key scheme "model.{i}.<module-path>" with
+  Sequential indices, mapped mechanically onto the Flax module names
+  (layers.py mirrors the naming);
+* HF BEiT classification repos (src/damage/classifier.py:32-35) via
+  `convert_beit_state_dict`.
+
+Both converters take a plain ``dict[str, np.ndarray]`` so no torch import is
+required at conversion time; `load_torch_state_dict` handles reading a .pt /
+.bin / .safetensors file when torch is available.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a torch checkpoint file into a {key: ndarray} dict.
+
+    Handles raw state-dicts and ultralytics-style {"model": nn.Module}
+    wrappers. Ultralytics .pt files pickle model *objects*; unpickling those
+    requires the ultralytics package — if it is unavailable, re-export the
+    checkpoint as a plain state_dict first
+    (``torch.save(ckpt["model"].state_dict(), out)``).
+    """
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+        obj = obj["model"].state_dict()
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().float().cpu().numpy() for k, v in obj.items()}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch (O, I/g, kh, kw) → flax (kh, kw, I/g, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# YOLOv10 (ultralytics naming)
+# ---------------------------------------------------------------------------
+
+_DETECT_BRANCH = {
+    "cv2": ("detect_o2m", "cv2"),
+    "cv3": ("detect_o2m", "cv3"),
+    "one2one_cv2": ("detect_o2o", "cv2"),
+    "one2one_cv3": ("detect_o2o", "cv3"),
+}
+
+
+def convert_yolov10_state_dict(
+    sd: Mapping[str, np.ndarray], detect_layer_index: int = 23
+) -> dict:
+    """ultralytics YOLOv10 state-dict → flax {"params": ..., "batch_stats": ...}.
+
+    Key scheme examples:
+      model.0.conv.weight                  → params/m0/conv/kernel
+      model.2.m.0.cv1.bn.running_mean      → batch_stats/m2/m_0/cv1/bn/mean
+      model.23.one2one_cv2.1.0.conv.weight → params/detect_o2o/cv2_1_0/conv/kernel
+    The DFL projection (model.23.dfl.*) is a fixed arange kernel we decode
+    functionally — it is skipped.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for key, val in sd.items():
+        toks = key.split(".")
+        if toks[0] == "model":
+            toks = toks[1:]
+        if not toks or not toks[0].isdigit():
+            continue
+        layer = int(toks[0])
+        rest = toks[1:]
+        if layer == detect_layer_index:
+            if rest[0] == "dfl":
+                continue
+            scope, branch = _DETECT_BRANCH[rest[0]]
+            # join the Sequential indices: cv2.1.0 → cv2_1_0
+            name = branch
+            i = 1
+            while i < len(rest) and rest[i].isdigit():
+                name += f"_{rest[i]}"
+                i += 1
+            path = [scope, name] + rest[i:]
+        else:
+            path = [f"m{layer}"]
+            for t in rest:
+                if t.isdigit():
+                    path[-1] = f"{path[-1]}_{t}"
+                else:
+                    path.append(t)
+        _route_leaf(path, np.asarray(val), params, stats)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# BEiT (HF naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_beit_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
+    """HF BeitForImageClassification state-dict → flax {"params": ...}."""
+    p: dict = {}
+    for key, val in sd.items():
+        v = np.asarray(val)
+        if key == "beit.embeddings.cls_token":
+            _set(p, ["cls_token"], v)
+        elif key == "beit.embeddings.patch_embeddings.projection.weight":
+            _set(p, ["patch_embed", "kernel"], _conv_kernel(v))
+        elif key == "beit.embeddings.patch_embeddings.projection.bias":
+            _set(p, ["patch_embed", "bias"], v)
+        elif key == "beit.pooler.layernorm.weight":
+            _set(p, ["pool_ln", "scale"], v)
+        elif key == "beit.pooler.layernorm.bias":
+            _set(p, ["pool_ln", "bias"], v)
+        elif key == "beit.layernorm.weight":
+            _set(p, ["final_ln", "scale"], v)
+        elif key == "beit.layernorm.bias":
+            _set(p, ["final_ln", "bias"], v)
+        elif key == "classifier.weight":
+            _set(p, ["classifier", "kernel"], v.T)
+        elif key == "classifier.bias":
+            _set(p, ["classifier", "bias"], v)
+        else:
+            m = re.match(r"beit\.encoder\.layer\.(\d+)\.(.+)", key)
+            if not m:
+                continue
+            layer, rest = f"layer{m.group(1)}", m.group(2)
+            mapping = {
+                "layernorm_before.weight": (["ln1", "scale"], None),
+                "layernorm_before.bias": (["ln1", "bias"], None),
+                "layernorm_after.weight": (["ln2", "scale"], None),
+                "layernorm_after.bias": (["ln2", "bias"], None),
+                "lambda_1": (["lambda_1"], None),
+                "lambda_2": (["lambda_2"], None),
+                "attention.attention.query.weight": (["attn", "query", "kernel"], "T"),
+                "attention.attention.query.bias": (["attn", "query", "bias"], None),
+                "attention.attention.key.weight": (["attn", "key", "kernel"], "T"),
+                "attention.attention.value.weight": (["attn", "value", "kernel"], "T"),
+                "attention.attention.value.bias": (["attn", "value", "bias"], None),
+                "attention.output.dense.weight": (["attn", "output", "kernel"], "T"),
+                "attention.output.dense.bias": (["attn", "output", "bias"], None),
+                "attention.attention.relative_position_bias.relative_position_bias_table": (
+                    ["attn", "relative_position_bias_table"],
+                    None,
+                ),
+                "intermediate.dense.weight": (["fc1", "kernel"], "T"),
+                "intermediate.dense.bias": (["fc1", "bias"], None),
+                "output.dense.weight": (["fc2", "kernel"], "T"),
+                "output.dense.bias": (["fc2", "bias"], None),
+            }
+            if rest in mapping:
+                path, op = mapping[rest]
+                _set(p, [layer] + path, v.T if op == "T" else v)
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# shared leaf routing
+# ---------------------------------------------------------------------------
+
+
+def _route_leaf(path: list[str], v: np.ndarray, params: dict, stats: dict):
+    """Route a torch leaf ('...conv.weight', '...bn.running_var', bare
+    'weight'/'bias' for plain Conv2d) into params/batch_stats trees."""
+    leaf = path[-1]
+    parent = path[:-1]
+    if leaf == "weight":
+        if parent and parent[-1] == "conv":
+            _set(params, parent + ["kernel"], _conv_kernel(v))
+        elif parent and parent[-1] == "bn":
+            _set(params, parent + ["scale"], v)
+        elif v.ndim == 4:  # plain nn.Conv2d (detect head final 1x1)
+            _set(params, parent + ["kernel"], _conv_kernel(v))
+        else:
+            _set(params, parent + ["kernel"], v.T)
+    elif leaf == "bias":
+        _set(params, parent + ["bias"], v)
+    elif leaf == "running_mean":
+        _set(stats, parent + ["mean"], v)
+    elif leaf == "running_var":
+        _set(stats, parent + ["var"], v)
+    # num_batches_tracked → dropped
+
+
+def assert_tree_matches(converted: dict, reference: dict, prefix: str = "") -> list[str]:
+    """Compare converted tree against a model-initialized tree; returns a list
+    of mismatch descriptions (empty = exact structural + shape match)."""
+    problems = []
+
+    def walk(c, r, pre):
+        ck, rk = set(c.keys()), set(r.keys())
+        for k in sorted(rk - ck):
+            problems.append(f"missing {pre}/{k}")
+        for k in sorted(ck - rk):
+            problems.append(f"unexpected {pre}/{k}")
+        for k in sorted(ck & rk):
+            cv, rv = c[k], r[k]
+            if isinstance(rv, dict):
+                if not isinstance(cv, dict):
+                    problems.append(f"type mismatch {pre}/{k}")
+                else:
+                    walk(cv, rv, f"{pre}/{k}")
+            else:
+                if tuple(np.shape(cv)) != tuple(np.shape(rv)):
+                    problems.append(
+                        f"shape {pre}/{k}: {np.shape(cv)} vs {np.shape(rv)}"
+                    )
+
+    walk(converted, reference, prefix)
+    return problems

@@ -1,0 +1,241 @@
+"""YOLOv10 in Flax — NMS-free detection as one XLA graph.
+
+TPU-native replacement for the reference's ultralytics wrapper
+(src/detector/detector.py:60, 82-90). The architecture follows the YOLOv10
+paper (CSP backbone with SCDown + PSA, PAN neck, decoupled head with DFL
+regression and consistent dual assignments); the *one-to-one* head makes
+inference NMS-free, which is exactly what a TPU wants: static shapes, no
+data-dependent box pruning — `detect()` is a single `jit`-compiled call
+returning a fixed (batch, max_det, 6) tensor.
+
+The layer graph is expressed as a spec table (from-index, repeats, module,
+args) mirroring the ultralytics yaml, so any finetuned YOLOv10 checkpoint
+(e.g. the reference's src/common/finetuned_models/yolov10/best.pt) converts
+weight-for-weight via models/weights.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpu3dlm.models import layers as L
+
+REG_MAX = 16
+STRIDES = (8, 16, 32)
+
+# (from, repeats, module, args) — ultralytics yolov10{n,s} yaml layout.
+# Concat is implicit via tuple "from"; Upsample is the string "up".
+_SPEC_V10 = [
+    # backbone
+    (-1, 1, "Conv", (64, 3, 2)),  # 0  P1/2
+    (-1, 1, "Conv", (128, 3, 2)),  # 1  P2/4
+    (-1, 3, "C2f", (128, True)),  # 2
+    (-1, 1, "Conv", (256, 3, 2)),  # 3  P3/8
+    (-1, 6, "C2f", (256, True)),  # 4
+    (-1, 1, "SCDown", (512, 3, 2)),  # 5  P4/16
+    (-1, 6, "C2f", (512, True)),  # 6
+    (-1, 1, "SCDown", (1024, 3, 2)),  # 7  P5/32
+    (-1, 3, "C2f", (1024, True)),  # 8   (C2fCIB for s/m/l/x — see variants)
+    (-1, 1, "SPPF", (1024, 5)),  # 9
+    (-1, 1, "PSA", (1024,)),  # 10
+    # head (PAN)
+    (-1, 1, "up", ()),  # 11
+    ((-1, 6), 1, "concat", ()),  # 12
+    (-1, 3, "C2f", (512,)),  # 13
+    (-1, 1, "up", ()),  # 14
+    ((-1, 4), 1, "concat", ()),  # 15
+    (-1, 3, "C2f", (256,)),  # 16  P3 out
+    (-1, 1, "Conv", (256, 3, 2)),  # 17
+    ((-1, 13), 1, "concat", ()),  # 18
+    (-1, 3, "C2f", (512,)),  # 19  P4 out
+    (-1, 1, "SCDown", (512, 3, 2)),  # 20
+    ((-1, 10), 1, "concat", ()),  # 21
+    (-1, 3, "C2fCIB", (1024, True, True)),  # 22  P5 out
+]
+_DETECT_FROM = (16, 19, 22)
+
+# scale: (depth_multiple, width_multiple, max_channels, backbone8_cib)
+_VARIANTS = {
+    "n": (1 / 3, 0.25, 1024, False),
+    "s": (1 / 3, 0.50, 1024, True),
+    "m": (2 / 3, 0.75, 768, True),
+    "l": (1.0, 1.0, 512, True),
+    "x": (1.0, 1.25, 512, True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloVariant:
+    depth: float
+    width: float
+    max_channels: int
+    backbone8_cib: bool
+
+
+def yolov10_variant(name: str) -> YoloVariant:
+    return YoloVariant(*_VARIANTS[name])
+
+
+class DetectBranch(nn.Module):
+    """One head (box regression + lightweight classification) over 3 scales."""
+
+    nc: int
+    channels: Sequence[int]  # feature channels of P3/P4/P5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        c2 = max(16, self.channels[0] // 4, REG_MAX * 4)
+        c3 = max(self.channels[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            box = L.ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = L.ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, name=f"cv2_{i}_2")(box)
+
+            ci = x.shape[-1]
+            cls = L.ConvBN(ci, 3, groups=ci, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
+            cls = L.ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(cls, train)
+            cls = L.ConvBN(c3, 3, groups=c3, dtype=self.dtype, name=f"cv3_{i}_1_0")(cls, train)
+            cls = L.ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), dtype=self.dtype, name=f"cv3_{i}_2")(cls)
+
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
+class YOLOv10(nn.Module):
+    """YOLOv10 detector. Returns raw per-scale maps for both heads."""
+
+    nc: int = 80
+    variant: str = "n"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, H, W, 3) float32 in [0, 1] → dict of head outputs."""
+        v = yolov10_variant(self.variant)
+        ch = partial(L.scale_channels, width=v.width, max_channels=v.max_channels)
+        dp = partial(L.scale_depth, depth=v.depth)
+        dt = self.dtype
+
+        outputs: list[jax.Array] = []
+        for i, (frm, n, mod, args) in enumerate(_SPEC_V10):
+            if mod == "concat":
+                inp = jnp.concatenate([outputs[j] for j in frm], axis=-1)
+                outputs.append(inp)
+                continue
+            inp = outputs[frm] if outputs else x
+            name = f"m{i}"
+            if mod == "up":
+                y = L.upsample2x(inp)
+            elif mod == "Conv":
+                y = L.ConvBN(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
+            elif mod == "C2f":
+                if i == 8 and v.backbone8_cib:
+                    y = L.C2fCIB(
+                        ch(args[0]), dp(n), shortcut=True, long_kernel=self.variant == "s",
+                        dtype=dt, name=name,
+                    )(inp, train)
+                else:
+                    y = L.C2f(
+                        ch(args[0]), dp(n), shortcut=bool(args[1]) if len(args) > 1 else False,
+                        dtype=dt, name=name,
+                    )(inp, train)
+            elif mod == "SCDown":
+                y = L.SCDown(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
+            elif mod == "SPPF":
+                y = L.SPPF(ch(args[0]), args[1], dtype=dt, name=name)(inp, train)
+            elif mod == "PSA":
+                y = L.PSA(ch(args[0]), dtype=dt, name=name)(inp, train)
+            elif mod == "C2fCIB":
+                y = L.C2fCIB(
+                    ch(args[0]), dp(n), shortcut=bool(args[1]),
+                    long_kernel=bool(args[2]) if len(args) > 2 else False,
+                    dtype=dt, name=name,
+                )(inp, train)
+            else:
+                raise ValueError(f"unknown module {mod}")
+            outputs.append(y)
+
+        feats = [outputs[j] for j in _DETECT_FROM]
+        channels = tuple(f.shape[-1] for f in feats)
+        one2many = DetectBranch(self.nc, channels, dtype=dt, name="detect_o2m")(feats, train)
+        one2one = DetectBranch(self.nc, channels, dtype=dt, name="detect_o2o")(
+            [jax.lax.stop_gradient(f) if train else f for f in feats], train
+        )
+        return {"one2many": one2many, "one2one": one2one}
+
+
+# ---------------------------------------------------------------------------
+# Decode + NMS-free postprocess (pure functions, jit-safe)
+# ---------------------------------------------------------------------------
+
+
+def make_anchors(img_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor centre points and per-anchor stride for all scales.
+
+    Returns (anchors (A, 2) in feature-cell units scaled later, strides (A,)).
+    """
+    pts, strs = [], []
+    for s in STRIDES:
+        h = w = img_size // s
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        pts.append(jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1))
+        strs.append(jnp.full((h * w,), float(s)))
+    return jnp.concatenate(pts), jnp.concatenate(strs)
+
+
+def decode_raw(raw: Sequence[jax.Array], img_size: int) -> tuple[jax.Array, jax.Array]:
+    """Per-scale raw maps → (boxes_xyxy (B, A, 4) px, cls_logits (B, A, nc)).
+
+    DFL: softmax over REG_MAX bins → expected offset per side (l, t, r, b) in
+    stride units; box = anchor ∓ offsets, scaled by stride.
+    """
+    B = raw[0].shape[0]
+    nc = raw[0].shape[-1] - 4 * REG_MAX
+    flat = jnp.concatenate([r.reshape(B, -1, r.shape[-1]) for r in raw], axis=1)
+    box_logits = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
+    cls_logits = flat[..., 4 * REG_MAX :]
+
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    dist = jnp.einsum(
+        "band,d->ban", jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1), bins
+    )  # (B, A, 4) — l, t, r, b
+
+    anchors, strides = make_anchors(img_size)
+    x1y1 = (anchors[None] - dist[..., :2]) * strides[None, :, None]
+    x2y2 = (anchors[None] + dist[..., 2:]) * strides[None, :, None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+    del nc
+    return boxes, cls_logits
+
+
+@partial(jax.jit, static_argnames=("img_size", "max_det"))
+def postprocess(
+    raw_one2one: Sequence[jax.Array],
+    img_size: int,
+    max_det: int = 300,
+) -> dict[str, jax.Array]:
+    """NMS-free selection from the one-to-one head.
+
+    Per anchor: max class prob + argmax label; top-`max_det` anchors by
+    confidence. Static output shapes: boxes (B, D, 4), conf (B, D),
+    label (B, D). Caller thresholds by conf (reference conf_thresh).
+    """
+    boxes, cls_logits = decode_raw(raw_one2one, img_size)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = probs.max(axis=-1)
+    label = probs.argmax(axis=-1).astype(jnp.int32)
+    k = min(max_det, boxes.shape[1])
+    top_conf, idx = jax.lax.top_k(conf, k)
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_label = jnp.take_along_axis(label, idx, axis=1)
+    return {"boxes": top_boxes, "conf": top_conf, "label": top_label}
