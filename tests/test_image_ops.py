@@ -1,0 +1,81 @@
+"""Image-op tests: bilinear sampling, homography solve/warp, crop rectification."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.ops.image import (
+    rectify_crops,
+    resize_bilinear,
+    solve_homography_4pt,
+    warp_homography,
+)
+
+
+class TestHomography:
+    def test_solve_matches_cv2(self, rng):
+        src = rng.uniform(10, 100, size=(4, 2)).astype(np.float32)
+        dst = rng.uniform(0, 200, size=(4, 2)).astype(np.float32)
+        H_ours = np.asarray(solve_homography_4pt(jnp.array(src), jnp.array(dst)))
+        H_cv, _ = cv2.findHomography(src, dst)
+        np.testing.assert_allclose(H_ours, H_cv, rtol=1e-3, atol=1e-3)
+
+    def test_identity(self):
+        pts = jnp.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+        H = np.asarray(solve_homography_4pt(pts, pts))
+        np.testing.assert_allclose(H, np.eye(3), atol=1e-5)
+
+    def test_warp_matches_cv2(self, rng):
+        img = rng.uniform(0, 255, size=(40, 50, 3)).astype(np.float32)
+        # box → full image rect (the reference's rectification case,
+        # detector.py:202-213)
+        x1, y1, x2, y2 = 5.0, 8.0, 30.0, 25.0
+        src = np.array([[x1, y1], [x1, y2], [x2, y2], [x2, y1]], np.float32)
+        h, w = 40, 50
+        dst = np.array([[0, 0], [0, h - 1], [w - 1, h - 1], [w - 1, 0]], np.float32)
+        H_cv, _ = cv2.findHomography(src, dst)
+        want = cv2.warpPerspective(img, H_cv, (w, h))
+        got = np.asarray(
+            warp_homography(jnp.array(img), jnp.array(H_cv, dtype=jnp.float32), (h, w))
+        )
+        # interiors match (borders differ: cv2 uses constant border)
+        np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2], atol=1.0)
+
+
+class TestRectify:
+    def test_crop_of_constant_region(self):
+        img = np.zeros((64, 64, 3), np.float32)
+        img[10:20, 30:40] = 7.0
+        crops = rectify_crops(
+            jnp.array(img)[None], jnp.array([[[30.0, 10.0, 39.0, 19.0]]]), out_hw=(8, 8)
+        )
+        np.testing.assert_allclose(np.asarray(crops)[0, 0], 7.0, atol=1e-5)
+
+    def test_matches_manual_linspace(self, rng):
+        img = rng.uniform(0, 1, size=(32, 32, 1)).astype(np.float32)
+        bbox = [4.0, 6.0, 20.0, 28.0]
+        crops = np.asarray(
+            rectify_crops(jnp.array(img)[None], jnp.array([[bbox]]), out_hw=(5, 5))
+        )[0, 0]
+        # corners sample exactly the bbox corners
+        np.testing.assert_allclose(crops[0, 0, 0], img[6, 4, 0], rtol=1e-5)
+        np.testing.assert_allclose(crops[4, 4, 0], img[28, 20, 0], rtol=1e-5)
+
+    def test_batch_shapes(self, rng):
+        imgs = jnp.array(rng.uniform(size=(3, 16, 16, 3)), jnp.float32)
+        boxes = jnp.array(rng.uniform(2, 12, size=(3, 5, 4)), jnp.float32)
+        crops = rectify_crops(imgs, boxes, out_hw=(7, 9))
+        assert crops.shape == (3, 5, 7, 9, 3)
+
+
+class TestResize:
+    def test_downsample_constant(self):
+        img = jnp.full((16, 16, 2), 3.5)
+        out = np.asarray(resize_bilinear(img, (4, 4)))
+        np.testing.assert_allclose(out, 3.5, atol=1e-6)
+
+    def test_matches_cv2_roughly(self, rng):
+        img = rng.uniform(0, 1, size=(32, 48, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.array(img), (16, 24)))
+        want = cv2.resize(img, (24, 16), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(got, want, atol=0.05)

@@ -1,0 +1,96 @@
+"""Detector + classifier stage tests over the synthetic scan (random weights:
+we assert contract shapes/semantics, not accuracy)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3dlm.data import synthetic
+from tpu3dlm.data.dataset import load_scan
+from tpu3dlm.pipeline.classifier import DamageDetector
+from tpu3dlm.pipeline.detector import ObjectDetector
+
+
+@pytest.fixture(scope="module")
+def scan(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scans"))
+    synthetic.generate_scan(root, "gold_std", num_frames=3)
+    base = os.path.join(root, "gold_std", "rtabmap_extract")
+    return load_scan(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(root, "gold_std", "poses.txt"),
+        img_size=128,
+    )
+
+
+class TestObjectDetector:
+    def test_detect_contract(self, scan):
+        det = ObjectDetector(
+            conf_thresh=0.0, img_size=128, batch_size=2, max_det=16, nc=3
+        )
+        out = det(scan)
+        F = scan.num_frames
+        assert out.boxes.shape == (F, 16, 4)
+        assert out.conf.shape == (F, 16)
+        assert out.mask.dtype == bool
+        # boxes are in ORIGINAL pixels (480x640)
+        assert out.boxes[..., 2].max() <= 480 * 1.5
+        # damage unset before classification
+        assert (out.damage == -1).all()
+
+    def test_conf_threshold_masks(self, scan):
+        det = ObjectDetector(conf_thresh=1.1, img_size=128, batch_size=4, max_det=8, nc=3)
+        out = det(scan)
+        assert not out.mask.any()
+
+    def test_batch_padding_consistent(self, scan):
+        """Detections must not depend on the batch chunking."""
+        d1 = ObjectDetector(conf_thresh=0.0, img_size=128, batch_size=2, max_det=8, nc=3)
+        d2 = ObjectDetector(
+            conf_thresh=0.0, img_size=128, batch_size=7, max_det=8, nc=3,
+            variables=d1.variables,
+        )
+        o1, o2 = d1(scan), d2(scan)
+        np.testing.assert_allclose(o1.boxes, o2.boxes, atol=1e-4)
+        np.testing.assert_allclose(o1.conf, o2.conf, atol=1e-5)
+
+
+class TestDamageDetector:
+    def test_rejects_bad_model_type(self):
+        with pytest.raises(ValueError):
+            DamageDetector(model_type="bogus")
+
+    def test_classify_detections_fills_damage(self, scan):
+        from tpu3dlm.models.beit import BeitConfig
+
+        det = ObjectDetector(conf_thresh=0.0, img_size=128, batch_size=4, max_det=4, nc=3)
+        dets = det(scan)
+        clf = DamageDetector(
+            config=BeitConfig(
+                image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                intermediate_size=64, num_labels=2,
+            ),
+            batch_size=8,
+            id2label={0: "Undamaged", 1: "Damaged"},
+        )
+        out = clf.classify_detections(scan, dets)
+        m = np.asarray(out.damage)
+        assert m.shape == dets.conf.shape
+        assert set(np.unique(m[np.asarray(dets.mask)])) <= {0, 1}
+        assert (m[~np.asarray(dets.mask)] == -1).all()
+
+    def test_get_class_label(self):
+        from tpu3dlm.models.beit import BeitConfig
+
+        clf = DamageDetector(
+            config=BeitConfig(
+                image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                intermediate_size=64, num_labels=2,
+            ),
+            id2label={0: "Undamaged", 1: "Damaged"},
+        )
+        assert clf.get_class_label(1) == "damaged"
+        assert clf.get_class_label([0, 1]) == ["undamaged", "damaged"]

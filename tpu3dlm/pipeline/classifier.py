@@ -1,0 +1,115 @@
+"""Damage classification stage: batched BEiT over rectified sign crops.
+
+API parity target: ``DamageDetector`` (reference src/damage/classifier.py)
+— same model_type switch ("simple" → coarse, "detailed" → fine head) and
+id2label lookup — but all crops of all frames classify in ONE jitted call
+over a padded (N, 224, 224, 3) tensor, replacing the reference's per-crop
+loop (classifier.py:66-85, whose own docstring lists batching as the needed
+improvement). The homography rectification feeding it is the vmapped warp
+in ops/image.py instead of per-box cv2 calls + temp PNG files
+(detector.py:197-231).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.data.scan import Detections, Scan
+from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
+from tpu3dlm.ops.image import rectify_crops
+
+
+class DamageDetector:
+    """Batched BEiT damage classifier over detection crops."""
+
+    def __init__(
+        self,
+        model_type: str = "simple",
+        num_labels: int = 2,
+        id2label: dict[int, str] | None = None,
+        config: BeitConfig | None = None,
+        variables=None,
+        batch_size: int = 64,
+        rng_seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        if model_type not in ("simple", "detailed"):
+            raise ValueError("Invalid model type. Choose either 'detailed' or 'simple'.")
+        self.model_type = model_type
+        self.config = config or BeitConfig(num_labels=num_labels)
+        self.id2label = id2label or {i: f"class_{i}" for i in range(self.config.num_labels)}
+        self.batch_size = batch_size
+        self.model = BeitClassifier(self.config, dtype=dtype)
+        self.logger = logging.getLogger(__name__)
+        if variables is None:
+            self.logger.warning(
+                "DamageDetector initialised with random weights — convert a "
+                "finetuned BEiT checkpoint via models/weights.py for real use."
+            )
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros(
+                    (1, self.config.image_size, self.config.image_size, 3), jnp.float32
+                ),
+            )
+        self.variables = variables
+
+        @jax.jit
+        def _classify_batch(variables, crops_u8):
+            logits = self.model.apply(variables, preprocess_crops(crops_u8))
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._classify_batch = _classify_batch
+
+    def classify_crops(self, crops: np.ndarray) -> np.ndarray:
+        """(N, S, S, 3) uint8 crops → (N,) int32 class ids, chunked on device."""
+        N = crops.shape[0]
+        bs = self.batch_size
+        out = np.zeros(N, np.int32)
+        for start in range(0, N, bs):
+            chunk = crops[start : start + bs]
+            n_valid = chunk.shape[0]
+            if n_valid < bs:  # pad to keep one compile shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros_like(chunk[:1]).repeat(bs - n_valid, 0)]
+                )
+            ids = np.asarray(self._classify_batch(self.variables, jnp.asarray(chunk)))
+            out[start : start + n_valid] = ids[:n_valid]
+        return out
+
+    def classify_detections(self, scan: Scan, det: Detections) -> Detections:
+        """Rectify every detection crop and classify; fills `det.damage`.
+
+        Boxes are in original-image pixels; scan.rgb is stored at detector
+        resolution, so boxes are rescaled before cropping.
+        """
+        rgb = jnp.asarray(scan.rgb)
+        F, S = rgb.shape[0], rgb.shape[1]
+        wh = np.asarray(scan.rgb_size)
+        boxes = np.asarray(det.boxes).copy()
+        boxes[..., 0] *= (S / wh[:, 0])[:, None]
+        boxes[..., 2] *= (S / wh[:, 0])[:, None]
+        boxes[..., 1] *= (S / wh[:, 1])[:, None]
+        boxes[..., 3] *= (S / wh[:, 1])[:, None]
+
+        size = self.config.image_size
+        crops = rectify_crops(rgb, jnp.asarray(boxes), out_hw=(size, size))
+        crops = np.asarray(crops).reshape(-1, size, size, 3).astype(np.uint8)
+        ids = self.classify_crops(crops).reshape(F, -1)
+        damage = np.where(np.asarray(det.mask), ids, -1).astype(np.int32)
+        import dataclasses
+
+        return dataclasses.replace(det, damage=damage)
+
+    def get_class_label(self, class_idx):
+        """id → lowercase label (reference classifier.py:92-99)."""
+        if isinstance(class_idx, list):
+            return [self._id2label(i) for i in class_idx]
+        return self._id2label(class_idx)
+
+    def _id2label(self, idx):
+        return self.id2label[int(idx)].lower()

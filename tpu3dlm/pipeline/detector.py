@@ -1,0 +1,108 @@
+"""Detection stage: batched YOLOv10 over a Scan → padded Detections.
+
+API parity target: ``ObjectDetector`` (reference src/detector/detector.py)
+— same constructor knobs (conf_thresh, iou_thresh, img_size, batch_size) and
+the same output record semantics ([x1, y1, x2, y2, conf, label] in original
+image pixels, detector.py:136-157) — but the implementation is one jitted
+device program per frame-batch instead of ultralytics' file-based predict
+(save_txt → parse txt → per-frame host loop, detector.py:82-134).
+
+NMS-free: the YOLOv10 one-to-one head needs no IoU suppression at inference
+(max_det top-k + confidence threshold), so the whole stage is static-shape.
+The iou_thresh knob is accepted for config parity and ignored (documented).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.data.scan import Detections, Scan
+from tpu3dlm.models.yolov10 import YOLOv10, postprocess
+
+
+class ObjectDetector:
+    """Runs YOLOv10 detection over a Scan's RGB frames on device."""
+
+    def __init__(
+        self,
+        conf_thresh: float = 0.25,
+        iou_thresh: float = 0.7,  # parity only; one-to-one head needs no NMS
+        img_size: int = 640,
+        batch_size: int = 16,
+        max_det: int = 64,
+        nc: int = 80,
+        variant: str = "n",
+        variables=None,
+        rng_seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.conf_thresh = conf_thresh
+        self.iou_thresh = iou_thresh
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.max_det = max_det
+        self.model = YOLOv10(nc=nc, variant=variant, dtype=dtype)
+        self.logger = logging.getLogger(__name__)
+        if variables is None:
+            self.logger.warning(
+                "ObjectDetector initialised with random weights — convert a "
+                "finetuned checkpoint via models/weights.py for real use."
+            )
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+            )
+        self.variables = variables
+
+        @partial(jax.jit, static_argnames=())
+        def _detect_batch(variables, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            raw = self.model.apply(variables, x)["one2one"]
+            return postprocess(raw, img_size=self.img_size, max_det=self.max_det)
+
+        self._detect_batch = _detect_batch
+
+    def __call__(self, scan: Scan) -> Detections:
+        return self.detect(scan)
+
+    def detect(self, scan: Scan) -> Detections:
+        """Scan → Detections with boxes in ORIGINAL image pixels."""
+        rgb = np.asarray(scan.rgb)
+        F = rgb.shape[0]
+        bs = self.batch_size
+        outs = []
+        for start in range(0, F, bs):
+            chunk = rgb[start : start + bs]
+            n_valid = chunk.shape[0]
+            if n_valid < bs:  # pad to keep one compile shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros_like(chunk[:1]).repeat(bs - n_valid, 0)]
+                )
+            res = self._detect_batch(self.variables, jnp.asarray(chunk))
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], res))
+        boxes = np.concatenate([o["boxes"] for o in outs])[:F]
+        conf = np.concatenate([o["conf"] for o in outs])[:F]
+        label = np.concatenate([o["label"] for o in outs])[:F]
+
+        # detector space (img_size × img_size) → original pixels
+        wh = np.asarray(scan.rgb_size)  # (F, 2)
+        sx = (wh[:, 0] / self.img_size)[:, None]
+        sy = (wh[:, 1] / self.img_size)[:, None]
+        boxes = np.stack(
+            [boxes[..., 0] * sx, boxes[..., 1] * sy, boxes[..., 2] * sx, boxes[..., 3] * sy],
+            axis=-1,
+        ).astype(np.float32)
+
+        mask = conf >= self.conf_thresh
+        return Detections(
+            boxes=boxes,
+            conf=conf.astype(np.float32),
+            label=label.astype(np.int32),
+            damage=np.full(conf.shape, -1, np.int32),
+            mask=mask,
+        )
