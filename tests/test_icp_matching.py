@@ -1,0 +1,141 @@
+"""L4 tests: nearest-neighbour kernel, ICP registration, auction matching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from tpu3dlm.ops.icp import centroid_align, icp, kabsch
+from tpu3dlm.ops.matching import auction_assign, match_report
+from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
+
+
+def _brute_nn(a, b):
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1), d2.min(1)
+
+
+class TestNearestNeighbors:
+    def test_xla_matches_bruteforce(self, rng):
+        a = rng.normal(size=(300, 3)).astype(np.float32)
+        b = rng.normal(size=(257, 3)).astype(np.float32)
+        idx, d2 = nearest_neighbors_xla(jnp.array(a), jnp.array(b))
+        widx, wd2 = _brute_nn(a, b)
+        np.testing.assert_array_equal(np.asarray(idx), widx)
+        np.testing.assert_allclose(np.asarray(d2), wd2, rtol=1e-4, atol=1e-5)
+
+    def test_pallas_interpret_matches_bruteforce(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_pallas
+
+        a = rng.normal(size=(100, 3)).astype(np.float32)
+        b = rng.normal(size=(600, 3)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            idx, d2 = nearest_neighbors_pallas(
+                jnp.array(a), jnp.array(b), tile_n=64, tile_m=128
+            )
+        widx, wd2 = _brute_nn(a, b)
+        np.testing.assert_array_equal(np.asarray(idx), widx)
+        np.testing.assert_allclose(np.asarray(d2), wd2, rtol=1e-4, atol=1e-5)
+
+
+class TestKabsch:
+    def test_recovers_known_transform(self, rng):
+        from tpu3dlm.ops import geometry as G
+
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        T = np.asarray(G.pose_to_matrix(jnp.array([0.3, -0.2, 0.5, *q], jnp.float32)))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        T_est = np.asarray(kabsch(jnp.array(src), jnp.array(dst), jnp.ones(50)))
+        np.testing.assert_allclose(T_est, T, atol=1e-4)
+
+    def test_weights_ignore_outliers(self, rng):
+        src = rng.normal(size=(40, 3)).astype(np.float32)
+        dst = src + np.array([1.0, 0.0, 0.0], np.float32)
+        dst[:5] += 100.0  # gross outliers
+        w = np.ones(40, np.float32)
+        w[:5] = 0.0
+        T = np.asarray(kabsch(jnp.array(src), jnp.array(dst), jnp.array(w)))
+        np.testing.assert_allclose(T[:3, 3], [1, 0, 0], atol=1e-4)
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-4)
+
+
+class TestICP:
+    def test_recovers_rigid_transform(self, rng):
+        from tpu3dlm.ops import geometry as G
+
+        target = rng.uniform(-1, 1, size=(800, 3)).astype(np.float32)
+        angle = 0.15
+        q = np.array([0, 0, np.sin(angle / 2), np.cos(angle / 2)], np.float32)
+        T_true = np.asarray(
+            G.pose_to_matrix(jnp.array([0.1, -0.05, 0.08, *q], jnp.float32))
+        )
+        # source = target moved by inverse → ICP must find T_true
+        Ti = np.linalg.inv(T_true)
+        source = target @ Ti[:3, :3].T + Ti[:3, 3]
+        res = icp(jnp.array(source), jnp.array(target), iterations=30,
+                  max_correspondence_dist=1.0)
+        np.testing.assert_allclose(np.asarray(res.transform), T_true, atol=5e-3)
+        assert float(res.rmse) < 1e-2
+        assert float(res.inlier_frac) > 0.99
+
+    def test_step_transforms_compose_to_final(self, rng):
+        target = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        source = target + np.array([0.3, 0.1, -0.2], np.float32)
+        res = icp(jnp.array(source), jnp.array(target), iterations=10)
+        T = np.eye(4)
+        for i in range(10):
+            T = np.asarray(res.step_transforms)[i] @ T
+        np.testing.assert_allclose(T, np.asarray(res.transform), atol=1e-5)
+
+    def test_centroid_align(self, rng):
+        a = rng.normal(size=(100, 3)).astype(np.float32)
+        b = a + np.array([5.0, -3.0, 2.0], np.float32)
+        T = np.asarray(centroid_align(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(T[:3, 3], [5, -3, 2], atol=1e-5)
+        np.testing.assert_allclose(T[:3, :3], np.eye(3))
+
+
+class TestAuction:
+    def test_matches_scipy_square(self, rng):
+        for trial in range(5):
+            cost = rng.uniform(0, 10, size=(8, 8)).astype(np.float32)
+            assign, matched = auction_assign(jnp.array(cost), unmatch_cost=1e6)
+            ri, ci = linear_sum_assignment(cost)
+            got = float(cost[np.arange(8), np.asarray(assign)].sum())
+            want = float(cost[ri, ci].sum())
+            assert matched.all()
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_rectangular_more_cols(self, rng):
+        cost = rng.uniform(0, 10, size=(4, 9)).astype(np.float32)
+        assign, matched = auction_assign(jnp.array(cost), unmatch_cost=1e6)
+        ri, ci = linear_sum_assignment(cost)
+        got = float(cost[np.arange(4), np.asarray(assign)].sum())
+        want = float(cost[ri, ci].sum())
+        assert matched.all()
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_unmatch_threshold(self):
+        # two golds, one close candidate: second gold must go unmatched
+        cost = np.array([[0.1, 5.0], [4.0, 5.0]], np.float32)
+        assign, matched = auction_assign(jnp.array(cost), unmatch_cost=1.0)
+        assert bool(matched[0]) and int(assign[0]) == 0
+        assert not bool(matched[1])
+
+    def test_forbidden_pairs(self):
+        cost = np.array([[np.inf, 2.0], [1.0, np.inf]], np.float32)
+        assign, matched = auction_assign(jnp.array(cost), unmatch_cost=100.0)
+        assert int(assign[0]) == 1 and int(assign[1]) == 0
+
+    def test_match_report_sets(self):
+        cost = np.array(
+            [[0.1, 9.0, 9.0], [9.0, 0.2, 9.0]], np.float32
+        )
+        rep = match_report(jnp.array(cost), unmatch_cost=1.0)
+        assert np.asarray(rep["matched_rows"]).tolist() == [True, True]
+        assert np.asarray(rep["unmatched_cols"]).tolist() == [False, False, True]
