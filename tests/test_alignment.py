@@ -1,0 +1,149 @@
+"""L4 alignment + comparison tests against the synthetic scene's closed-form
+ground truth: a maintenance scan generated in a rigidly shifted world frame
+with one sign removed must align back onto the gold standard and report the
+removed sign as missing (reference behavior, README.md:59-73)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3dlm.alignment import Alignment, BBoxComparison
+from tpu3dlm.alignment.visualise import VisualiseAlignment
+from tpu3dlm.data import synthetic
+from tpu3dlm.data.ply import load_ply
+
+
+def _world_T(angle=0.12, t=(0.8, -0.5, 0.3)):
+    c, s = np.cos(angle), np.sin(angle)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    T[:3, 3] = t
+    return T
+
+
+def _boxes_from_signs(signs, T=None, damage_override=None):
+    out = {0: []}
+    for k, s in enumerate(signs):
+        corners = s.corners_world
+        if T is not None:
+            corners = corners @ T[:3, :3].T + T[:3, 3]
+        dmg = s.damage if damage_override is None else damage_override.get(k, s.damage)
+        out[0].append([corners[i] for i in range(4)] + [dmg, 0.9, s.label])
+    return out
+
+
+@pytest.fixture(scope="module")
+def scans(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scans"))
+    Tw = _world_T()
+    gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+    maint = synthetic.generate_scan(
+        root, "maintenance", num_frames=4, seed=1,
+        world_transform=Tw, drop_sign_indices=(1,),
+    )
+    gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
+    maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))
+    return root, Tw, gold, maint, gold_cloud, maint_cloud
+
+
+class TestAlignment:
+    def test_recovers_world_transform(self, scans):
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        base_boxes = _boxes_from_signs(gold.signs)
+        comp_boxes = _boxes_from_signs(maint.signs, T=Tw)
+
+        align = Alignment(
+            base_pose_df=gold.poses,
+            comparison_pose_df=maint.poses,
+            base_bboxes=base_boxes,
+            comparison_bboxes=comp_boxes,
+            base_cloud=gold_cloud,
+            comparison_cloud=maint_cloud,
+            max_points=4096,
+            icp_iterations=40,
+        )
+        aligned, transforms, base_map, comp_map = align.compare("maintenance")
+
+        # final transform ≈ Tw⁻¹
+        want = np.linalg.inv(Tw)
+        np.testing.assert_allclose(align.final_transform, want, atol=0.05)
+
+        # aligned maintenance boxes land on the gold-world sign corners
+        for row, sign in zip(aligned[0], maint.signs):
+            got = np.stack(row[:4])
+            np.testing.assert_allclose(got, sign.corners_world, atol=0.08)
+
+    def test_transform_record_contract(self, scans):
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        align = Alignment(
+            gold.poses, maint.poses,
+            _boxes_from_signs(gold.signs), _boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud, comparison_cloud=maint_cloud,
+            max_points=2048, icp_iterations=10, max_correspondence_dist=1.0,
+        )
+        _, transforms, _, _ = align.compare()
+        assert len(transforms) == 1 + 10  # centroid + per-iteration increments
+        first = transforms[0]
+        assert first.shape == (4, 4)
+        np.testing.assert_allclose(first[:3, :3], np.eye(3), atol=1e-6)  # pure translation
+        # centroid init followed by the increments composes to the final T
+        comp = np.eye(4)
+        for t in transforms:
+            comp = t @ comp
+        np.testing.assert_allclose(comp, align.final_transform, atol=1e-4)
+
+
+class TestBBoxComparison:
+    def test_missing_and_damaged_flagged(self, scans, tmp_path):
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        base_boxes = _boxes_from_signs(gold.signs)
+        # perfectly aligned maintenance boxes (drop sign index 1 of gold,
+        # change damage of the first remaining sign)
+        aligned = _boxes_from_signs(maint.signs, damage_override={0: 1})
+        csv_path = str(tmp_path / "report.csv")
+        cmp = BBoxComparison(
+            base_boxes, aligned, None, csv_output_file=csv_path, dist_threshold=0.4,
+            id2damage={0: "undamaged", 1: "damaged"},
+        )
+        rows = cmp.match_bboxes()
+        status = {r["base_id"]: r["status"] for r in rows if r["base_id"] >= 0}
+        # gold sign 1 (dropped in maintenance) is missing
+        assert status[1] == "missing"
+        # gold sign 0: damage flipped 0 → 1
+        assert status[0] == "damaged"
+        # gold sign 2 matched clean
+        assert status[2] == "matched"
+        assert os.path.exists(csv_path)
+        with open(csv_path) as f:
+            header = f.readline().strip().split(",")
+        assert "status" in header
+
+    def test_new_object_flagged(self):
+        base = {0: []}
+        quad = [np.array([i * 0.1, 0, 3], np.float32) for i in range(4)]
+        comp = {0: [quad + [0, 0.9, 2]]}
+        rows = BBoxComparison(
+            base, comp, None, csv_output_file="/tmp/_cmp_new.csv"
+        ).match_bboxes()
+        assert any(r["status"] == "new" for r in rows)
+
+    def test_empty_both(self, tmp_path):
+        rows = BBoxComparison(
+            {0: []}, {0: []}, None, csv_output_file=str(tmp_path / "e.csv")
+        ).match_bboxes()
+        assert rows == []
+
+
+class TestVisualiseAlignment:
+    def test_frames_rendered(self, scans, tmp_path):
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        vis = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96), max_points=2000)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5, 0, 0]
+        n = vis.create_video([T, (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))],
+                             output_video=str(tmp_path / "a.mp4"), steps=5)
+        assert n == 10
+        assert vis.frames[0].shape == (64, 96, 3)
+        # something was drawn
+        assert (vis.frames[0] < 255).any()

@@ -1,0 +1,181 @@
+"""Map alignment: register a maintenance scan onto the gold standard.
+
+Rebuild of the reference's missing ``src/map_alignment/align.py::Alignment``
+to its call-site contract (task_def.py:175-187; SURVEY.md §2b):
+
+    Alignment(base_pose_df, comparison_pose_df, base_bboxes,
+              comparison_bboxes, visualise).compare(data_folder)
+      → (aligned_comparison_bboxes, transformations, base_map, comparison_map)
+
+and the animation contract: ``transformations`` is the recorded list of
+stepwise rigid transforms — a pure-translation 4×4 (coarse centroid
+alignment) followed by per-iteration ICP increments — which
+alignment/visualise.py (and the reference's visualise.py:82-130) replays
+with log/exp interpolation.
+
+TPU path: clouds are subsampled to a static size and registered by the
+`lax.scan` ICP in ops/icp.py with the Pallas nearest-neighbour kernel.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.mapper.projection import GlobalBoxes
+from tpu3dlm.ops.icp import centroid_align, icp
+
+
+def _poses_to_array(pose_df) -> np.ndarray:
+    """Accept a pandas DataFrame (reference shape) or an (F, 7) array."""
+    if hasattr(pose_df, "columns"):
+        cols = ["tx", "ty", "tz", "qx", "qy", "qz", "qw"]
+        return pose_df[cols].to_numpy(dtype=np.float32)
+    return np.asarray(pose_df, np.float32)
+
+
+def _boxes_to_records(bboxes) -> list[dict]:
+    """Flatten GlobalBoxes or the reference dict-of-frames record shape into
+    [{frame, corners (4,3), damage, conf, label}]."""
+    records = []
+    if isinstance(bboxes, GlobalBoxes):
+        bboxes = bboxes.to_frame_dict()
+    for frame, rows in sorted(bboxes.items()):
+        for row in rows:
+            corners = np.stack([np.asarray(c, np.float32) for c in row[:4]])
+            records.append(
+                {
+                    "frame": int(frame),
+                    "corners": corners,
+                    "damage": int(row[4]),
+                    "conf": float(row[5]),
+                    "label": int(row[6]),
+                }
+            )
+    return records
+
+
+def _records_to_frame_dict(records: list[dict]) -> dict[int, list[list]]:
+    out: dict[int, list[list]] = {}
+    for r in records:
+        out.setdefault(r["frame"], []).append(
+            [r["corners"][i] for i in range(4)] + [r["damage"], r["conf"], r["label"]]
+        )
+    return out
+
+
+def _subsample(points: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    if points.shape[0] <= n:
+        reps = -(-n // points.shape[0])
+        return np.tile(points, (reps, 1))[:n]
+    idx = np.random.default_rng(seed).choice(points.shape[0], n, replace=False)
+    return points[idx]
+
+
+class Alignment:
+    """Aligns the comparison (maintenance) map onto the base (gold-std) map."""
+
+    def __init__(
+        self,
+        base_pose_df,
+        comparison_pose_df,
+        base_bboxes,
+        comparison_bboxes,
+        visualise: bool = False,
+        base_cloud: np.ndarray | None = None,
+        comparison_cloud: np.ndarray | None = None,
+        max_points: int = 16384,
+        icp_iterations: int = 30,
+        max_correspondence_dist: float | tuple[float, ...] = (1.0, 0.25, 0.1),
+        use_pallas: bool | None = None,
+    ):
+        self.base_poses = _poses_to_array(base_pose_df)
+        self.comparison_poses = _poses_to_array(comparison_pose_df)
+        self.base_records = _boxes_to_records(base_bboxes)
+        self.comparison_records = _boxes_to_records(comparison_bboxes)
+        self.visualise = visualise
+        self.max_points = max_points
+        self.icp_iterations = icp_iterations
+        self.max_correspondence_dist = max_correspondence_dist
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.logger = logging.getLogger(__name__)
+
+        # registration point sets: full clouds when available, else the
+        # trajectory + box-corner geometry (always present in the pickle
+        # contract, task_def.py:60-67)
+        self.base_cloud = base_cloud
+        self.comparison_cloud = comparison_cloud
+        self.transformations: list = []
+        self.final_transform = np.eye(4, dtype=np.float32)
+
+    def _registration_sets(self) -> tuple[np.ndarray, np.ndarray]:
+        def build(poses, records, cloud):
+            if cloud is not None and len(cloud):
+                return np.asarray(cloud, np.float32)
+            pts = [poses[:, :3]]
+            for r in records:
+                pts.append(r["corners"])
+            return np.concatenate(pts).astype(np.float32)
+
+        base = build(self.base_poses, self.base_records, self.base_cloud)
+        comp = build(self.comparison_poses, self.comparison_records, self.comparison_cloud)
+        return base, comp
+
+    def compare(self, data_folder: str = ""):
+        """Run registration; returns
+        (aligned_comparison_bboxes, transformations, base_map, aligned_comparison_map)."""
+        base, comp = self._registration_sets()
+        base_s = _subsample(base, self.max_points)
+        comp_s = _subsample(comp, self.max_points)
+
+        self.logger.info(
+            "Aligning %s: %d → %d pts (subsampled to %d)",
+            data_folder, comp.shape[0], base.shape[0], self.max_points,
+        )
+
+        # coarse: centroid translation (recorded as pure-translation 4×4)
+        T0 = np.asarray(centroid_align(jnp.asarray(comp_s), jnp.asarray(base_s)))
+        # fine: coarse-to-fine ICP stages — shrinking the correspondence
+        # radius escapes the planar-scene local minima a single loose radius
+        # settles into; every iteration's increment is recorded
+        dists = self.max_correspondence_dist
+        if isinstance(dists, (int, float)):
+            dists = (float(dists),)
+        self.transformations = [T0]
+        T = jnp.asarray(T0)
+        res = None
+        for d in dists:
+            res = icp(
+                jnp.asarray(comp_s),
+                jnp.asarray(base_s),
+                init_transform=T,
+                max_correspondence_dist=float(d),
+                iterations=self.icp_iterations,
+                use_pallas=self.use_pallas,
+            )
+            steps = np.asarray(res.step_transforms)
+            self.transformations += [steps[i] for i in range(steps.shape[0])]
+            T = res.transform
+        self.final_transform = np.asarray(T)
+        self.logger.info(
+            "ICP done: rmse=%.4f inliers=%.1f%%",
+            float(res.rmse), 100 * float(res.inlier_frac),
+        )
+
+        # apply the final transform to every comparison box corner
+        T = self.final_transform
+        aligned_records = []
+        for r in self.comparison_records:
+            aligned_records.append(
+                {**r, "corners": (r["corners"] @ T[:3, :3].T + T[:3, 3]).astype(np.float32)}
+            )
+        aligned_bboxes = _records_to_frame_dict(aligned_records)
+
+        comp_aligned = comp @ T[:3, :3].T + T[:3, 3]
+        return aligned_bboxes, self.transformations, base, comp_aligned

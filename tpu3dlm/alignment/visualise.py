@@ -1,0 +1,120 @@
+"""Alignment animation: replay recorded transforms as an mp4.
+
+Functional parity with the reference's ``src/map_alignment/visualise.py``
+(VisualiseAlignment.create_video, :182-212): each recorded transformation is
+interpolated in 20 log/exp steps (:82-130 — here the closed-form
+`ops.geometry.se3_interpolate` replaces scipy logm/expm) and a frame is
+rendered per step. Rendering is a dependency-free orthographic point splat
+(the reference's offscreen Open3D + Poisson mesh is presentation-layer; this
+keeps the animation contract without the Open3D stack, which is unavailable
+in the TPU image — SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dlm.ops.geometry import se3_interpolate
+
+
+def _splat(
+    points: np.ndarray,
+    colors: np.ndarray,
+    canvas: np.ndarray,
+    bounds: tuple[np.ndarray, np.ndarray],
+):
+    """Orthographic xz→image point splat onto an existing canvas (in place)."""
+    lo, hi = bounds
+    h, w = canvas.shape[:2]
+    span = np.maximum(hi - lo, 1e-6)
+    u = ((points[:, 0] - lo[0]) / span[0] * (w - 1)).astype(np.int32)
+    v = ((points[:, 1] - lo[1]) / span[1] * (h - 1)).astype(np.int32)
+    ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    canvas[v[ok], u[ok]] = colors if colors.ndim == 1 else colors[ok]
+
+
+class VisualiseAlignment:
+    """Renders the stepwise alignment of the comparison map onto the base map."""
+
+    def __init__(
+        self,
+        base_points: np.ndarray,
+        comparison_points: np.ndarray,
+        image_hw: tuple[int, int] = (480, 640),
+        max_points: int = 50_000,
+    ):
+        rng = np.random.default_rng(0)
+
+        def sub(p):
+            p = np.asarray(p, np.float32)
+            if p.shape[0] > max_points:
+                p = p[rng.choice(p.shape[0], max_points, replace=False)]
+            return p
+
+        self.base = sub(base_points)
+        self.comparison = sub(comparison_points)
+        self.image_hw = image_hw
+        self.frames: list[np.ndarray] = []
+        self.logger = logging.getLogger(__name__)
+
+        allpts = np.concatenate([self.base, self.comparison])
+        margin = 0.1 * (allpts.max(0) - allpts.min(0) + 1e-6)
+        self.bounds = (allpts.min(0) - margin, allpts.max(0) + margin)
+
+    def _render(self, comparison_now: np.ndarray) -> np.ndarray:
+        h, w = self.image_hw
+        canvas = np.full((h, w, 3), 255, np.uint8)
+        _splat(self.base, np.array([90, 90, 90], np.uint8), canvas, self.bounds)
+        _splat(comparison_now, np.array([220, 60, 60], np.uint8), canvas, self.bounds)
+        # mp4 encoders want dims divisible by 16 (reference visualise.py:174-178)
+        return canvas
+
+    def _apply_incremental_transformation(self, transformation, comparison, steps=20):
+        """One recorded transform → `steps` interpolated frames.
+
+        Accepts a 4×4 rigid transform or the reference's (R, center) rotation
+        tuple (visualise.py:89-96)."""
+        if isinstance(transformation, tuple):
+            R, center = transformation
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = np.asarray(R, np.float32)
+            c = np.asarray(center, np.float32)
+            T[:3, 3] = c - T[:3, :3] @ c
+        else:
+            T = np.asarray(transformation, np.float32)
+
+        T_inc = np.asarray(se3_interpolate(jnp.asarray(T), jnp.float32(1.0 / steps)))
+        for _ in range(steps):
+            comparison = comparison @ T_inc[:3, :3].T + T_inc[:3, 3]
+            self.frames.append(self._render(comparison))
+        return comparison
+
+    def create_video(
+        self,
+        transformations: list,
+        output_video: str = "alignment_animation.mp4",
+        fps: int = 30,
+        steps: int = 20,
+    ) -> int:
+        """Replay all transforms; write mp4 (falls back to .npz of frames when
+        no ffmpeg encoder is available). Returns the frame count."""
+        comparison = self.comparison
+        for i, t in enumerate(transformations):
+            self.logger.info("transform %d/%d", i + 1, len(transformations))
+            comparison = self._apply_incremental_transformation(t, comparison, steps)
+
+        try:
+            import imageio
+
+            with imageio.get_writer(output_video, fps=fps, format="mp4") as w:
+                for frame in self.frames:
+                    w.append_data(frame)
+            self.logger.info("Video written to %s", output_video)
+        except Exception as e:  # encoder missing → still persist the frames
+            fallback = output_video + ".npz"
+            np.savez_compressed(fallback, frames=np.stack(self.frames))
+            self.logger.warning("mp4 encode failed (%s); frames saved to %s", e, fallback)
+        return len(self.frames)
