@@ -1,0 +1,151 @@
+"""3D map assembly: cloud preprocessing + (optional) rendering.
+
+Parity target: ``Mapping`` (reference src/mapper/mapping.py) —
+``make_point_cloud`` / ``make_mesh`` with DBSCAN preprocessing keeping the
+largest cluster, box overlays (red = raw, green = optimised ×1.5 buffer) and
+optional pose overlay. Analysis stays dependency-free (our grid DBSCAN, PLY
+I/O); interactive rendering and Poisson meshing are presentation-layer and
+gated on Open3D's availability (absent in the TPU image — SURVEY.md §2c
+keeps them host-side extras, not framework requirements).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from tpu3dlm.data.ply import load_ply, save_ply
+from tpu3dlm.mapper.clustering import largest_cluster
+from tpu3dlm.mapper.projection import GlobalBoxes
+from tpu3dlm.ops import geometry as G
+
+try:  # optional presentation dependency
+    import open3d as _o3d  # noqa: N811
+except Exception:  # pragma: no cover - absent in the TPU image
+    _o3d = None
+
+
+def _boxes_iter(bboxes):
+    """Yield (4,3) corner quads from GlobalBoxes or frame-dict records."""
+    if isinstance(bboxes, GlobalBoxes):
+        bboxes = bboxes.to_frame_dict()
+    for _, rows in sorted(bboxes.items()):
+        for row in rows:
+            yield np.stack([np.asarray(c, np.float32) for c in row[:4]])
+
+
+class Mapping:
+    def __init__(
+        self,
+        global_bboxes_data,
+        optimised_bboxes,
+        pose,
+        eps: float = 0.04,
+        min_points: int = 1000,
+        ply_filepath: str = "cloud.ply",
+        preprocess_point_cloud: bool = True,
+        overlay_pose: bool = False,
+        bbox_depth_buffer: float = 0.02,
+        view_unprocessed_bboxes: bool = False,
+    ):
+        self.global_bboxes_data = global_bboxes_data
+        self.optimised_bboxes = optimised_bboxes
+        self.pose = pose
+        self.eps = eps
+        self.min_points = min_points
+        self.ply_filepath = ply_filepath
+        self.preprocess_point_cloud = preprocess_point_cloud
+        self.overlay_pose = overlay_pose
+        self.bbox_depth_buffer = bbox_depth_buffer
+        self.view_unprocessed_bboxes = view_unprocessed_bboxes
+        self.logger = logging.getLogger(__name__)
+
+        self.points, self.colors = load_ply(ply_filepath)
+
+    # -- analysis ---------------------------------------------------------
+
+    def preprocess(self) -> np.ndarray:
+        """DBSCAN → keep the largest cluster (reference mapping.py:99-119)."""
+        idx = largest_cluster(self.points, self.eps, self.min_points)
+        self.logger.info(
+            "DBSCAN kept %d/%d points (largest cluster)", len(idx), len(self.points)
+        )
+        self.points = self.points[idx]
+        if self.colors is not None:
+            self.colors = self.colors[idx]
+        return idx
+
+    def make_point_cloud(self, output_path: str | None = None):
+        if self.preprocess_point_cloud:
+            self.preprocess()
+        if output_path:
+            save_ply(output_path, self.points, self.colors)
+        if _o3d is not None:
+            self._visualiser(self._to_o3d())
+        return self.points
+
+    def make_mesh(self, output_path: str | None = None):
+        if self.preprocess_point_cloud:
+            self.preprocess()
+        if _o3d is None:
+            self.logger.warning(
+                "Open3D unavailable — Poisson meshing skipped; returning the "
+                "preprocessed point cloud (analysis output is unaffected)."
+            )
+            if output_path:
+                save_ply(output_path, self.points, self.colors)
+            return self.points
+        mesh = self._poisson_mesh()
+        self._visualiser(mesh)
+        return mesh
+
+    def box_line_sets(self) -> list[np.ndarray]:
+        """All overlay boxes as (8, 3) corner arrays (green optimised set)."""
+        out = []
+        for quad in _boxes_iter(self.optimised_bboxes):
+            import jax.numpy as jnp
+
+            out.append(
+                np.asarray(
+                    G.create_3d_bounding_box(
+                        jnp.asarray(quad), self.bbox_depth_buffer * 1.5
+                    )
+                )
+            )
+        return out
+
+    # -- presentation (Open3D-gated) --------------------------------------
+
+    def _to_o3d(self):
+        pc = _o3d.geometry.PointCloud()
+        pc.points = _o3d.utility.Vector3dVector(self.points.astype(np.float64))
+        if self.colors is not None:
+            pc.colors = _o3d.utility.Vector3dVector(self.colors.astype(np.float64))
+        return pc
+
+    def _poisson_mesh(self, radius: float = 0.1, max_nn: int = 30, depth: int = 11):
+        pc = self._to_o3d()
+        pc.estimate_normals(
+            search_param=_o3d.geometry.KDTreeSearchParamHybrid(radius=radius, max_nn=max_nn)
+        )
+        mesh, _ = _o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
+            pc, depth=depth, scale=1.0
+        )
+        return mesh
+
+    def _visualiser(self, geometry):  # pragma: no cover - interactive
+        vis = _o3d.visualization.Visualizer()
+        vis.create_window()
+        vis.add_geometry(geometry)
+        lines = [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
+                 [0, 4], [1, 5], [2, 6], [3, 7]]
+        for corners8 in self.box_line_sets():
+            ls = _o3d.geometry.LineSet(
+                points=_o3d.utility.Vector3dVector(corners8.astype(np.float64)),
+                lines=_o3d.utility.Vector2iVector(lines),
+            )
+            ls.paint_uniform_color([0, 1, 0])
+            vis.add_geometry(ls)
+        vis.run()
+        vis.destroy_window()
