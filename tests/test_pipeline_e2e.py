@@ -1,0 +1,122 @@
+"""End-to-end pipeline tests: gold-std run then maintenance run with
+alignment + comparison, through the CLI mode logic (reference
+task_def.py:218-249), on synthetic scans with a small test config."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tpu3dlm.data import synthetic
+from tpu3dlm.utils.config import ConfigLoader, write_default_config
+
+TEST_OVERRIDES = """
+[default]
+img_size = 128
+batch_size = 2
+conf_thresh = 0.45
+max_det = 8
+num_classes = 3
+min_points = 50
+visualise = false
+preprocess_point_cloud = false
+"""
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proj")
+    cfg_path = str(root / "configs" / "variables.cfg")
+    write_default_config(cfg_path)
+    # append test overrides (later duplicate keys override in configparser? no
+    # — same section twice is an error, so patch values inline instead)
+    text = open(cfg_path).read()
+    for k, v in [
+        ("img_size = 640", "img_size = 128"),
+        ("batch_size = 16", "batch_size = 2"),
+        ("conf_thresh = 0.5", "conf_thresh = 0.45"),
+        ("max_det = 64", "max_det = 8"),
+        ("num_classes = 80", "num_classes = 3"),
+        ("min_points = 1000", "min_points = 50"),
+    ]:
+        assert k in text
+        text = text.replace(k, v)
+    open(cfg_path, "w").write(text)
+
+    data_root = str(root / "configs" / "data")
+    Tw = np.eye(4, dtype=np.float32)
+    Tw[:3, 3] = [0.4, -0.3, 0.1]
+    synthetic.generate_scan(data_root, "gold_std", num_frames=3, seed=0)
+    synthetic.generate_scan(
+        data_root, "maintenance", num_frames=3, seed=1,
+        world_transform=Tw, drop_sign_indices=(2,),
+    )
+    return str(root), cfg_path
+
+
+class TestConfig:
+    def test_loader_types_and_expansion(self, env):
+        root, cfg_path = env
+        cfg = ConfigLoader(cfg_path, "gold_std")
+        assert cfg.img_size == 128
+        assert isinstance(cfg.conf_thresh, float)
+        assert cfg.visualise is False
+        assert cfg.db_path.endswith("data/gold_std/data.db")
+        assert os.path.isabs(cfg.db_path)
+
+    def test_per_folder_expansion(self, env):
+        root, cfg_path = env
+        cfg = ConfigLoader(cfg_path, "maintenance")
+        assert "maintenance" in cfg.pickle_path
+        assert "gold_std" not in cfg.pickle_path
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            ConfigLoader("/nonexistent/x.cfg", "gold_std")
+
+
+class TestEndToEnd:
+    def test_gold_then_maintenance(self, env):
+        root, cfg_path = env
+        from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
+
+        cfg_gold = ConfigLoader(cfg_path, "gold_std")
+        cfg_maint = ConfigLoader(cfg_path, "maintenance")
+
+        # gold-standard run
+        p1 = setup_pipeline("gold_std", cfg_gold, None)
+        assert os.path.exists(cfg_gold.pickle_path)
+        with open(cfg_gold.pickle_path, "rb") as f:
+            saved = pickle.load(f)
+        for key in ("predictions", "global_bboxes_data", "optimised_bboxes", "pose_df"):
+            assert key in saved
+        # record shapes: [x1,y1,x2,y2,dmg,conf,label] 2D, 4 corners + 3 in 3D
+        some_frame = next(iter(saved["predictions"].values()))
+        if some_frame:
+            assert len(some_frame[0]) == 7
+        some3d = next(iter(saved["global_bboxes_data"].values()))
+        if some3d:
+            assert len(some3d[0]) == 7
+            assert np.shape(some3d[0][0]) == (3,)
+
+        # maintenance run with gold-std comparison
+        goldstd_var = load_gold_std(cfg_gold.pickle_path)
+        assert goldstd_var is not None
+        p2 = setup_pipeline("maintenance", cfg_maint, cfg_gold, goldstd_var)
+        assert os.path.exists(cfg_maint.csv_output)
+        rows = p2.data_to_save.get("comparison_rows", [])
+        assert isinstance(rows, list)
+        assert "transformations" in p2.data_to_save
+
+    def test_load_gold_std_missing(self):
+        from tpu3dlm.pipeline.task import load_gold_std
+
+        assert load_gold_std("/nonexistent/file.pkl") is None
+
+    def test_stage_times_recorded(self, env):
+        root, cfg_path = env
+        cfg_gold = ConfigLoader(cfg_path, "gold_std")
+        with open(cfg_gold.pickle_path, "rb") as f:
+            saved = pickle.load(f)
+        assert {"extract", "detect", "map"} <= set(saved["stage_times"])

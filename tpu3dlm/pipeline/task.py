@@ -1,0 +1,259 @@
+"""Pipeline orchestrator: the reference's task_def.py as a TPU-native flow.
+
+Parity targets (reference task_def.py):
+* ``Pipeline(data_folder, cfg, cfg_goldstd, goldstd_var).run()`` (:28-86) —
+  extract → detect (+damage classify) → pose → project → 3D NMS →
+  checkpoint → optional map plot → maintenance comparison;
+* pickle checkpoint of all intermediates keyed by data folder (:60-74) with
+  the same record keys (predictions, global_bboxes_data, optimised_bboxes,
+  pose_df) so every stage can resume standalone (SURVEY.md §5);
+* ``load_gold_std`` / ``setup_pipeline`` (:200-215) and the gold-std vs
+  maintenance mode switch (:234-249).
+
+TPU-native differences: stages operate on the Scan/Detections pytrees and
+run as jitted device programs; per-stage wall-clock is recorded (the
+reference has no profiling — SURVEY.md §5) and reported as frames/sec.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+
+import numpy as np
+
+from tpu3dlm.alignment import Alignment, BBoxComparison
+from tpu3dlm.data.dataset import load_scan
+from tpu3dlm.data.poses import load_poses, poses_to_dataframe
+from tpu3dlm.data.rtabmap_db import ImageExtractor
+from tpu3dlm.data.scan import Detections, Scan
+from tpu3dlm.mapper import project_detections, suppress_bboxes
+from tpu3dlm.pipeline.classifier import DamageDetector
+from tpu3dlm.pipeline.detector import ObjectDetector
+
+
+class Pipeline:
+    def __init__(self, data_folder, cfg, cfg_goldstd=None, goldstd_var=None):
+        self.cfg = cfg
+        self.cfg_goldstd = cfg_goldstd
+        self.data_folder = data_folder
+        self.goldstd_var = goldstd_var
+        self.data_to_save: dict = {}
+        self.stage_times: dict[str, float] = {}
+
+        logging.basicConfig(level=logging.INFO)
+        self.logger = logging.getLogger(__name__)
+
+    # -- stages -----------------------------------------------------------
+
+    def _timed(self, name: str, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        self.stage_times[name] = time.perf_counter() - t0
+        return out
+
+    def run(self) -> dict:
+        scan = self._timed("extract", self._extract_images)
+        detections = self._timed("detect", self._detect_signs, scan)
+        global_bboxes, optimised, pose_df = self._timed(
+            "map", self._map_detected_objects, scan, detections
+        )
+
+        self.data_to_save = {
+            "predictions": detections.to_frame_dict(),
+            "global_bboxes_data": global_bboxes.to_frame_dict(),
+            "optimised_bboxes": optimised.to_frame_dict(),
+            "pose_df": pose_df,
+            "stage_times": dict(self.stage_times),
+        }
+        try:
+            os.makedirs(os.path.dirname(self.cfg.pickle_path) or ".", exist_ok=True)
+            with open(self.cfg.pickle_path, "wb") as f:
+                pickle.dump(self.data_to_save, f)
+            self.logger.info("Variables stored to pickle file.")
+        except Exception as e:
+            self.logger.info(f"Failed to write to file: {e}")
+
+        if self.cfg.visualise:
+            self._timed("plot", self._plot_map, global_bboxes, optimised, pose_df)
+
+        if self.cfg_goldstd and self.goldstd_var:
+            self._timed(
+                "compare", self._goldstd_vs_maintenance, pose_df,
+                self.data_to_save["optimised_bboxes"],
+            )
+
+        frames = scan.num_frames
+        core = self.stage_times.get("detect", 0) + self.stage_times.get("map", 0)
+        if core > 0:
+            self.logger.info(
+                "Throughput: %.2f frames/sec (detect+project, %d frames)",
+                frames / core, frames,
+            )
+        return self.data_to_save
+
+    def _extract_images(self) -> Scan:
+        self.logger.info("Extracting frames...")
+        if os.path.exists(self.cfg.db_path):
+            extractor = ImageExtractor(
+                self.cfg.db_path, self.cfg.depth_image_dir, self.cfg.image_dir
+            )
+            extractor.fetch_data()
+            extractor.close()
+        scan = load_scan(
+            image_dir=self.cfg.image_dir,
+            depth_image_dir=self.cfg.depth_image_dir,
+            calibration_dir=self.cfg.calibration_dir,
+            pose_path=self.cfg.pose_path,
+            img_size=self.cfg.img_size,
+            depth_width=self.cfg.depth_width,
+            depth_height=self.cfg.depth_height,
+        )
+        self.logger.info("Frames extracted.")
+        return scan
+
+    def _detect_signs(self, scan: Scan) -> Detections:
+        self.logger.info("Detecting Signs...")
+        detector = ObjectDetector(
+            conf_thresh=self.cfg.conf_thresh,
+            iou_thresh=self.cfg.iou_thresh,
+            img_size=self.cfg.img_size,
+            batch_size=self.cfg.batch_size,
+            max_det=getattr(self.cfg, "max_det", 64),
+            nc=getattr(self.cfg, "num_classes", 80),
+            variant=getattr(self.cfg, "yolo_variant", "n"),
+            variables=self._load_yolo_weights(),
+        )
+        detections = detector(scan)
+
+        labels = getattr(self.cfg, "damage_labels", "undamaged,damaged").split(",")
+        classifier = DamageDetector(
+            num_labels=len(labels),
+            id2label={i: lab for i, lab in enumerate(labels)},
+            variables=self._load_beit_weights(len(labels)),
+        )
+        detections = classifier.classify_detections(scan, detections)
+        self.logger.info("Inference Complete.")
+        return detections
+
+    def _map_detected_objects(self, scan: Scan, detections: Detections):
+        self.logger.info("Extracting Pose Information...")
+        ts, poses = load_poses(self.cfg.pose_path)
+        pose_df = poses_to_dataframe(ts[: scan.num_frames], poses[: scan.num_frames])
+        self.logger.info("Pose Information Extracted.")
+
+        self.logger.info("Processing Pose...")
+        global_bboxes = project_detections(scan, detections)
+        self.logger.info("Pose Processed.")
+
+        self.logger.info("Executing 3D NMS...")
+        optimised = suppress_bboxes(global_bboxes, np.asarray(scan.poses))
+        self.logger.info("3D NMS Executed.")
+        return global_bboxes, optimised, pose_df
+
+    def _plot_map(self, global_bboxes, optimised, pose_df):
+        from tpu3dlm.mapper.mapping import Mapping
+
+        self.logger.info("Generating 3D Map...")
+        mapper = Mapping(
+            global_bboxes_data=global_bboxes,
+            optimised_bboxes=optimised,
+            pose=pose_df,
+            eps=self.cfg.eps,
+            min_points=self.cfg.min_points,
+            ply_filepath=self.cfg.ply_path,
+            preprocess_point_cloud=self.cfg.preprocess_point_cloud,
+            overlay_pose=self.cfg.overlay_pose,
+        )
+        mapper.make_mesh()
+        self.logger.info("3D Map Generated.")
+
+    def _goldstd_vs_maintenance(self, pose_df, optimised_bboxes):
+        from tpu3dlm.data.ply import load_ply
+
+        base_cloud = comp_cloud = None
+        try:
+            gold_ply = self.cfg_goldstd.ply_path
+            if os.path.exists(gold_ply):
+                base_cloud, _ = load_ply(gold_ply)
+            if os.path.exists(self.cfg.ply_path):
+                comp_cloud, _ = load_ply(self.cfg.ply_path)
+        except Exception as e:
+            self.logger.warning("cloud load failed (%s); aligning on poses+boxes", e)
+
+        align = Alignment(
+            base_pose_df=self.goldstd_var["pose_df"],
+            comparison_pose_df=pose_df,
+            base_bboxes=self.goldstd_var["optimised_bboxes"],
+            comparison_bboxes=optimised_bboxes,
+            visualise=self.cfg.alignment_vis,
+            base_cloud=base_cloud,
+            comparison_cloud=comp_cloud,
+        )
+        aligned_bboxes, transformations, base_map, comp_map = align.compare(
+            self.data_folder
+        )
+        self.data_to_save["transformations"] = transformations
+        self.data_to_save["aligned_bboxes"] = aligned_bboxes
+
+        labels = getattr(self.cfg, "damage_labels", "undamaged,damaged").split(",")
+        compare = BBoxComparison(
+            self.goldstd_var["optimised_bboxes"],
+            aligned_bboxes,
+            base_map,
+            visualise=self.cfg.comparison_vis,
+            csv_output_file=self.cfg.csv_output,
+            id2damage={i: lab for i, lab in enumerate(labels)},
+        )
+        rows = compare.match_bboxes()
+        self.data_to_save["comparison_rows"] = rows
+
+        if self.cfg.alignment_vis:
+            from tpu3dlm.alignment.visualise import VisualiseAlignment
+
+            vis = VisualiseAlignment(base_map, comp_map)
+            out = os.path.join(
+                os.path.dirname(self.cfg.csv_output) or ".", "alignment_animation.mp4"
+            )
+            vis.create_video(transformations, out)
+
+    # -- weights ----------------------------------------------------------
+
+    def _load_yolo_weights(self):
+        path = getattr(self.cfg, "yolo_weights", "") or ""
+        if not path or not os.path.exists(path):
+            return None
+        from tpu3dlm.models.weights import convert_yolov10_state_dict, load_torch_state_dict
+
+        self.logger.info("Converting YOLOv10 checkpoint %s", path)
+        return convert_yolov10_state_dict(load_torch_state_dict(path))
+
+    def _load_beit_weights(self, num_labels: int):
+        path = getattr(self.cfg, "beit_weights", "") or ""
+        if not path or not os.path.exists(path):
+            return None
+        from tpu3dlm.models.weights import convert_beit_state_dict, load_torch_state_dict
+
+        self.logger.info("Converting BEiT checkpoint %s", path)
+        return convert_beit_state_dict(load_torch_state_dict(path))
+
+
+def load_gold_std(pickle_path: str):
+    """Reference task_def.py:200-209 semantics: None on missing/corrupt."""
+    try:
+        with open(pickle_path, "rb") as f:
+            return pickle.load(f)
+    except FileNotFoundError:
+        logging.error(f"The file {pickle_path} was not found.")
+        return None
+    except pickle.UnpicklingError:
+        logging.error(f"Failed to unpickle the file {pickle_path}.")
+        return None
+
+
+def setup_pipeline(data_folder, cfg, cfg_goldstd=None, goldstd_var=None) -> Pipeline:
+    pipeline = Pipeline(data_folder, cfg, cfg_goldstd, goldstd_var)
+    pipeline.run()
+    return pipeline

@@ -1,0 +1,144 @@
+"""Config system: INI file with per-data-folder expansion.
+
+Parity target: ``src/utils/config.py::ConfigLoader`` (missing from the
+reference snapshot; contract pinned by every attribute read in
+task_def.py:49-197 and the module __main__s — SURVEY.md §2b).
+
+`ConfigLoader(config_path, data_folder)` reads an INI file and exposes typed
+attributes. Values may contain ``{data}`` which expands to the data folder
+name, giving the reference's per-data-folder behavior with one section.
+A section named exactly like the data folder overrides [default] entries.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+
+_BOOL = {"true": True, "1": True, "yes": True, "false": False, "0": False, "no": False}
+
+# attribute → type coercion ("" stays str); every name the reference reads
+_SCHEMA: dict[str, str] = {
+    "db_path": "path",
+    "image_dir": "path",
+    "depth_image_dir": "path",
+    "calibration_dir": "path",
+    "img_size": "int",
+    "batch_size": "int",
+    "conf_thresh": "float",
+    "iou_thresh": "float",
+    "view_img": "bool",
+    "processing_path": "path",
+    "pose_path": "path",
+    "depth_width": "int",
+    "depth_height": "int",
+    "display_3d_pose": "bool",
+    "eps": "float",
+    "min_points": "int",
+    "ply_path": "path",
+    "preprocess_point_cloud": "bool",
+    "overlay_pose": "bool",
+    "visualise": "bool",
+    "pickle_path": "path",
+    "alignment_vis": "bool",
+    "comparison_vis": "bool",
+    "csv_output": "path",
+    # framework additions (TPU runtime knobs)
+    "max_det": "int",
+    "num_classes": "int",
+    "yolo_variant": "str",
+    "yolo_weights": "path",
+    "beit_weights": "path",
+    "damage_labels": "str",
+    "mesh_devices": "int",
+    "use_pallas": "bool",
+}
+
+
+class ConfigLoader:
+    def __init__(self, config_path: str, data_folder: str, data_root: str | None = None):
+        self.config_path = config_path
+        self.data_folder = data_folder
+        parser = configparser.ConfigParser()
+        read = parser.read(config_path)
+        if not read:
+            raise FileNotFoundError(config_path)
+
+        values: dict[str, str] = dict(parser.defaults())
+        if parser.has_section("default"):
+            values.update(dict(parser.items("default")))
+        if parser.has_section(data_folder):
+            values.update(dict(parser.items(data_folder)))
+
+        root = data_root or os.path.dirname(os.path.abspath(config_path))
+        for key, raw in values.items():
+            val = raw.replace("{data}", data_folder).replace("{root}", root)
+            kind = _SCHEMA.get(key, "str")
+            if kind == "int":
+                parsed = int(float(val))
+            elif kind == "float":
+                parsed = float(val)
+            elif kind == "bool":
+                parsed = _BOOL[val.strip().lower()]
+            else:
+                parsed = val
+            setattr(self, key, parsed)
+
+    def __repr__(self):
+        attrs = {k: v for k, v in vars(self).items() if not k.startswith("_")}
+        return f"ConfigLoader({attrs})"
+
+
+DEFAULT_CONFIG = """\
+[default]
+# per-scan paths ({data} expands to the data folder name, {root} to the
+# config file's directory)
+db_path = {root}/data/{data}/data.db
+image_dir = {root}/data/{data}/rtabmap_extract/data_rgb
+depth_image_dir = {root}/data/{data}/rtabmap_extract/data_depth
+calibration_dir = {root}/data/{data}/rtabmap_extract/calibration
+pose_path = {root}/data/{data}/poses.txt
+ply_path = {root}/data/{data}/cloud.ply
+processing_path = {root}/data/{data}/processed_img
+pickle_path = {root}/data/{data}/variables.pkl
+csv_output = {root}/data/{data}/comparison_output.csv
+
+# detector
+img_size = 640
+batch_size = 16
+conf_thresh = 0.5
+iou_thresh = 0.7
+view_img = false
+max_det = 64
+num_classes = 80
+yolo_variant = n
+yolo_weights =
+beit_weights =
+damage_labels = undamaged,damaged
+
+# depth / projection
+depth_width = 192
+depth_height = 256
+display_3d_pose = false
+
+# point cloud
+eps = 0.04
+min_points = 1000
+preprocess_point_cloud = true
+overlay_pose = false
+visualise = false
+
+# maintenance comparison
+alignment_vis = false
+comparison_vis = false
+
+# TPU runtime
+mesh_devices = 1
+use_pallas = true
+"""
+
+
+def write_default_config(path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(DEFAULT_CONFIG)
