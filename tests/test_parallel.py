@@ -1,0 +1,135 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded full-scan
+inference and the DP finetune step (SURVEY.md §4: distributed behavior is
+validated with xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpu3dlm.models.beit import BeitClassifier, BeitConfig
+from tpu3dlm.models.yolov10 import YOLOv10
+from tpu3dlm.parallel.finetune import init_finetune, make_beit_train_step
+from tpu3dlm.parallel.inference import sharded_full_scan_step
+from tpu3dlm.parallel.mesh import make_mesh, pad_to_devices, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+class TestMesh:
+    def test_make_mesh(self, mesh8):
+        assert mesh8.devices.size == 8
+        assert mesh8.axis_names == ("batch",)
+
+    def test_too_many_devices(self):
+        with pytest.raises(ValueError):
+            make_mesh(10_000)
+
+    def test_pad_and_shard(self, mesh8):
+        x = np.ones((13, 4), np.float32)
+        (xp,), n = pad_to_devices((x,), mesh8)
+        assert xp.shape == (16, 4) and n == 13
+        xs = shard_batch(xp, mesh8)
+        assert len(xs.sharding.device_set) == 8
+
+
+class TestShardedInference:
+    def test_full_scan_step_8dev(self, mesh8):
+        F, S = 8, 64
+        yolo = YOLOv10(nc=3, variant="n")
+        beit = BeitClassifier(
+            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                       intermediate_size=64, num_labels=2)
+        )
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
+        depth = np.full((F, 64, 48), 2000.0, np.float32)
+        intr = np.tile(np.array([100.0, 100.0, 32.0, 32.0], np.float32), (F, 1))
+        rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
+
+        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+
+        step = sharded_full_scan_step(mesh8, yolo, beit, img_size=S, max_det=4)
+        yolo_r = replicate(yolo_vars, mesh8)
+        beit_r = replicate(beit_vars, mesh8)
+        batch = shard_batch(
+            (jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
+             jnp.asarray(rgb_size), jnp.asarray(poses)),
+            mesh8,
+        )
+        out = step(yolo_r, beit_r, *batch)
+        assert out["corners"].shape == (F, 4, 4, 3)
+        assert out["damage"].shape == (F, 4)
+        # outputs are sharded over the mesh
+        assert len(out["corners"].sharding.device_set) == 8
+
+    def test_sharded_matches_single_device(self, mesh8):
+        """The mesh must not change numerics (modulo float noise)."""
+        F, S = 8, 64
+        yolo = YOLOv10(nc=3, variant="n")
+        beit = BeitClassifier(
+            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                       intermediate_size=64, num_labels=2)
+        )
+        rng = np.random.default_rng(1)
+        rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
+        depth = np.full((F, 64, 48), 2000.0, np.float32)
+        intr = np.tile(np.array([100.0, 100.0, 32.0, 32.0], np.float32), (F, 1))
+        rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
+        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+
+        from tpu3dlm.parallel.inference import full_scan_step_fn
+
+        single = jax.jit(full_scan_step_fn(yolo, beit, S, 4, 0.25))
+        want = single(yolo_vars, beit_vars, jnp.asarray(rgb), jnp.asarray(depth),
+                      jnp.asarray(intr), jnp.asarray(rgb_size), jnp.asarray(poses))
+
+        step = sharded_full_scan_step(mesh8, yolo, beit, img_size=S, max_det=4)
+        got = step(
+            replicate(yolo_vars, mesh8), replicate(beit_vars, mesh8),
+            *shard_batch((jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
+                          jnp.asarray(rgb_size), jnp.asarray(poses)), mesh8),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["corners"]), np.asarray(want["corners"]), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(got["label"]), np.asarray(want["label"]))
+
+
+class TestFinetune:
+    def test_dp_train_step_decreases_loss(self, mesh8):
+        beit = BeitClassifier(
+            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                       intermediate_size=64, num_labels=2)
+        )
+        params, tx, opt_state = init_finetune(beit, jax.random.PRNGKey(0), lr=5e-3)
+        step = make_beit_train_step(beit, tx, mesh8)
+
+        rng = np.random.default_rng(0)
+        # learnable toy task: class = bright vs dark crop
+        labels = np.tile(np.array([0, 1], np.int32), 8)[:16]
+        crops = np.where(
+            labels[:, None, None, None] == 1,
+            rng.integers(180, 255, size=(16, 32, 32, 3)),
+            rng.integers(0, 70, size=(16, 32, 32, 3)),
+        ).astype(np.uint8)
+
+        crops_s = shard_batch(jnp.asarray(crops), mesh8)
+        labels_s = shard_batch(jnp.asarray(labels), mesh8)
+        params_r = replicate(params, mesh8)
+        opt_r = replicate(opt_state, mesh8)
+
+        losses = []
+        for _ in range(5):
+            params_r, opt_r, loss = step(params_r, opt_r, crops_s, labels_s)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses

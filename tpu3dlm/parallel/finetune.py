@@ -1,0 +1,63 @@
+"""Data-parallel finetuning steps with explicit ICI collectives.
+
+The reference consumes *finetuned* YOLOv10/BEiT checkpoints but contains no
+training code (SURVEY.md §0); finetuning is therefore a capability this
+framework provides natively. The classifier step below is the full TPU
+training recipe: `shard_map` over the ``batch`` mesh axis, per-shard
+forward/backward, `psum` gradient all-reduce over ICI, optax update — the
+canonical DP pattern that scales to any slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpu3dlm.models.beit import BeitClassifier, preprocess_crops
+
+
+def make_beit_train_step(
+    beit: BeitClassifier,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+):
+    """Returns train_step(params, opt_state, crops_u8, labels) → (params,
+    opt_state, loss), data-parallel over the mesh's batch axis with psum'd
+    gradients."""
+    axis = mesh.axis_names[0]
+
+    def loss_fn(params, crops_u8, labels):
+        logits = beit.apply(params, preprocess_crops(crops_u8))
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return loss.mean()
+
+    def per_shard(params, opt_state, crops_u8, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, crops_u8, labels)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    b = P(axis)
+    mapped = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), b, b),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def init_finetune(beit: BeitClassifier, rng, lr: float = 1e-4):
+    """Init params + optax state for classifier finetuning."""
+    size = beit.cfg.image_size
+    params = beit.init(rng, jnp.zeros((1, size, size, 3), jnp.float32))
+    tx = optax.adamw(lr)
+    return params, tx, tx.init(params)

@@ -1,0 +1,96 @@
+"""Data-parallel full-scan inference: the whole perception+mapping step as
+one jitted program sharded over the frame axis.
+
+This is the multi-chip form of BASELINE config 2/5 (SURVEY.md §2c: the
+framework capability the reference lacks): frames shard over the ``batch``
+mesh axis, model params replicate, and XLA partitions the fused
+detect → rectify → classify → project program with no host round-trips
+between stages.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
+from tpu3dlm.models.yolov10 import YOLOv10, postprocess
+from tpu3dlm.ops.image import rectify_crops
+from tpu3dlm.mapper.projection import project_boxes
+
+
+def full_scan_step_fn(
+    yolo: YOLOv10,
+    beit: BeitClassifier,
+    img_size: int,
+    max_det: int,
+    conf_thresh: float,
+):
+    """Builds the pure per-shard function: (params, frame-batch) → results.
+
+    All inputs/outputs have a leading frame axis, so sharding it over the
+    mesh data-parallelises the whole step.
+    """
+
+    def step(yolo_vars, beit_vars, rgb_u8, depth, intrinsics, rgb_size, poses):
+        x = rgb_u8.astype(jnp.float32) / 255.0
+        raw = yolo.apply(yolo_vars, x)["one2one"]
+        det = postprocess(raw, img_size=img_size, max_det=max_det)
+        boxes_sq = det["boxes"]  # (F, D, 4) in detector pixels
+        mask = det["conf"] >= conf_thresh
+
+        size = beit.cfg.image_size
+        crops = rectify_crops(x, boxes_sq, out_hw=(size, size))  # (F, D, s, s, 3)
+        F, D = crops.shape[0], crops.shape[1]
+        crops_flat = (crops.reshape(F * D, size, size, 3) * 255.0).astype(jnp.uint8)
+        logits = beit.apply(beit_vars, preprocess_crops(crops_flat))
+        damage = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(F, D)
+
+        # detector pixels → original pixels
+        sx = (rgb_size[:, 0] / img_size)[:, None]
+        sy = (rgb_size[:, 1] / img_size)[:, None]
+        boxes_px = jnp.stack(
+            [
+                boxes_sq[..., 0] * sx,
+                boxes_sq[..., 1] * sy,
+                boxes_sq[..., 2] * sx,
+                boxes_sq[..., 3] * sy,
+            ],
+            axis=-1,
+        )
+        corners, valid = project_boxes(
+            boxes_px, mask, depth, intrinsics, rgb_size, poses
+        )
+        return {
+            "boxes": boxes_px,
+            "conf": det["conf"],
+            "label": det["label"],
+            "damage": damage,
+            "mask": valid,
+            "corners": corners,
+        }
+
+    return step
+
+
+def sharded_full_scan_step(
+    mesh: Mesh,
+    yolo: YOLOv10,
+    beit: BeitClassifier,
+    img_size: int,
+    max_det: int = 32,
+    conf_thresh: float = 0.25,
+):
+    """jit the full scan step with frame-axis sharding over the mesh."""
+    step = full_scan_step_fn(yolo, beit, img_size, max_det, conf_thresh)
+    b = P(mesh.axis_names[0])
+    rep = NamedSharding(mesh, P())
+    sb = NamedSharding(mesh, b)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, sb, sb, sb, sb, sb),
+        out_shardings=sb,
+    )
