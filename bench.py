@@ -1,0 +1,137 @@
+"""Benchmark: RGB-D frames/sec/chip for detect + 3D project (BASELINE.md).
+
+Measures the fused device program (YOLOv10 one-to-one detect → NMS-free
+postprocess → 2D→3D projection) over a synthetic scan on the default
+backend, and compares against the same workload on host CPU — the
+reference's execution substrate is a single-process CPU pipeline with only
+the model forward on an accelerator (SURVEY.md §2c), so CPU throughput of
+the identical computation is the baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_inputs(num_frames: int, img_size: int):
+    from tpu3dlm.data import synthetic
+    from tpu3dlm.data.dataset import load_scan
+
+    root = os.path.join(tempfile.gettempdir(), "tpu3dlm_bench_scan")
+    marker = os.path.join(root, "gold_std", "poses.txt")
+    if not os.path.exists(marker):
+        synthetic.generate_scan(root, "gold_std", num_frames=num_frames)
+    base = os.path.join(root, "gold_std", "rtabmap_extract")
+    scan = load_scan(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(root, "gold_std", "poses.txt"),
+        img_size=img_size,
+    )
+    # tile frames up to num_frames (generator writes 8 by default)
+    reps = -(-num_frames // scan.num_frames)
+
+    def tile(x):
+        return np.concatenate([np.asarray(x)] * reps)[:num_frames]
+
+    return tuple(
+        tile(v) for v in (scan.rgb, scan.depth, scan.intrinsics, scan.rgb_size, scan.poses)
+    )
+
+
+def make_step(img_size: int, max_det: int):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dlm.mapper.projection import project_boxes
+    from tpu3dlm.models.yolov10 import YOLOv10, postprocess
+
+    yolo = YOLOv10(nc=80, variant="n")
+
+    def step(variables, rgb_u8, depth, intrinsics, rgb_size, poses):
+        x = rgb_u8.astype(jnp.float32) / 255.0
+        raw = yolo.apply(variables, x)["one2one"]
+        det = postprocess(raw, img_size=img_size, max_det=max_det)
+        sx = (rgb_size[:, 0] / img_size)[:, None]
+        sy = (rgb_size[:, 1] / img_size)[:, None]
+        boxes_px = jnp.stack(
+            [det["boxes"][..., 0] * sx, det["boxes"][..., 1] * sy,
+             det["boxes"][..., 2] * sx, det["boxes"][..., 3] * sy],
+            axis=-1,
+        )
+        corners, valid = project_boxes(
+            boxes_px, det["conf"] >= 0.25, depth, intrinsics, rgb_size, poses
+        )
+        return corners, valid, det["conf"]
+
+    return yolo, jax.jit(step)
+
+
+def time_fps(step, variables, arrays, device, iters: int, jax):
+    import jax.numpy as jnp
+
+    args = [jax.device_put(jnp.asarray(a), device) for a in arrays]
+    vs = jax.device_put(variables, device)
+    out = step(vs, *args)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(vs, *args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return arrays[0].shape[0] / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    num_frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    img_size = int(os.environ.get("BENCH_IMG", "640"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    arrays = build_inputs(num_frames, img_size)
+    yolo, step = make_step(img_size, max_det=64)
+    variables = yolo.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+
+    default_dev = jax.devices()[0]
+    fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+
+    vs_baseline = 0.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        if cpu != default_dev:
+            cpu_frames = min(num_frames, 8)
+            cpu_arrays = tuple(a[:cpu_frames] for a in arrays)
+            cpu_fps = time_fps(step, variables, cpu_arrays, cpu, 1, jax)
+            vs_baseline = fps / max(cpu_fps, 1e-9)
+        else:
+            vs_baseline = 1.0
+    except Exception as e:
+        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rgbd_detect_project_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
