@@ -1,0 +1,148 @@
+"""YOLOv10 loss tests: IoU/CIoU golden values, TAL assignment semantics,
+DFL, and an overfit check on one synthetic image (loss must fall)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpu3dlm.models.yolo_loss import (
+    ciou,
+    detection_loss_one_head,
+    pairwise_iou,
+    task_aligned_assign,
+    yolov10_loss,
+)
+from tpu3dlm.models.yolov10 import REG_MAX, YOLOv10, make_anchors
+
+
+class TestIoU:
+    def test_identical_boxes(self):
+        b = jnp.array([0.0, 0.0, 10.0, 10.0])
+        assert float(pairwise_iou(b, b)) == pytest.approx(1.0)
+        assert float(ciou(b, b)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_half_overlap(self):
+        a = jnp.array([0.0, 0.0, 10.0, 10.0])
+        b = jnp.array([5.0, 0.0, 15.0, 10.0])
+        assert float(pairwise_iou(a, b)) == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_disjoint(self):
+        a = jnp.array([0.0, 0.0, 1.0, 1.0])
+        b = jnp.array([5.0, 5.0, 6.0, 6.0])
+        assert float(pairwise_iou(a, b)) == 0.0
+        assert float(ciou(a, b)) < 0.0  # centre-distance penalty
+
+
+class TestTAL:
+    def _setup(self):
+        # 2 anchors grid: anchors at centres of a 2-anchor toy problem
+        anchors_px = jnp.array([[8.0, 8.0], [24.0, 8.0]])
+        pred_boxes = jnp.array([[[0.0, 0.0, 16.0, 16.0], [16.0, 0.0, 32.0, 16.0]]])
+        nc = 3
+        scores = jnp.zeros((1, 2, nc)).at[0, 0, 1].set(0.9).at[0, 1, 1].set(0.2)
+        gt_boxes = jnp.array([[[0.0, 0.0, 16.0, 16.0]]])
+        gt_labels = jnp.array([[1]], jnp.int32)
+        gt_mask = jnp.array([[True]])
+        return scores, pred_boxes, anchors_px, gt_boxes, gt_labels, gt_mask
+
+    def test_assigns_inside_anchor(self):
+        s, pb, a, gb, gl, gm = self._setup()
+        t_boxes, t_scores, fg = task_aligned_assign(s, pb, a, gb, gl, gm, top_k=1)
+        assert bool(fg[0, 0]) and not bool(fg[0, 1])  # anchor 1 is outside the gt
+        np.testing.assert_allclose(np.asarray(t_boxes[0, 0]), [0, 0, 16, 16])
+        # target score positive only for the gt class
+        assert float(t_scores[0, 0, 1]) > 0
+        assert float(t_scores[0, 0, 0]) == 0
+
+    def test_masked_gt_ignored(self):
+        s, pb, a, gb, gl, gm = self._setup()
+        _, t_scores, fg = task_aligned_assign(
+            s, pb, a, gb, gl, jnp.array([[False]]), top_k=1
+        )
+        assert not bool(fg.any())
+        assert float(t_scores.sum()) == 0.0
+
+    def test_conflict_resolves_to_higher_iou(self):
+        anchors_px = jnp.array([[8.0, 8.0]])
+        pred_boxes = jnp.array([[[0.0, 0.0, 16.0, 16.0]]])
+        scores = jnp.full((1, 1, 2), 0.5)
+        # two gts both contain the anchor; gt1 has higher IoU with the pred
+        gt_boxes = jnp.array([[[0.0, 0.0, 30.0, 30.0], [0.0, 0.0, 17.0, 17.0]]])
+        gt_labels = jnp.array([[0, 1]], jnp.int32)
+        gt_mask = jnp.array([[True, True]])
+        t_boxes, t_scores, fg = task_aligned_assign(
+            scores, pred_boxes, anchors_px, gt_boxes, gt_labels, gt_mask, top_k=1
+        )
+        assert bool(fg[0, 0])
+        np.testing.assert_allclose(np.asarray(t_boxes[0, 0]), [0, 0, 17, 17])
+
+
+class TestLoss:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        img_size = 64
+        model = YOLOv10(nc=3, variant="n")
+        x = jnp.zeros((1, img_size, img_size, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        gt_boxes = jnp.array([[[8.0, 8.0, 40.0, 40.0], [0.0, 0.0, 0.0, 0.0]]])
+        gt_labels = jnp.array([[2, 0]], jnp.int32)
+        gt_mask = jnp.array([[True, False]])
+        return img_size, model, variables, gt_boxes, gt_labels, gt_mask
+
+    def test_loss_finite_and_positive(self, setup):
+        img_size, model, variables, gb, gl, gm = setup
+        rng = np.random.default_rng(0)
+        img = jnp.array(rng.uniform(size=(1, img_size, img_size, 3)), jnp.float32)
+        out = model.apply(variables, img)
+        loss = yolov10_loss(out, gb, gl, gm, img_size)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_gradients_flow_to_both_heads(self, setup):
+        img_size, model, variables, gb, gl, gm = setup
+        img = jnp.ones((1, img_size, img_size, 3), jnp.float32) * 0.5
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]}, img
+            )
+            return yolov10_loss(out, gb, gl, gm, img_size)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        g_o2o = jax.tree_util.tree_leaves(grads["detect_o2o"])
+        g_o2m = jax.tree_util.tree_leaves(grads["detect_o2m"])
+        g_backbone = jax.tree_util.tree_leaves(grads["m0"])
+        assert any(float(jnp.abs(g).max()) > 0 for g in g_o2o)
+        assert any(float(jnp.abs(g).max()) > 0 for g in g_o2m)
+        assert any(float(jnp.abs(g).max()) > 0 for g in g_backbone)
+
+    def test_overfit_single_image(self, setup):
+        """A few Adam steps on one image must reduce the loss markedly."""
+        img_size, model, variables, gb, gl, gm = setup
+        rng = np.random.default_rng(1)
+        img = jnp.array(rng.uniform(size=(1, img_size, img_size, 3)), jnp.float32)
+
+        tx = optax.adam(2e-3)
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt_state):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": stats}, img, train=True,
+                    mutable=["batch_stats"],
+                )
+                return yolov10_loss(out, gb, gl, gm, img_size), mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+        losses = []
+        for _ in range(15):
+            params, stats, opt_state, loss = step(params, stats, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < 0.6 * losses[0], losses

@@ -61,3 +61,54 @@ def init_finetune(beit: BeitClassifier, rng, lr: float = 1e-4):
     params = beit.init(rng, jnp.zeros((1, size, size, 3), jnp.float32))
     tx = optax.adamw(lr)
     return params, tx, tx.init(params)
+
+
+def make_yolo_train_step(
+    yolo,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    img_size: int,
+):
+    """Detection finetune step (YOLOv10 dual-assignment loss), data-parallel.
+
+    train_step(variables, opt_state, images_f32, gt_boxes, gt_labels, gt_mask)
+    → (variables, opt_state, loss). Images shard over the batch axis; params
+    replicate; gradients pmean over ICI. BatchNorm runs in train mode and the
+    updated batch_stats are averaged across shards.
+    """
+    from tpu3dlm.models.yolo_loss import yolov10_loss
+
+    axis = mesh.axis_names[0]
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_labels, gt_mask):
+        outputs, mutated = yolo.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = yolov10_loss(outputs, gt_boxes, gt_labels, gt_mask, img_size)
+        return loss, mutated["batch_stats"]
+
+    def per_shard(variables, opt_state, images, gt_boxes, gt_labels, gt_mask):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats, images, gt_boxes, gt_labels, gt_mask
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, "batch_stats": new_stats}, opt_state, loss
+
+    b = P(axis)
+    mapped = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), b, b, b, b),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
