@@ -36,7 +36,16 @@ class _UnionFind:
 
 
 def dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray:
-    """(N, 3) → (N,) int32 cluster labels (-1 = noise)."""
+    """(N, 3) → (N,) int32 cluster labels (-1 = noise).
+
+    Prefers the native C++ core (tpu3dlm/native) — required for 1M-point
+    clouds; this numpy implementation is the toolchain-free fallback."""
+    from tpu3dlm.native import native_dbscan
+
+    native = native_dbscan(points, eps, min_points)
+    if native is not None:
+        return native
+
     pts = np.asarray(points, np.float64)
     n = pts.shape[0]
     if n == 0:

@@ -1,0 +1,142 @@
+"""Native runtime components (C++ via ctypes): DBSCAN core + scanpack loader.
+
+Built on first use with g++ (no cmake/pybind needed); every entry point has
+a pure-Python fallback so the framework works without a toolchain. The
+shared library is cached next to the sources and rebuilt when they change.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = [os.path.join(_HERE, "src", f) for f in ("dbscan.cpp", "scanpack.cpp")]
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _source_digest() -> str:
+    h = hashlib.sha256()
+    for s in _SRC:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _build() -> str | None:
+    so_path = os.path.join(_HERE, f"libtpu3dlm_native_{_source_digest()}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        *_SRC, "-o", so_path,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return so_path
+    except Exception as e:  # toolchain absent / compile failure → fallback
+        _logger.warning("native build failed (%s); using Python fallbacks", e)
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        so = _build()
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.tpu3dlm_dbscan.restype = ctypes.c_int
+            lib.tpu3dlm_dbscan.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.tpu3dlm_scanpack_write.restype = ctypes.c_int
+            lib.tpu3dlm_scanpack_read.restype = ctypes.c_int
+            _LIB = lib
+    return _LIB
+
+
+def native_dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray | None:
+    """C++ grid DBSCAN; None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    labels = np.empty(pts.shape[0], np.int32)
+    lib.tpu3dlm_dbscan(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(pts.shape[0]),
+        ctypes.c_double(eps),
+        ctypes.c_int(min_points),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return labels
+
+
+def scanpack_write(path: str, rgb, depth, intr, rgb_size, poses) -> bool:
+    lib = get_lib()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    depth = np.ascontiguousarray(depth, np.float32)
+    intr = np.ascontiguousarray(intr, np.float32)
+    rgb_size = np.ascontiguousarray(rgb_size, np.float32)
+    poses = np.ascontiguousarray(poses, np.float32)
+    if lib is None:
+        np.savez(path + ".npz", rgb=rgb, depth=depth, intr=intr,
+                 rgb_size=rgb_size, poses=poses)
+        return True
+    f, h, w, _ = rgb.shape
+    hd, wd = depth.shape[1], depth.shape[2]
+    rc = lib.tpu3dlm_scanpack_write(
+        path.encode(), rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        intr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rgb_size.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        poses.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(f), ctypes.c_int64(h), ctypes.c_int64(w),
+        ctypes.c_int64(hd), ctypes.c_int64(wd),
+    )
+    return rc == 0
+
+
+def scanpack_read(path: str):
+    """→ (rgb, depth, intr, rgb_size, poses) or None when absent."""
+    lib = get_lib()
+    if lib is None or not os.path.exists(path):
+        npz = path + ".npz"
+        if os.path.exists(npz):
+            d = np.load(npz)
+            return d["rgb"], d["depth"], d["intr"], d["rgb_size"], d["poses"]
+        return None
+    dims = np.zeros(5, np.int64)
+    rc = lib.tpu3dlm_scanpack_read(
+        path.encode(), dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        None, None, None, None, None,
+    )
+    if rc != 0:
+        return None
+    f, h, w, hd, wd = (int(x) for x in dims)
+    rgb = np.empty((f, h, w, 3), np.uint8)
+    depth = np.empty((f, hd, wd), np.float32)
+    intr = np.empty((f, 4), np.float32)
+    rgb_size = np.empty((f, 2), np.float32)
+    poses = np.empty((f, 7), np.float32)
+    rc = lib.tpu3dlm_scanpack_read(
+        path.encode(), dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        intr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rgb_size.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        poses.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return rgb, depth, intr, rgb_size, poses
