@@ -49,3 +49,34 @@ def poses_from_dataframe(df) -> np.ndarray:
     """(F, 7) float32 pose array from a reference-shaped DataFrame."""
     cols = ["tx", "ty", "tz", "qx", "qy", "qz", "qw"]
     return df[cols].to_numpy(dtype=np.float32)
+
+
+class PoseDataExtractor:
+    """API parity with the reference's ``PoseDataExtractor``
+    (src/mapper/database_query.py:12-46): fetch_data → DataFrame, plot_pose
+    renders the trajectory (gated on a display/Open3D being available)."""
+
+    def __init__(self, pose_path: str):
+        self.pose_path = pose_path
+
+    def fetch_data(self):
+        ts, poses = load_poses(self.pose_path)
+        return poses_to_dataframe(ts, poses)
+
+    def plot_pose(self, df):  # pragma: no cover - interactive
+        from tpu3dlm.utils.visualisation import Visualiser
+
+        vis = Visualiser()
+        cloud = vis.overlay_pose(df)
+        try:
+            import open3d as o3d
+
+            from tpu3dlm.utils.transformations import Transforms
+
+            directions = Transforms().get_camera_direction(df)
+            rays = vis.overlay_pose_directions(
+                np.asarray(df[["tx", "ty", "tz"]]), directions
+            )
+            o3d.visualization.draw_geometries([cloud, rays])
+        except Exception:
+            return cloud
