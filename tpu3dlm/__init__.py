@@ -14,3 +14,13 @@ Import name is `tpu3dlm` (the importable form of the project name
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TPU3DLM_PLATFORM"):
+    # Escape hatch for environments that pre-import jax with a pinned
+    # platform (sitecustomize): plain JAX_PLATFORMS is bound too early
+    # there, but config updates still apply until a backend initialises.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPU3DLM_PLATFORM"])

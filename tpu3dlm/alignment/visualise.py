@@ -118,3 +118,30 @@ class VisualiseAlignment:
             np.savez_compressed(fallback, frames=np.stack(self.frames))
             self.logger.warning("mp4 encode failed (%s); frames saved to %s", e, fallback)
         return len(self.frames)
+
+
+if __name__ == "__main__":  # standalone harness (reference visualise.py:215-243)
+    import argparse
+    import os
+    import pickle
+
+    from tpu3dlm.data.ply import load_ply
+    from tpu3dlm.utils.config import ConfigLoader
+
+    parser = argparse.ArgumentParser(description="Processing Configuration")
+    parser.add_argument("--data", type=str, default="ideal_scan")
+    parser.add_argument("--config", type=str, default=os.path.join("configs", "variables.cfg"))
+    args = parser.parse_args()
+    if args.data == "gold_std":
+        raise ValueError("The parameter 'gold_std' is not allowed for --data.")
+    cfg = ConfigLoader(args.config, args.data)
+    cfg_gold = ConfigLoader(args.config, "gold_std")
+
+    with open(cfg.pickle_path, "rb") as f:
+        variables = pickle.load(f)
+    base_pts, _ = load_ply(cfg_gold.ply_path)
+    comp_pts, _ = load_ply(cfg.ply_path)
+    out = os.path.join(os.path.dirname(cfg.csv_output) or ".", "alignment_visualisation.mp4")
+    vis = VisualiseAlignment(base_pts, comp_pts)
+    n = vis.create_video(variables["transformations"], out)
+    print(f"{n} frames → {out}")

@@ -149,3 +149,32 @@ class Mapping:
             vis.add_geometry(ls)
         vis.run()
         vis.destroy_window()
+
+
+if __name__ == "__main__":  # standalone harness (reference mapping.py:209-261)
+    import argparse
+    import os
+    import pickle
+
+    from tpu3dlm.utils.config import ConfigLoader
+
+    parser = argparse.ArgumentParser(description="Processing Configuration.")
+    parser.add_argument("--data", type=str, default="gold_std")
+    parser.add_argument("--model", type=str, default="mesh", choices=["mesh", "pc"])
+    parser.add_argument("--config", type=str, default=os.path.join("configs", "variables.cfg"))
+    args = parser.parse_args()
+    cfg = ConfigLoader(args.config, args.data)
+
+    with open(cfg.pickle_path, "rb") as f:
+        variables = pickle.load(f)
+    mapper = Mapping(
+        global_bboxes_data=variables["global_bboxes_data"],
+        optimised_bboxes=variables["optimised_bboxes"],
+        pose=variables["pose_df"],
+        eps=cfg.eps, min_points=cfg.min_points, ply_filepath=cfg.ply_path,
+        preprocess_point_cloud=cfg.preprocess_point_cloud,
+        overlay_pose=cfg.overlay_pose,
+    )
+    out = os.path.join(os.path.dirname(cfg.ply_path), f"map_{args.model}.ply")
+    {"mesh": mapper.make_mesh, "pc": mapper.make_point_cloud}[args.model](output_path=out)
+    print(f"map written to {out}")

@@ -151,3 +151,32 @@ def project_detections(
         label=jnp.asarray(det.label),
         mask=mask,
     )
+
+
+if __name__ == "__main__":  # standalone resume harness (reference
+    # src/mapper/pose_processor.py:274-320: load pickle → project → write back)
+    import argparse
+    import os
+    import pickle
+
+    from tpu3dlm.data.dataset import load_scan
+    from tpu3dlm.data.scan import detections_from_frame_dict
+    from tpu3dlm.utils.config import ConfigLoader
+
+    parser = argparse.ArgumentParser(description="Processing Configuration")
+    parser.add_argument("--data", type=str, default="gold_std")
+    parser.add_argument("--config", type=str, default=os.path.join("configs", "variables.cfg"))
+    args = parser.parse_args()
+    cfg = ConfigLoader(args.config, args.data)
+
+    with open(cfg.pickle_path, "rb") as f:
+        variables = pickle.load(f)
+    scan = load_scan(cfg.image_dir, cfg.depth_image_dir, cfg.calibration_dir,
+                     cfg.pose_path, img_size=cfg.img_size,
+                     depth_width=cfg.depth_width, depth_height=cfg.depth_height)
+    det = detections_from_frame_dict(variables["predictions"], scan.num_frames)
+    gboxes = project_detections(scan, det)
+    variables["global_bboxes_data"] = gboxes.to_frame_dict()
+    with open(cfg.pickle_path, "wb") as f:
+        pickle.dump(variables, f)
+    print(f"projected {int(np.asarray(gboxes.mask).sum())} boxes → {cfg.pickle_path}")
