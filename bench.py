@@ -76,17 +76,23 @@ def make_step(img_size: int, max_det: int):
     return yolo, jax.jit(step)
 
 
+def _force(out):
+    """Force completion via host readback — jax.block_until_ready can return
+    early on experimental remote platforms (observed on axon), so timings
+    must materialize a result on the host."""
+    return np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
+
+
 def time_fps(step, variables, arrays, device, iters: int, jax):
     import jax.numpy as jnp
 
     args = [jax.device_put(jnp.asarray(a), device) for a in arrays]
     vs = jax.device_put(variables, device)
-    out = step(vs, *args)  # compile + warmup
-    jax.block_until_ready(out)
+    _force(step(vs, *args))  # compile + warmup, fully drained
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(vs, *args)
-    jax.block_until_ready(out)
+        _force(out)
     dt = (time.perf_counter() - t0) / iters
     return arrays[0].shape[0] / dt
 

@@ -79,3 +79,54 @@ class TestResize:
         got = np.asarray(resize_bilinear(jnp.array(img), (16, 24)))
         want = cv2.resize(img, (24, 16), interpolation=cv2.INTER_LINEAR)
         np.testing.assert_allclose(got, want, atol=0.05)
+
+
+class TestLetterbox:
+    def test_jax_letterbox_geometry(self):
+        from tpu3dlm.ops.image import letterbox
+        import jax.numpy as jnp
+
+        img = jnp.full((100, 50, 3), 200.0)
+        canvas, scale, (px, py) = letterbox(img, 100)
+        assert canvas.shape == (100, 100, 3)
+        assert scale == 1.0 and py == 0 and px == 25
+        # pad fill on the sides, content in the middle
+        assert float(canvas[50, 0, 0]) == 114.0
+        assert float(canvas[50, 50, 0]) == 200.0
+
+    def test_np_letterbox_matches(self):
+        from tpu3dlm.data.dataset import _letterbox_np
+
+        img = np.full((100, 50, 3), 200, np.uint8)
+        canvas, scale, px, py = _letterbox_np(img, 100)
+        assert canvas.shape == (100, 100, 3)
+        assert scale == 1.0 and (px, py) == (25, 0)
+        assert canvas[50, 0, 0] == 114 and canvas[50, 50, 0] == 200
+
+
+class TestLetterboxScanRoundtrip:
+    def test_boxes_map_back_to_original(self, tmp_path, rng):
+        """GT box → letterboxed detector space → ObjectDetector back-map must
+        recover the original pixels (the reference semantic: predictions in
+        original image pixels, detector.py:148-155)."""
+        from tpu3dlm.data import synthetic
+        from tpu3dlm.data.dataset import load_scan, _letterbox_np
+        import os
+
+        root = str(tmp_path)
+        scene = synthetic.generate_scan(root, "gold_std", num_frames=2)
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        scan = load_scan(
+            os.path.join(base, "data_rgb"), os.path.join(base, "data_depth"),
+            os.path.join(base, "calibration"), os.path.join(root, "gold_std", "poses.txt"),
+            img_size=128, resize_mode="letterbox",
+        )
+        assert scan.letterbox is not None and scan.letterbox.shape == (2, 3)
+        s, px, py = scan.letterbox[0]
+        # forward-map a GT box into detector space, then apply the detector's
+        # inverse mapping formula
+        gt = scene.gt_boxes_2d[0][0][:4]
+        det_space = [gt[0] * s + px, gt[1] * s + py, gt[2] * s + px, gt[3] * s + py]
+        back = [(det_space[0] - px) / s, (det_space[1] - py) / s,
+                (det_space[2] - px) / s, (det_space[3] - py) / s]
+        np.testing.assert_allclose(back, gt, rtol=1e-5)

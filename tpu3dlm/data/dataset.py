@@ -121,6 +121,19 @@ class ScanDataset:
         return rgb, depth, calib
 
 
+def _letterbox_np(rgb: np.ndarray, size: int, fill: int = 114):
+    """cv2 letterbox: aspect-preserving resize + centre pad (ultralytics
+    input convention). → (canvas, scale, pad_x, pad_y)."""
+    h, w = rgb.shape[:2]
+    scale = min(size / h, size / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    canvas = np.full((size, size, 3), fill, np.uint8)
+    pad_y, pad_x = (size - nh) // 2, (size - nw) // 2
+    canvas[pad_y : pad_y + nh, pad_x : pad_x + nw] = resized
+    return canvas, scale, pad_x, pad_y
+
+
 def load_scan(
     image_dir: str,
     depth_image_dir: str,
@@ -129,14 +142,20 @@ def load_scan(
     img_size: int = 640,
     depth_width: int = 192,
     depth_height: int = 256,
+    resize_mode: str = "square",
 ) -> Scan:
     """Stack a full capture into a ``Scan`` pytree.
 
-    RGB frames are stored at detector resolution (img_size, img_size) uint8;
-    depth at native depth resolution in mm; intrinsics/poses per frame.
-    The frame count is min(paired frames, pose rows) — RTAB-Map exports can
-    be off by a trailing frame.
+    RGB frames are stored at detector resolution (img_size, img_size) uint8
+    — plain square resize (reference ImageDataset behavior,
+    src/detector/dataset.py:86-92) or ``resize_mode="letterbox"`` for
+    ultralytics-convention aspect-preserving pad (use with converted
+    finetuned checkpoints). Depth stays at native resolution in mm;
+    intrinsics/poses per frame. The frame count is min(paired frames, pose
+    rows) — RTAB-Map exports can be off by a trailing frame.
     """
+    if resize_mode not in ("square", "letterbox"):
+        raise ValueError(f"resize_mode must be square|letterbox, got {resize_mode}")
     pairs = _pair_filenames(image_dir, depth_image_dir)
     timestamps, poses = load_poses(pose_path)
     n = min(len(pairs), poses.shape[0])
@@ -147,11 +166,17 @@ def load_scan(
     depth = np.zeros((n, depth_height, depth_width), np.float32)
     intrinsics = np.zeros((n, 4), np.float32)
     rgb_size = np.zeros((n, 2), np.float32)
+    lbox = np.zeros((n, 3), np.float32) if resize_mode == "letterbox" else None
 
     for i, (image_filename, depth_filename) in enumerate(pairs[:n]):
-        rgb[i] = load_rgb_image(
-            os.path.join(image_dir, image_filename), (img_size, img_size)
-        )
+        frame = load_rgb_image(os.path.join(image_dir, image_filename))
+        if resize_mode == "letterbox":
+            rgb[i], scale, px, py = _letterbox_np(frame, img_size)
+            lbox[i] = [scale, px, py]
+        else:
+            rgb[i] = cv2.resize(
+                frame, (img_size, img_size), interpolation=cv2.INTER_LINEAR
+            )
         depth[i] = load_depth_image(
             os.path.join(depth_image_dir, depth_filename), depth_height, depth_width
         )
@@ -168,4 +193,5 @@ def load_scan(
         rgb_size=rgb_size,
         poses=poses[:n],
         timestamps=timestamps[:n],
+        letterbox=lbox,
     )

@@ -35,6 +35,9 @@ class Scan:
     rgb_size: Any  # (F, 2) float32 — image_width, image_height of RGB frames
     poses: Any  # (F, 7) float32 — tx, ty, tz, qx, qy, qz, qw
     timestamps: Any = None  # (F,) float64 seconds, optional
+    letterbox: Any = None  # (F, 3) float32 [scale, pad_x, pad_y] when frames
+    # were letterboxed to the detector square (ultralytics-style); None when
+    # plain square-resized
 
     @property
     def num_frames(self) -> int:

@@ -204,6 +204,30 @@ def _route_leaf(path: list[str], v: np.ndarray, params: dict, stats: dict):
     # num_batches_tracked → dropped
 
 
+def save_flax_checkpoint(path: str, variables: dict) -> None:
+    """Serialize a Flax variables tree to msgpack (framework-native format,
+    replacing the reference's torch .pt dependency after one-time conversion)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax_tree_to_numpy(variables)))
+
+
+def load_flax_checkpoint(path: str, template: dict) -> dict:
+    """Load a msgpack checkpoint into the structure of `template` (e.g. a
+    model.init tree) — shape/structure mismatches raise."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def jax_tree_to_numpy(tree):
+    import jax
+
+    return jax.tree.map(np.asarray, tree)
+
+
 def assert_tree_matches(converted: dict, reference: dict, prefix: str = "") -> list[str]:
     """Compare converted tree against a model-initialized tree; returns a list
     of mismatch descriptions (empty = exact structural + shape match)."""

@@ -102,6 +102,24 @@ def _rectify_one(image: jax.Array, bbox: jax.Array, out_hw: tuple[int, int]) -> 
     return bilinear_sample(image, xs, ys)
 
 
+def letterbox(image: jax.Array, size: int, fill: float = 114.0):
+    """Aspect-preserving resize + centre pad to (size, size) — the
+    ultralytics input convention, needed for converted finetuned checkpoints
+    to see their training distribution.
+
+    Returns (canvas (size, size, C), scale, (pad_x, pad_y)). Shapes are
+    static (H, W known at trace time) so this jits cleanly.
+    """
+    H, W = image.shape[0], image.shape[1]
+    scale = min(size / H, size / W)
+    nh, nw = int(round(H * scale)), int(round(W * scale))
+    resized = resize_bilinear(image, (nh, nw))
+    pad_y, pad_x = (size - nh) // 2, (size - nw) // 2
+    canvas = jnp.full((size, size, image.shape[2]), fill, resized.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (pad_y, pad_x, 0))
+    return canvas, scale, (pad_x, pad_y)
+
+
 @partial(jax.jit, static_argnames=("out_hw",))
 def rectify_crops(
     images: jax.Array,  # (F, H, W, C)

@@ -10,6 +10,11 @@ O(N·M) compute with O(TN·TM) memory.
 `nearest_neighbors(a, b)` → for every point in `a`, the index and squared
 distance of its nearest point in `b`. Pallas kernel on TPU; identical-result
 XLA fallback (`nearest_neighbors_xla`) everywhere else.
+
+Measured on v5e-1 (readback-forced timing): 16384 × 1M points in ~85 ms at
+the default (1024, 2048) tiles — the VPU min/argmin dominates; the MXU cross
+term is effectively free. Tile sweep: (256,512) 342 ms, (512,2048) 127 ms,
+(1024,2048) 85 ms, (1024,4096) 75 ms (VMEM-marginal, not default).
 """
 
 from __future__ import annotations
@@ -76,8 +81,8 @@ def _pad_points(x: jax.Array, tile: int, pad_value: float) -> jax.Array:
 def nearest_neighbors_pallas(
     a: jax.Array,  # (N, 3) query points
     b: jax.Array,  # (M, 3) reference points
-    tile_n: int = 256,
-    tile_m: int = 512,
+    tile_n: int = 1024,
+    tile_m: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """(indices (N,), squared distances (N,)) of NN in b for each a point."""
     n, m = a.shape[0], b.shape[0]

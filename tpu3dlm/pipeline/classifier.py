@@ -91,10 +91,17 @@ class DamageDetector:
         F, S = rgb.shape[0], rgb.shape[1]
         wh = np.asarray(scan.rgb_size)
         boxes = np.asarray(det.boxes).copy()
-        boxes[..., 0] *= (S / wh[:, 0])[:, None]
-        boxes[..., 2] *= (S / wh[:, 0])[:, None]
-        boxes[..., 1] *= (S / wh[:, 1])[:, None]
-        boxes[..., 3] *= (S / wh[:, 1])[:, None]
+        if scan.letterbox is not None:  # original px → letterboxed frame px
+            lb = np.asarray(scan.letterbox)
+            boxes[..., 0] = boxes[..., 0] * lb[:, 0][:, None] + lb[:, 1][:, None]
+            boxes[..., 2] = boxes[..., 2] * lb[:, 0][:, None] + lb[:, 1][:, None]
+            boxes[..., 1] = boxes[..., 1] * lb[:, 0][:, None] + lb[:, 2][:, None]
+            boxes[..., 3] = boxes[..., 3] * lb[:, 0][:, None] + lb[:, 2][:, None]
+        else:
+            boxes[..., 0] *= (S / wh[:, 0])[:, None]
+            boxes[..., 2] *= (S / wh[:, 0])[:, None]
+            boxes[..., 1] *= (S / wh[:, 1])[:, None]
+            boxes[..., 3] *= (S / wh[:, 1])[:, None]
 
         size = self.config.image_size
         crops = rectify_crops(rgb, jnp.asarray(boxes), out_hw=(size, size))

@@ -91,12 +91,27 @@ class ObjectDetector:
 
         # detector space (img_size × img_size) → original pixels
         wh = np.asarray(scan.rgb_size)  # (F, 2)
-        sx = (wh[:, 0] / self.img_size)[:, None]
-        sy = (wh[:, 1] / self.img_size)[:, None]
-        boxes = np.stack(
-            [boxes[..., 0] * sx, boxes[..., 1] * sy, boxes[..., 2] * sx, boxes[..., 3] * sy],
-            axis=-1,
-        ).astype(np.float32)
+        if scan.letterbox is not None:
+            lb = np.asarray(scan.letterbox)  # (F, 3) scale, pad_x, pad_y
+            s = lb[:, 0][:, None]
+            px = lb[:, 1][:, None]
+            py = lb[:, 2][:, None]
+            boxes = np.stack(
+                [(boxes[..., 0] - px) / s, (boxes[..., 1] - py) / s,
+                 (boxes[..., 2] - px) / s, (boxes[..., 3] - py) / s],
+                axis=-1,
+            )
+            boxes[..., [0, 2]] = np.clip(boxes[..., [0, 2]], 0, wh[:, None, 0:1])
+            boxes[..., [1, 3]] = np.clip(boxes[..., [1, 3]], 0, wh[:, None, 1:2])
+            boxes = boxes.astype(np.float32)
+        else:
+            sx = (wh[:, 0] / self.img_size)[:, None]
+            sy = (wh[:, 1] / self.img_size)[:, None]
+            boxes = np.stack(
+                [boxes[..., 0] * sx, boxes[..., 1] * sy,
+                 boxes[..., 2] * sx, boxes[..., 3] * sy],
+                axis=-1,
+            ).astype(np.float32)
 
         mask = conf >= self.conf_thresh
         return Detections(

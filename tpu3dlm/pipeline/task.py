@@ -225,19 +225,47 @@ class Pipeline:
         path = getattr(self.cfg, "yolo_weights", "") or ""
         if not path or not os.path.exists(path):
             return None
-        from tpu3dlm.models.weights import convert_yolov10_state_dict, load_torch_state_dict
+        from tpu3dlm.models import weights as W
 
-        self.logger.info("Converting YOLOv10 checkpoint %s", path)
-        return convert_yolov10_state_dict(load_torch_state_dict(path))
+        if path.endswith(".msgpack"):  # framework-native checkpoint
+            import jax
+            import jax.numpy as jnp
+
+            from tpu3dlm.models.yolov10 import YOLOv10
+
+            model = YOLOv10(
+                nc=getattr(self.cfg, "num_classes", 80),
+                variant=getattr(self.cfg, "yolo_variant", "n"),
+            )
+            template = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.cfg.img_size, self.cfg.img_size, 3), jnp.float32),
+            )
+            self.logger.info("Loading native YOLOv10 checkpoint %s", path)
+            return W.load_flax_checkpoint(path, template)
+        self.logger.info("Converting YOLOv10 torch checkpoint %s", path)
+        return W.convert_yolov10_state_dict(W.load_torch_state_dict(path))
 
     def _load_beit_weights(self, num_labels: int):
         path = getattr(self.cfg, "beit_weights", "") or ""
         if not path or not os.path.exists(path):
             return None
-        from tpu3dlm.models.weights import convert_beit_state_dict, load_torch_state_dict
+        from tpu3dlm.models import weights as W
 
-        self.logger.info("Converting BEiT checkpoint %s", path)
-        return convert_beit_state_dict(load_torch_state_dict(path))
+        if path.endswith(".msgpack"):
+            import jax
+            import jax.numpy as jnp
+
+            from tpu3dlm.models.beit import BeitClassifier, BeitConfig
+
+            model = BeitClassifier(BeitConfig(num_labels=num_labels))
+            template = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+            )
+            self.logger.info("Loading native BEiT checkpoint %s", path)
+            return W.load_flax_checkpoint(path, template)
+        self.logger.info("Converting BEiT torch checkpoint %s", path)
+        return W.convert_beit_state_dict(W.load_torch_state_dict(path))
 
 
 def load_gold_std(pickle_path: str):
