@@ -94,3 +94,21 @@ class TestDamageDetector:
         )
         assert clf.get_class_label(1) == "damaged"
         assert clf.get_class_label([0, 1]) == ["undamaged", "damaged"]
+
+
+class TestAnnotatedExport:
+    def test_save_img_writes_frames(self, scan, tmp_path):
+        out = str(tmp_path / "annotated")
+        det = ObjectDetector(
+            conf_thresh=0.0, img_size=128, batch_size=4, max_det=4, nc=3,
+            save_img=out, names={0: "sign_a", 1: "sign_b", 2: "sign_c"},
+        )
+        det(scan)
+        import os
+
+        files = sorted(os.listdir(out))
+        assert len(files) == scan.num_frames
+        import cv2
+
+        img = cv2.imread(os.path.join(out, files[0]))
+        assert img is not None and img.shape == (128, 128, 3)

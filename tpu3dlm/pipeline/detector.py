@@ -40,12 +40,21 @@ class ObjectDetector:
         variables=None,
         rng_seed: int = 0,
         dtype=jnp.float32,
+        save_img: str | None = None,  # dir for annotated frames (parity:
+        # reference detector.py:159-189 save_img/processing_path)
+        names: dict[int, str] | None = None,
     ):
         self.conf_thresh = conf_thresh
         self.iou_thresh = iou_thresh
         self.img_size = img_size
         self.batch_size = batch_size
         self.max_det = max_det
+        self.save_img = save_img
+        self.names = names or {i: f"class_{i}" for i in range(nc)}
+        rng = np.random.default_rng(0)
+        self.colors = {
+            i: tuple(int(c) for c in rng.integers(0, 255, 3)) for i in range(nc)
+        }
         self.model = YOLOv10(nc=nc, variant=variant, dtype=dtype)
         self.logger = logging.getLogger(__name__)
         if variables is None:
@@ -114,10 +123,46 @@ class ObjectDetector:
             ).astype(np.float32)
 
         mask = conf >= self.conf_thresh
-        return Detections(
+        det = Detections(
             boxes=boxes,
             conf=conf.astype(np.float32),
             label=label.astype(np.int32),
             damage=np.full(conf.shape, -1, np.int32),
             mask=mask,
         )
+        if self.save_img:
+            self._save_annotated(scan, det)
+        return det
+
+    def _save_annotated(self, scan: Scan, det: Detections) -> None:
+        """Write annotated frames (boxes + class names) to save_img — parity
+        with the reference's processed-image export (detector.py:159-189)."""
+        import os
+
+        import cv2
+
+        os.makedirs(self.save_img, exist_ok=True)
+        rgb = np.asarray(scan.rgb)
+        S = rgb.shape[1]
+        wh = np.asarray(scan.rgb_size)
+        for f in range(rgb.shape[0]):
+            img = cv2.cvtColor(rgb[f], cv2.COLOR_RGB2BGR).copy()
+            for b in range(det.boxes.shape[1]):
+                if not det.mask[f, b]:
+                    continue
+                # original px → stored-frame px for drawing
+                if scan.letterbox is not None:
+                    s, px, py = np.asarray(scan.letterbox)[f]
+                    x1, y1, x2, y2 = det.boxes[f, b] * s + [px, py, px, py]
+                else:
+                    sx, sy = S / wh[f, 0], S / wh[f, 1]
+                    x1, y1, x2, y2 = det.boxes[f, b] * [sx, sy, sx, sy]
+                lab = int(det.label[f, b])
+                color = self.colors.get(lab, (0, 255, 0))
+                cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, 2)
+                cv2.putText(
+                    img, self.names.get(lab, str(lab)),
+                    (int(x1), max(int(y1) - 6, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1,
+                )
+            cv2.imwrite(os.path.join(self.save_img, f"image_{f}.png"), img)

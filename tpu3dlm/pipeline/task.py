@@ -116,6 +116,9 @@ class Pipeline:
 
     def _detect_signs(self, scan: Scan) -> Detections:
         self.logger.info("Detecting Signs...")
+        save_img = self.cfg.processing_path if getattr(self.cfg, "view_img", False) else None
+        if save_img:
+            os.makedirs(save_img, exist_ok=True)
         detector = ObjectDetector(
             conf_thresh=self.cfg.conf_thresh,
             iou_thresh=self.cfg.iou_thresh,
@@ -125,6 +128,7 @@ class Pipeline:
             nc=getattr(self.cfg, "num_classes", 80),
             variant=getattr(self.cfg, "yolo_variant", "n"),
             variables=self._load_yolo_weights(),
+            save_img=save_img,
         )
         detections = detector(scan)
 
