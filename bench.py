@@ -55,7 +55,8 @@ def make_step(img_size: int, max_det: int):
     from tpu3dlm.mapper.projection import project_boxes
     from tpu3dlm.models.yolov10 import YOLOv10, postprocess
 
-    yolo = YOLOv10(nc=80, variant="n")
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    yolo = YOLOv10(nc=80, variant="n", dtype=dtype)
 
     def step(variables, rgb_u8, depth, intrinsics, rgb_size, poses):
         x = rgb_u8.astype(jnp.float32) / 255.0

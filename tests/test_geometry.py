@@ -178,3 +178,35 @@ class TestUnproject:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestSampledMedian:
+    def test_matches_exact_on_constant_region(self):
+        depth = np.full((64, 48), 2500.0, np.float32)
+        depth[10:30, 10:30] = 1200.0
+        bbox = jnp.array([12.0, 12.0, 28.0, 28.0])
+        exact, v1 = G.bbox_median_depth(jnp.array(depth), bbox)
+        sampled, v2 = G.bbox_sampled_median_depth(jnp.array(depth), bbox)
+        assert bool(v1) and bool(v2)
+        assert float(exact) == float(sampled) == 1200.0
+
+    def test_close_on_gradient_region(self, rng):
+        ys = np.linspace(1000, 3000, 64, dtype=np.float32)
+        depth = np.tile(ys[:, None], (1, 48))
+        bbox = jnp.array([5.0, 8.0, 40.0, 56.0])
+        exact, _ = G.bbox_median_depth(jnp.array(depth), bbox)
+        sampled, _ = G.bbox_sampled_median_depth(jnp.array(depth), bbox)
+        assert abs(float(exact) - float(sampled)) / float(exact) < 0.03
+
+    def test_ignores_holes(self):
+        depth = np.full((32, 32), 2000.0, np.float32)
+        depth[8:12, 8:12] = 0.0  # hole inside box
+        sampled, valid = G.bbox_sampled_median_depth(
+            jnp.array(depth), jnp.array([6.0, 6.0, 20.0, 20.0])
+        )
+        assert bool(valid) and float(sampled) == 2000.0
+
+    def test_all_invalid(self):
+        depth = jnp.zeros((16, 16))
+        _, valid = G.bbox_sampled_median_depth(depth, jnp.array([2.0, 2.0, 8.0, 8.0]))
+        assert not bool(valid)

@@ -92,7 +92,9 @@ def _project_one_box(
     )
 
     scaled = G.scale_bbox(bbox, rgb_size, depth_wh)
-    z_mm, z_valid = G.bbox_median_depth(depth, scaled)
+    # sampled median: exact on planar sign regions, ~50× cheaper than the
+    # full-image sort the exact median needs (see ops/geometry.py)
+    z_mm, z_valid = G.bbox_sampled_median_depth(depth, scaled)
     z = z_mm / scale_depth  # mm → metres
 
     corners = G.bbox_corners_2d(scaled)  # (4, 2)
