@@ -120,3 +120,16 @@ class TestEndToEnd:
         with open(cfg_gold.pickle_path, "rb") as f:
             saved = pickle.load(f)
         assert {"extract", "detect", "map"} <= set(saved["stage_times"])
+
+
+class TestResume:
+    def test_resume_skips_detect(self, env):
+        root, cfg_path = env
+        from tpu3dlm.pipeline.task import Pipeline
+
+        cfg_gold = ConfigLoader(cfg_path, "gold_std")
+        assert os.path.exists(cfg_gold.pickle_path)  # written by earlier test
+        p = Pipeline("gold_std", cfg_gold)
+        p.run(resume=True)
+        assert "detect" not in p.stage_times  # reused checkpointed detections
+        assert "map" in p.stage_times

@@ -254,3 +254,27 @@ def assert_tree_matches(converted: dict, reference: dict, prefix: str = "") -> l
 
     walk(converted, reference, prefix)
     return problems
+
+
+if __name__ == "__main__":  # checkpoint conversion CLI
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Convert a torch checkpoint (ultralytics YOLOv10 / HF "
+        "BEiT) to a framework-native msgpack checkpoint."
+    )
+    parser.add_argument("input", help=".pt/.bin/.safetensors torch checkpoint")
+    parser.add_argument("output", help="output .msgpack path")
+    parser.add_argument("--model", choices=["yolo", "beit"], required=True)
+    args = parser.parse_args()
+
+    sd = load_torch_state_dict(args.input)
+    if args.model == "yolo":
+        variables = convert_yolov10_state_dict(sd)
+    else:
+        variables = convert_beit_state_dict(sd)
+    save_flax_checkpoint(args.output, variables)
+    import jax
+
+    n = sum(int(np.prod(np.shape(v))) for v in jax.tree_util.tree_leaves(variables))
+    print(f"converted {args.model}: {n/1e6:.2f}M params → {args.output}")

@@ -54,9 +54,29 @@ class Pipeline:
         self.stage_times[name] = time.perf_counter() - t0
         return out
 
-    def run(self) -> dict:
+    def run(self, resume: bool = False) -> dict:
+        """Full pipeline; ``resume=True`` reuses detection results from the
+        stage checkpoint when present (the reference's de-facto resume
+        mechanism — every module __main__ restarts from the pickle,
+        SURVEY.md §4/§5) so a crash after the expensive detect stage doesn't
+        repeat it."""
         scan = self._timed("extract", self._extract_images)
-        detections = self._timed("detect", self._detect_signs, scan)
+        detections = None
+        if resume and os.path.exists(self.cfg.pickle_path):
+            try:
+                with open(self.cfg.pickle_path, "rb") as f:
+                    prior = pickle.load(f)
+                if "predictions" in prior:
+                    from tpu3dlm.data.scan import detections_from_frame_dict
+
+                    detections = detections_from_frame_dict(
+                        prior["predictions"], scan.num_frames
+                    )
+                    self.logger.info("Resumed detections from checkpoint.")
+            except Exception as e:
+                self.logger.warning("resume failed (%s); re-running detect", e)
+        if detections is None:
+            detections = self._timed("detect", self._detect_signs, scan)
         global_bboxes, optimised, pose_df = self._timed(
             "map", self._map_detected_objects, scan, detections
         )
@@ -116,6 +136,13 @@ class Pipeline:
 
     def _detect_signs(self, scan: Scan) -> Detections:
         self.logger.info("Detecting Signs...")
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16
+            if getattr(self.cfg, "infer_dtype", "bf16") == "bf16"
+            else jnp.float32
+        )
         save_img = self.cfg.processing_path if getattr(self.cfg, "view_img", False) else None
         if save_img:
             os.makedirs(save_img, exist_ok=True)
@@ -129,6 +156,7 @@ class Pipeline:
             variant=getattr(self.cfg, "yolo_variant", "n"),
             variables=self._load_yolo_weights(),
             save_img=save_img,
+            dtype=dtype,
         )
         detections = detector(scan)
 
@@ -137,6 +165,7 @@ class Pipeline:
             num_labels=len(labels),
             id2label={i: lab for i, lab in enumerate(labels)},
             variables=self._load_beit_weights(len(labels)),
+            dtype=dtype,
         )
         detections = classifier.classify_detections(scan, detections)
         self.logger.info("Inference Complete.")

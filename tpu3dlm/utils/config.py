@@ -52,6 +52,7 @@ _SCHEMA: dict[str, str] = {
     "damage_labels": "str",
     "mesh_devices": "int",
     "use_pallas": "bool",
+    "infer_dtype": "str",
 }
 
 
@@ -135,6 +136,7 @@ comparison_vis = false
 # TPU runtime
 mesh_devices = 1
 use_pallas = true
+infer_dtype = bf16
 """
 
 
