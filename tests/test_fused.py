@@ -1,0 +1,90 @@
+"""Fused-path tests: one-jit scan inference vs the staged pipeline."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dlm.data import synthetic
+from tpu3dlm.data.dataset import load_scan
+from tpu3dlm.mapper import project_detections
+from tpu3dlm.models.beit import BeitConfig
+from tpu3dlm.pipeline.classifier import DamageDetector
+from tpu3dlm.pipeline.detector import ObjectDetector
+from tpu3dlm.pipeline.fused import FusedScanRunner
+
+
+@pytest.fixture(scope="module")
+def scan(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scans"))
+    synthetic.generate_scan(root, "gold_std", num_frames=3)
+    base = os.path.join(root, "gold_std", "rtabmap_extract")
+    return load_scan(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(root, "gold_std", "poses.txt"),
+        img_size=128,
+    )
+
+
+SMALL_BEIT = BeitConfig(
+    image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+    intermediate_size=64, num_labels=2,
+)
+
+
+class TestFusedRunner:
+    def test_matches_staged_pipeline(self, scan):
+        """Fused single-jit path must agree with the staged path (same
+        weights, f32 both)."""
+        staged_det = ObjectDetector(
+            conf_thresh=0.3, img_size=128, batch_size=4, max_det=8, nc=3,
+        )
+        staged_clf = DamageDetector(config=SMALL_BEIT, batch_size=32)
+
+        fused = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=8, nc=3,
+            beit_config=SMALL_BEIT,
+            yolo_variables=staged_det.variables,
+            beit_variables=staged_clf.variables,
+            dtype=jnp.float32,
+        )
+
+        d1 = staged_clf.classify_detections(scan, staged_det(scan))
+        g1 = project_detections(scan, d1)
+        d2, g2 = fused(scan)
+
+        np.testing.assert_array_equal(np.asarray(d1.mask), np.asarray(d2.mask))
+        np.testing.assert_allclose(
+            np.asarray(d1.boxes), np.asarray(d2.boxes), atol=0.5
+        )
+        m = np.asarray(d1.mask)
+        np.testing.assert_allclose(
+            np.asarray(g1.corners)[m], np.asarray(g2.corners)[m], atol=0.02
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d1.damage)[m], np.asarray(d2.damage)[m]
+        )
+
+    def test_sharded_fused_runs(self, scan):
+        assert jax.device_count() >= 8
+        fused = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=4, nc=3,
+            beit_config=SMALL_BEIT, mesh_devices=8, dtype=jnp.float32,
+        )
+        det, gboxes = fused(scan)
+        assert det.boxes.shape == (3, 4, 4)
+        assert gboxes.corners.shape == (3, 4, 4, 3)
+
+    def test_letterbox_rejected(self, scan, tmp_path):
+        import dataclasses
+
+        lb_scan = dataclasses.replace(scan, letterbox=np.ones((3, 3), np.float32))
+        fused = FusedScanRunner(
+            img_size=128, max_det=4, nc=3, beit_config=SMALL_BEIT, dtype=jnp.float32
+        )
+        with pytest.raises(ValueError, match="letterbox"):
+            fused(lb_scan)

@@ -75,10 +75,16 @@ class Pipeline:
                     self.logger.info("Resumed detections from checkpoint.")
             except Exception as e:
                 self.logger.warning("resume failed (%s); re-running detect", e)
+        fused_gboxes = None
         if detections is None:
-            detections = self._timed("detect", self._detect_signs, scan)
+            if getattr(self.cfg, "fused_inference", False):
+                detections, fused_gboxes = self._timed(
+                    "detect", self._fused_inference, scan
+                )
+            else:
+                detections = self._timed("detect", self._detect_signs, scan)
         global_bboxes, optimised, pose_df = self._timed(
-            "map", self._map_detected_objects, scan, detections
+            "map", self._map_detected_objects, scan, detections, fused_gboxes
         )
 
         self.data_to_save = {
@@ -171,14 +177,40 @@ class Pipeline:
         self.logger.info("Inference Complete.")
         return detections
 
-    def _map_detected_objects(self, scan: Scan, detections: Detections):
+    def _fused_inference(self, scan: Scan):
+        """Single-jit detect+classify+project (pipeline/fused.py)."""
+        import jax.numpy as jnp
+
+        from tpu3dlm.models.beit import BeitConfig
+        from tpu3dlm.pipeline.fused import FusedScanRunner
+
+        labels = getattr(self.cfg, "damage_labels", "undamaged,damaged").split(",")
+        runner = FusedScanRunner(
+            img_size=self.cfg.img_size,
+            conf_thresh=self.cfg.conf_thresh,
+            max_det=getattr(self.cfg, "max_det", 64),
+            nc=getattr(self.cfg, "num_classes", 80),
+            variant=getattr(self.cfg, "yolo_variant", "n"),
+            beit_config=BeitConfig(num_labels=len(labels)),
+            yolo_variables=self._load_yolo_weights(),
+            beit_variables=self._load_beit_weights(len(labels)),
+            mesh_devices=getattr(self.cfg, "mesh_devices", 1),
+            dtype=jnp.bfloat16
+            if getattr(self.cfg, "infer_dtype", "bf16") == "bf16"
+            else jnp.float32,
+        )
+        return runner(scan)
+
+    def _map_detected_objects(self, scan: Scan, detections: Detections, fused_gboxes=None):
         self.logger.info("Extracting Pose Information...")
         ts, poses = load_poses(self.cfg.pose_path)
         pose_df = poses_to_dataframe(ts[: scan.num_frames], poses[: scan.num_frames])
         self.logger.info("Pose Information Extracted.")
 
         self.logger.info("Processing Pose...")
-        global_bboxes = project_detections(scan, detections)
+        global_bboxes = (
+            fused_gboxes if fused_gboxes is not None else project_detections(scan, detections)
+        )
         self.logger.info("Pose Processed.")
 
         self.logger.info("Executing 3D NMS...")

@@ -53,6 +53,7 @@ _SCHEMA: dict[str, str] = {
     "mesh_devices": "int",
     "use_pallas": "bool",
     "infer_dtype": "str",
+    "fused_inference": "bool",
 }
 
 
@@ -137,6 +138,7 @@ comparison_vis = false
 mesh_devices = 1
 use_pallas = true
 infer_dtype = bf16
+fused_inference = false
 """
 
 
