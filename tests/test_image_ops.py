@@ -130,3 +130,17 @@ class TestLetterboxScanRoundtrip:
         back = [(det_space[0] - px) / s, (det_space[1] - py) / s,
                 (det_space[2] - px) / s, (det_space[3] - py) / s]
         np.testing.assert_allclose(back, gt, rtol=1e-5)
+
+
+class TestRectifyMXU:
+    def test_matches_gather_rectifier(self, rng):
+        from tpu3dlm.ops.image import rectify_crops, rectify_crops_mxu
+
+        imgs = jnp.array(rng.uniform(0, 255, size=(2, 40, 50, 3)), jnp.float32)
+        boxes = jnp.array(
+            [[[5.0, 8.0, 30.0, 25.0], [0.0, 0.0, 49.0, 39.0]],
+             [[10.0, 10.0, 12.0, 12.0], [20.0, 5.0, 45.0, 35.0]]]
+        )
+        a = np.asarray(rectify_crops(imgs, boxes, out_hw=(16, 16)))
+        b = np.asarray(rectify_crops_mxu(imgs, boxes, out_hw=(16, 16)))
+        np.testing.assert_allclose(a, b, atol=1e-2)

@@ -129,3 +129,43 @@ def rectify_crops(
     """All frames × boxes → (F, B, h, w, C) rectified crops, one kernel."""
     per_frame = jax.vmap(_rectify_one, in_axes=(None, 0, None))
     return jax.vmap(per_frame, in_axes=(0, 0, None))(images, boxes, out_hw)
+
+
+def _interp_matrix(lo: jax.Array, hi: jax.Array, n_out: int, n_in: int) -> jax.Array:
+    """(n_out, n_in) linear-interpolation weights sampling [lo, hi] inclusive.
+
+    Row o holds the hat-function weights of source position
+    lo + o/(n_out-1)·(hi-lo): at most two nonzeros per row — but built dense
+    so the resample becomes a matmul (MXU) instead of a gather (VPU-hostile).
+    """
+    o = jnp.arange(n_out, dtype=jnp.float32) / max(n_out - 1, 1)
+    src = jnp.clip(lo + o * (hi - lo), 0.0, n_in - 1.0)  # (n_out,)
+    i = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - i))
+
+
+def _rectify_one_mxu(image: jax.Array, bbox: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Separable crop-resize as two matmuls: crop = Wy · img · Wxᵀ.
+
+    Same sample positions as `_rectify_one` (inclusive corner mapping), but
+    the resample rides the MXU — on TPU the dense (out, in) weight matmul
+    beats 50M scattered gathers by orders of magnitude.
+    """
+    h, w = out_hw
+    H, W, C = image.shape
+    Wy = _interp_matrix(bbox[1], bbox[3], h, H)  # (h, H)
+    Wx = _interp_matrix(bbox[0], bbox[2], w, W)  # (w, W)
+    img = image.astype(jnp.float32)
+    tmp = jnp.einsum("oH,HWC->oWC", Wy, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("pW,oWC->opC", Wx, tmp, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def rectify_crops_mxu(
+    images: jax.Array,  # (F, H, W, C)
+    boxes: jax.Array,  # (F, B, 4)
+    out_hw: tuple[int, int] = (224, 224),
+) -> jax.Array:
+    """MXU-matmul rectifier — drop-in for `rectify_crops` on TPU hot paths."""
+    per_frame = jax.vmap(_rectify_one_mxu, in_axes=(None, 0, None))
+    return jax.vmap(per_frame, in_axes=(0, 0, None))(images, boxes, out_hw)

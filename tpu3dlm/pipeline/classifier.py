@@ -20,7 +20,7 @@ import numpy as np
 
 from tpu3dlm.data.scan import Detections, Scan
 from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
-from tpu3dlm.ops.image import rectify_crops
+from tpu3dlm.ops.image import rectify_crops_mxu as rectify_crops
 
 
 class DamageDetector:
@@ -106,8 +106,15 @@ class DamageDetector:
         size = self.config.image_size
         crops = rectify_crops(rgb, jnp.asarray(boxes), out_hw=(size, size))
         crops = np.asarray(crops).reshape(-1, size, size, 3).astype(np.uint8)
-        ids = self.classify_crops(crops).reshape(F, -1)
-        damage = np.where(np.asarray(det.mask), ids, -1).astype(np.int32)
+
+        # classify only the valid crops — the padded slots are the vast
+        # majority and BEiT dominates the stage cost
+        mask_flat = np.asarray(det.mask).reshape(-1)
+        damage_flat = np.full(mask_flat.shape[0], -1, np.int32)
+        valid_idx = np.nonzero(mask_flat)[0]
+        if valid_idx.size:
+            damage_flat[valid_idx] = self.classify_crops(crops[valid_idx])
+        damage = damage_flat.reshape(F, -1)
         import dataclasses
 
         return dataclasses.replace(det, damage=damage)
