@@ -198,3 +198,25 @@ class TestDetectionsPytree:
         root, scene = scan_dir
         total = sum(len(v) for v in scene.gt_boxes_2d.values())
         assert total >= 6  # signs visible across frames
+
+
+class TestScanCache:
+    def test_cache_roundtrip_identical(self, scan_dir):
+        root, scene = scan_dir
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        kwargs = dict(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=160,
+        )
+        from tpu3dlm.data.dataset import load_scan as _ls
+
+        s1 = _ls(**kwargs, cache=True)  # builds + writes the pack
+        pack = os.path.join(base, "scan_160.pack")
+        assert os.path.exists(pack) or os.path.exists(pack + ".npz")
+        s2 = _ls(**kwargs, cache=True)  # reads the pack
+        np.testing.assert_array_equal(np.asarray(s1.rgb), np.asarray(s2.rgb))
+        np.testing.assert_array_equal(np.asarray(s1.depth), np.asarray(s2.depth))
+        np.testing.assert_array_equal(np.asarray(s1.poses), np.asarray(s2.poses))

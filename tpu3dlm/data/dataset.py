@@ -143,6 +143,7 @@ def load_scan(
     depth_width: int = 192,
     depth_height: int = 256,
     resize_mode: str = "square",
+    cache: bool = False,
 ) -> Scan:
     """Stack a full capture into a ``Scan`` pytree.
 
@@ -156,6 +157,25 @@ def load_scan(
     """
     if resize_mode not in ("square", "letterbox"):
         raise ValueError(f"resize_mode must be square|letterbox, got {resize_mode}")
+
+    # scanpack cache (native runtime loader): one sequential read instead of
+    # per-frame PNG/JPEG decodes on repeat loads (square mode only)
+    pack_path = os.path.join(
+        os.path.dirname(image_dir.rstrip("/")), f"scan_{img_size}.pack"
+    )
+    if cache and resize_mode == "square":
+        from tpu3dlm.native import scanpack_read
+
+        cached = scanpack_read(pack_path)
+        if cached is not None:
+            rgb, depth, intrinsics, rgb_size, poses7 = cached
+            timestamps, _ = load_poses(pose_path)
+            n = rgb.shape[0]
+            return Scan(
+                rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
+                poses=poses7, timestamps=timestamps[:n],
+            )
+
     pairs = _pair_filenames(image_dir, depth_image_dir)
     timestamps, poses = load_poses(pose_path)
     n = min(len(pairs), poses.shape[0])
@@ -185,6 +205,11 @@ def load_scan(
         )
         intrinsics[i] = [calib["fx"], calib["fy"], calib["cx"], calib["cy"]]
         rgb_size[i] = [calib["image_width"], calib["image_height"]]
+
+    if cache and resize_mode == "square":
+        from tpu3dlm.native import scanpack_write
+
+        scanpack_write(pack_path, rgb, depth, intrinsics, rgb_size, poses[:n])
 
     return Scan(
         rgb=rgb,

@@ -74,6 +74,18 @@ class ImageExtractor:
     def close(self):
         self.conn.close()
 
+    @staticmethod
+    def view_images(directory: str):  # pragma: no cover - interactive
+        """Preview the first extracted frame (reference
+        src/detector/database_query.py:44-57 parity; needs a display)."""
+        import os as _os
+
+        for image_name in sorted(_os.listdir(directory)):
+            image = cv2.imread(_os.path.join(directory, image_name))
+            cv2.imshow("Image", image)
+            cv2.waitKey(0)
+            break
+
 
 def reinterpret_depth(depth_u8: np.ndarray) -> np.ndarray:
     """CV_8UC4 (H, W, 4) uint8 → (H, W) float32 metres via byte reinterpret.
