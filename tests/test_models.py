@@ -146,6 +146,61 @@ class TestYoloConverter:
             np.testing.assert_array_equal(a, b)
 
 
+class TestYoloTorchGolden:
+    """Numeric golden: ultralytics-format torch YOLOv10 → converter → Flax
+    forward equivalence (VERDICT r1 item 3 — a wrong BN epsilon, padding, or
+    head-order assumption in the converter must fail here). Matches the
+    reference's loading of finetuned ultralytics checkpoints
+    (src/detector/detector.py:36)."""
+
+    @pytest.mark.parametrize("variant", ["n", "s"])
+    def test_forward_matches_torch(self, variant):
+        torch = pytest.importorskip("torch")
+        from torch_yolov10_ref import TorchYOLOv10, randomize_
+
+        tm = TorchYOLOv10(nc=8, variant=variant).eval()
+        randomize_(tm, seed=1)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        # ultralytics key-scheme spot checks (what a real best.pt contains)
+        for key in (
+            "model.0.conv.weight",
+            "model.2.m.0.cv1.conv.weight",
+            "model.2.cv1.bn.running_var",
+            "model.10.attn.qkv.conv.weight",
+            "model.23.cv2.0.2.bias",
+            "model.23.cv3.0.0.0.conv.weight",
+            "model.23.one2one_cv2.0.0.conv.weight",
+        ):
+            assert key in sd, key
+
+        variables = convert_yolov10_state_dict(sd)
+        model = YOLOv10(nc=8, variant=variant)
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        problems = assert_tree_matches(
+            variables["params"], jax.tree.map(np.asarray, ref["params"])
+        )
+        problems += assert_tree_matches(
+            variables["batch_stats"], jax.tree.map(np.asarray, ref["batch_stats"])
+        )
+        assert not problems, problems[:20]
+
+        rng = np.random.default_rng(3)
+        img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            o2m_t, o2o_t = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        out = model.apply(variables, jnp.array(img))
+        for branch, want in (("one2many", o2m_t), ("one2one", o2o_t)):
+            for f, t in zip(out[branch], want):
+                np.testing.assert_allclose(
+                    np.asarray(f).transpose(0, 3, 1, 2),
+                    t.numpy(),
+                    atol=5e-4,
+                    rtol=1e-3,
+                    err_msg=f"{variant}/{branch}",
+                )
+
+
 class TestBeit:
     def test_matches_hf_torch(self):
         """Random-weight HF torch BEiT vs converted Flax — logits must match."""
