@@ -56,12 +56,15 @@ class TestShardedInference:
         yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
         beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
+        from tpu3dlm.parallel.inference import square_box_affine
+
         step = sharded_full_scan_step(mesh8, yolo, beit, img_size=S, max_det=4)
         yolo_r = replicate(yolo_vars, mesh8)
         beit_r = replicate(beit_vars, mesh8)
         batch = shard_batch(
             (jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
-             jnp.asarray(rgb_size), jnp.asarray(poses)),
+             jnp.asarray(rgb_size), jnp.asarray(poses),
+             jnp.asarray(square_box_affine(rgb_size, S))),
             mesh8,
         )
         out = step(yolo_r, beit_r, *batch)
@@ -87,17 +90,19 @@ class TestShardedInference:
         yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
         beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
-        from tpu3dlm.parallel.inference import full_scan_step_fn
+        from tpu3dlm.parallel.inference import full_scan_step_fn, square_box_affine
 
+        affine = jnp.asarray(square_box_affine(rgb_size, S))
         single = jax.jit(full_scan_step_fn(yolo, beit, S, 4, 0.25))
         want = single(yolo_vars, beit_vars, jnp.asarray(rgb), jnp.asarray(depth),
-                      jnp.asarray(intr), jnp.asarray(rgb_size), jnp.asarray(poses))
+                      jnp.asarray(intr), jnp.asarray(rgb_size), jnp.asarray(poses),
+                      affine)
 
         step = sharded_full_scan_step(mesh8, yolo, beit, img_size=S, max_det=4)
         got = step(
             replicate(yolo_vars, mesh8), replicate(beit_vars, mesh8),
             *shard_batch((jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
-                          jnp.asarray(rgb_size), jnp.asarray(poses)), mesh8),
+                          jnp.asarray(rgb_size), jnp.asarray(poses), affine), mesh8),
         )
         np.testing.assert_allclose(
             np.asarray(got["corners"]), np.asarray(want["corners"]), atol=1e-4

@@ -15,8 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from tpu3dlm.models.beit import BeitClassifier, preprocess_crops
 
@@ -50,7 +50,7 @@ def make_beit_train_step(
         mesh=mesh,
         in_specs=(P(), P(), b, b),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
@@ -109,6 +109,6 @@ def make_yolo_train_step(
         mesh=mesh,
         in_specs=(P(), P(), b, b, b, b),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

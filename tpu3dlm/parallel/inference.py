@@ -40,9 +40,17 @@ def full_scan_step_fn(
     F×max_det padded slots — the classifier is the FLOPs giant of the step
     (BEiT-base ≈ 17 GFLOPs/crop vs YOLOv10-n ≈ 7 GFLOPs/frame), and real
     scans have far fewer confident boxes than padding slots.
+
+    ``box_affine`` (F, 4) [sx, sy, px, py] is the original→detector pixel
+    map (x_det = x·sx + px); plain square resize is [S/w, S/h, 0, 0] and an
+    ultralytics-style letterbox is [s, s, pad_x, pad_y], so letterboxed
+    scans (what converted finetuned checkpoints expect,
+    data/dataset.py:150-156) run through the same fused program.
     """
 
-    def step(yolo_vars, beit_vars, rgb_u8, depth, intrinsics, rgb_size, poses):
+    def step(
+        yolo_vars, beit_vars, rgb_u8, depth, intrinsics, rgb_size, poses, box_affine
+    ):
         x = rgb_u8.astype(jnp.float32) / 255.0
         raw = yolo.apply(yolo_vars, x)["one2one"]
         det = postprocess(raw, img_size=img_size, max_det=max_det)
@@ -52,13 +60,42 @@ def full_scan_step_fn(
         size = beit.cfg.image_size
         F, D = boxes_sq.shape[0], boxes_sq.shape[1]
 
+        # detector pixels → original pixels (inverse of box_affine), clipped
+        # to the frame — letterbox pads can land boxes outside the content
+        sx = box_affine[:, None, 0]
+        sy = box_affine[:, None, 1]
+        px = box_affine[:, None, 2]
+        py = box_affine[:, None, 3]
+        w = rgb_size[:, None, 0]
+        h = rgb_size[:, None, 1]
+        boxes_px = jnp.stack(
+            [
+                jnp.clip((boxes_sq[..., 0] - px) / sx, 0.0, w),
+                jnp.clip((boxes_sq[..., 1] - py) / sy, 0.0, h),
+                jnp.clip((boxes_sq[..., 2] - px) / sx, 0.0, w),
+                jnp.clip((boxes_sq[..., 3] - py) / sy, 0.0, h),
+            ],
+            axis=-1,
+        )
+        # clipped boxes back in detector pixels — the crop source (keeps the
+        # staged and fused paths byte-identical on edge boxes)
+        boxes_rect = jnp.stack(
+            [
+                boxes_px[..., 0] * sx + px,
+                boxes_px[..., 1] * sy + py,
+                boxes_px[..., 2] * sx + px,
+                boxes_px[..., 3] * sy + py,
+            ],
+            axis=-1,
+        )
+
         # select the crop budget FIRST, then rectify only those k crops —
         # both the MXU resample and BEiT scale with k, not F×D
         k = min(crop_budget, F * D)
         flat_conf = jnp.where(mask, det["conf"], -1.0).reshape(F * D)
         top_conf, top_idx = jax.lax.top_k(flat_conf, k)
         frame_idx = top_idx // D
-        sel_boxes = boxes_sq.reshape(F * D, 4)[top_idx]
+        sel_boxes = boxes_rect.reshape(F * D, 4)[top_idx]
         sel_frames = x[frame_idx]  # (k, S, S, 3)
         sel_crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
             sel_frames, sel_boxes, (size, size)
@@ -71,19 +108,6 @@ def full_scan_step_fn(
             .at[top_idx]
             .set(jnp.where(top_conf >= conf_thresh, ids, -1))
             .reshape(F, D)
-        )
-
-        # detector pixels → original pixels
-        sx = (rgb_size[:, 0] / img_size)[:, None]
-        sy = (rgb_size[:, 1] / img_size)[:, None]
-        boxes_px = jnp.stack(
-            [
-                boxes_sq[..., 0] * sx,
-                boxes_sq[..., 1] * sy,
-                boxes_sq[..., 2] * sx,
-                boxes_sq[..., 3] * sy,
-            ],
-            axis=-1,
         )
         corners, valid = project_boxes(
             boxes_px, mask, depth, intrinsics, rgb_size, poses
@@ -121,6 +145,15 @@ def sharded_full_scan_step(
     sb = NamedSharding(mesh, b)
     return jax.jit(
         step,
-        in_shardings=(rep, rep, sb, sb, sb, sb, sb),
+        in_shardings=(rep, rep, sb, sb, sb, sb, sb, sb),
         out_shardings=sb,
     )
+
+
+def square_box_affine(rgb_size, img_size: int):
+    """(F, 2) original w/h → (F, 4) [sx, sy, 0, 0] square-resize affine."""
+    import numpy as np
+
+    wh = np.asarray(rgb_size, np.float32)
+    z = np.zeros(len(wh), np.float32)
+    return np.stack([img_size / wh[:, 0], img_size / wh[:, 1], z, z], axis=-1)

@@ -20,7 +20,7 @@ import numpy as np
 
 from tpu3dlm.data.scan import Detections, Scan
 from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
-from tpu3dlm.ops.image import rectify_crops_mxu as rectify_crops
+from tpu3dlm.ops.image import _rectify_one_mxu
 
 
 class DamageDetector:
@@ -65,6 +65,24 @@ class DamageDetector:
 
         self._classify_batch = _classify_batch
 
+        size = self.config.image_size
+
+        @jax.jit
+        def _rectify_classify_batch(variables, frames_u8, boxes):
+            """Fused rectify→classify on a fixed-size batch of selected
+            (frame, box) pairs — same select-then-rectify recipe as the
+            fused path (parallel/inference.py), so the staged stage never
+            materialises F×max_boxes crops."""
+            x = frames_u8.astype(jnp.float32) / 255.0
+            crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
+                x, boxes, (size, size)
+            )
+            crops_u8 = jnp.clip(crops * 255.0, 0, 255).astype(jnp.uint8)
+            logits = self.model.apply(variables, preprocess_crops(crops_u8))
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._rectify_classify_batch = _rectify_classify_batch
+
     def classify_crops(self, crops: np.ndarray) -> np.ndarray:
         """(N, S, S, 3) uint8 crops → (N,) int32 class ids, chunked on device."""
         N = crops.shape[0]
@@ -82,13 +100,13 @@ class DamageDetector:
         return out
 
     def classify_detections(self, scan: Scan, det: Detections) -> Detections:
-        """Rectify every detection crop and classify; fills `det.damage`.
+        """Rectify each valid detection crop and classify; fills `det.damage`.
 
         Boxes are in original-image pixels; scan.rgb is stored at detector
         resolution, so boxes are rescaled before cropping.
         """
-        rgb = jnp.asarray(scan.rgb)
-        F, S = rgb.shape[0], rgb.shape[1]
+        rgb_np = np.asarray(scan.rgb)
+        F, S = rgb_np.shape[0], rgb_np.shape[1]
         wh = np.asarray(scan.rgb_size)
         boxes = np.asarray(det.boxes).copy()
         if scan.letterbox is not None:  # original px → letterboxed frame px
@@ -103,17 +121,32 @@ class DamageDetector:
             boxes[..., 1] *= (S / wh[:, 1])[:, None]
             boxes[..., 3] *= (S / wh[:, 1])[:, None]
 
-        size = self.config.image_size
-        crops = rectify_crops(rgb, jnp.asarray(boxes), out_hw=(size, size))
-        crops = np.asarray(crops).reshape(-1, size, size, 3).astype(np.uint8)
-
-        # classify only the valid crops — the padded slots are the vast
-        # majority and BEiT dominates the stage cost
-        mask_flat = np.asarray(det.mask).reshape(-1)
+        # select THEN rectify: only valid (frame, box) pairs reach the MXU
+        # resample and BEiT — the padded slots are the vast majority
+        mask = np.asarray(det.mask)
+        mask_flat = mask.reshape(-1)
         damage_flat = np.full(mask_flat.shape[0], -1, np.int32)
         valid_idx = np.nonzero(mask_flat)[0]
         if valid_idx.size:
-            damage_flat[valid_idx] = self.classify_crops(crops[valid_idx])
+            frame_idx = valid_idx // mask.shape[1]
+            boxes_sel = boxes.reshape(-1, 4)[valid_idx]
+            bs = self.batch_size
+            for start in range(0, valid_idx.size, bs):
+                idx = valid_idx[start : start + bs]
+                fi = frame_idx[start : start + bs]
+                bsel = boxes_sel[start : start + bs]
+                n_valid = idx.size
+                if n_valid < bs:  # pad to keep one compile shape
+                    fi = np.concatenate([fi, np.zeros(bs - n_valid, fi.dtype)])
+                    bsel = np.concatenate(
+                        [bsel, np.zeros((bs - n_valid, 4), bsel.dtype)]
+                    )
+                ids = np.asarray(
+                    self._rectify_classify_batch(
+                        self.variables, jnp.asarray(rgb_np[fi]), jnp.asarray(bsel)
+                    )
+                )
+                damage_flat[idx] = ids[:n_valid]
         damage = damage_flat.reshape(F, -1)
         import dataclasses
 

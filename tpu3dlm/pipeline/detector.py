@@ -120,7 +120,13 @@ class ObjectDetector:
                 [boxes[..., 0] * sx, boxes[..., 1] * sy,
                  boxes[..., 2] * sx, boxes[..., 3] * sy],
                 axis=-1,
-            ).astype(np.float32)
+            )
+            # clip to the frame — parity with the reference, whose YOLO-txt
+            # normalized coordinates are inherently within the image
+            # (src/detector/detector.py:136-157)
+            boxes[..., [0, 2]] = np.clip(boxes[..., [0, 2]], 0, wh[:, None, 0:1])
+            boxes[..., [1, 3]] = np.clip(boxes[..., [1, 3]], 0, wh[:, None, 1:2])
+            boxes = boxes.astype(np.float32)
 
         mask = conf >= self.conf_thresh
         det = Detections(

@@ -74,18 +74,19 @@ class FusedScanRunner:
 
     def __call__(self, scan: Scan) -> tuple[Detections, GlobalBoxes]:
         if scan.letterbox is not None:
-            raise ValueError(
-                "FusedScanRunner projects boxes with the square-resize "
-                "mapping baked into the device program; load the scan with "
-                "resize_mode='square' or use the staged pipeline for "
-                "letterboxed scans."
-            )
+            lb = np.asarray(scan.letterbox, np.float32)  # (F, 3) s, px, py
+            affine = np.stack([lb[:, 0], lb[:, 0], lb[:, 1], lb[:, 2]], axis=-1)
+        else:
+            from tpu3dlm.parallel.inference import square_box_affine
+
+            affine = square_box_affine(scan.rgb_size, self.img_size)
         args = (
             jnp.asarray(scan.rgb),
             jnp.asarray(scan.depth),
             jnp.asarray(scan.intrinsics),
             jnp.asarray(scan.rgb_size),
             jnp.asarray(scan.poses),
+            jnp.asarray(affine),
         )
         F = scan.num_frames
         if self.mesh is not None:
