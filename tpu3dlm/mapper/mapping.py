@@ -85,20 +85,32 @@ class Mapping:
             self._visualiser(self._to_o3d())
         return self.points
 
-    def make_mesh(self, output_path: str | None = None):
+    def make_mesh(
+        self, output_path: str | None = None, voxel: float = 0.04
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Surface-reconstruct the (preprocessed) cloud → triangle mesh.
+
+        Dependency-free: density splat + marching tetrahedra
+        (mapper/meshing.py) replaces the reference's Open3D Poisson recipe
+        (mapping.py:121-137). When Open3D IS present the interactive
+        visualiser still shows the Poisson mesh for presentation parity.
+        Returns ((V, 3) vertices, (F, 3) faces).
+        """
+        from tpu3dlm.data.ply import save_ply_mesh
+        from tpu3dlm.mapper.meshing import mesh_point_cloud
+
         if self.preprocess_point_cloud:
             self.preprocess()
-        if _o3d is None:
-            self.logger.warning(
-                "Open3D unavailable — Poisson meshing skipped; returning the "
-                "preprocessed point cloud (analysis output is unaffected)."
-            )
-            if output_path:
-                save_ply(output_path, self.points, self.colors)
-            return self.points
-        mesh = self._poisson_mesh()
-        self._visualiser(mesh)
-        return mesh
+        verts, faces = mesh_point_cloud(self.points, voxel=voxel)
+        self.logger.info(
+            "meshed %d points → %d vertices / %d triangles",
+            len(self.points), len(verts), len(faces),
+        )
+        if output_path:
+            save_ply_mesh(output_path, verts, faces)
+        if _o3d is not None:  # presentation extra: Poisson + interactive view
+            self._visualiser(self._poisson_mesh())
+        return verts, faces
 
     def box_line_sets(self) -> list[np.ndarray]:
         """All overlay boxes as (8, 3) corner arrays (green optimised set)."""

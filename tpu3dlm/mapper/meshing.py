@@ -1,0 +1,348 @@
+"""Dependency-free surface meshing: TSDF fusion (JAX) + marching tetrahedra.
+
+Replaces the reference's Open3D normal-estimation + Poisson reconstruction
+(src/mapper/mapping.py:121-137) — Open3D is absent from the TPU image, so a
+"mesh" output must not depend on it. Two scalar fields feed one host
+triangulator:
+
+* `tsdf_from_scan` — TPU-native truncated-signed-distance fusion of the
+  scan's depth frames over a dense voxel grid: one `lax.scan` over frames,
+  each step a fully-vectorised project-sample-integrate over all voxels
+  (dense math XLA tiles well; no pointer-chasing octrees).
+* `density_field` — trilinear point-splat density for meshing a bare PLY
+  cloud (the reference meshes cloud.ply without depth frames); iso-surface
+  of the smoothed density is a shell around the points.
+
+`marching_tetrahedra` extracts the iso-surface on host: each grid cube
+splits into 6 tetrahedra around the main diagonal, each tetrahedron emits
+0-2 triangles from a 16-case rule — far simpler than marching cubes' 256
+cases, fully vectorised over all cubes with numpy, and watertight across
+the consistent tiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 6-tetrahedra decomposition of the unit cube around diagonal 0-7.
+# Cube corner k has offset (k&1, (k>>1)&1, (k>>2)&1); the cycle
+# 1→3→2→6→4→5→1 walks cube edges, so every tet (0, a, b, 7) is valid and
+# the tiling is consistent across neighbouring cubes.
+_CUBE_OFFSETS = np.array(
+    [[(k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1] for k in range(8)], np.float32
+)
+_TETS = np.array(
+    [[0, 1, 3, 7], [0, 3, 2, 7], [0, 2, 6, 7], [0, 6, 4, 7], [0, 4, 5, 7], [0, 5, 1, 7]],
+    np.int32,
+)
+# tet edge list (pairs of tet-local vertex ids 0..3)
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int32
+)
+
+
+def _edge_id(a: int, b: int) -> int:
+    for e, (u, v) in enumerate(_TET_EDGES):
+        if (u, v) == (min(a, b), max(a, b)):
+            return e
+    raise ValueError
+
+
+def _case_triangles() -> list[list[tuple[int, int, int]]]:
+    """16-entry table: inside-bitmask → triangles as triples of tet-edge ids."""
+    table: list[list[tuple[int, int, int]]] = []
+    for mask in range(16):
+        inside = [v for v in range(4) if mask & (1 << v)]
+        outside = [v for v in range(4) if not mask & (1 << v)]
+        tris: list[tuple[int, int, int]] = []
+        if len(inside) == 1:
+            v = inside[0]
+            a, b, c = outside
+            tris = [(_edge_id(v, a), _edge_id(v, b), _edge_id(v, c))]
+        elif len(inside) == 3:
+            v = outside[0]
+            a, b, c = inside
+            tris = [(_edge_id(v, a), _edge_id(v, b), _edge_id(v, c))]
+        elif len(inside) == 2:
+            i, j = inside
+            k, l = outside  # noqa: E741
+            e_ik, e_il = _edge_id(i, k), _edge_id(i, l)
+            e_jk, e_jl = _edge_id(j, k), _edge_id(j, l)
+            # quad ik-il-jl-jk → two triangles
+            tris = [(e_ik, e_il, e_jl), (e_ik, e_jl, e_jk)]
+        table.append(tris)
+    return table
+
+
+_CASE_TRIS = _case_triangles()
+
+
+def marching_tetrahedra(
+    field: np.ndarray,  # (Nx, Ny, Nz) scalar field
+    iso: float,
+    origin: np.ndarray,  # (3,) world position of voxel (0,0,0)
+    voxel: float,
+    weld: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Iso-surface of `field` at `iso` → ((V, 3) vertices, (F, 3) faces).
+
+    Fully vectorised: all cubes × 6 tets classified at once; each non-trivial
+    case batch emits its triangles via edge interpolation.
+    """
+    field = np.asarray(field, np.float32)
+    nx, ny, nz = field.shape
+    if min(nx, ny, nz) < 2:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    # cube corner values: (nx-1, ny-1, nz-1, 8)
+    cv = np.empty((nx - 1, ny - 1, nz - 1, 8), np.float32)
+    for k in range(8):
+        dx, dy, dz = (int(v) for v in _CUBE_OFFSETS[k])
+        cv[..., k] = field[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+    cv = cv.reshape(-1, 8)
+
+    # skip cubes the surface cannot cross; NaN corners mark unobserved
+    # voxels (e.g. space occluded in every TSDF frame) — meshing through
+    # them would fabricate phantom back-surfaces
+    with np.errstate(invalid="ignore"):
+        crossing = (
+            np.isfinite(cv).all(axis=1) & (cv.min(axis=1) <= iso) & (cv.max(axis=1) > iso)
+        )
+    cube_idx = np.nonzero(crossing)[0]
+    if cube_idx.size == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    cv = cv[cube_idx]  # (C, 8)
+
+    gx, gy = ny - 1, nz - 1
+    ci = cube_idx // (gx * gy)
+    cj = (cube_idx // gy) % gx
+    ck = cube_idx % gy
+    base = np.stack([ci, cj, ck], axis=1).astype(np.float32)  # (C, 3)
+    corner_pos = base[:, None, :] + _CUBE_OFFSETS[None]  # (C, 8, 3) grid units
+
+    # per-tet values and positions: (C, 6, 4[, 3])
+    tv = cv[:, _TETS]
+    tp = corner_pos[:, _TETS]
+    tv = tv.reshape(-1, 4)
+    tp = tp.reshape(-1, 4, 3)
+
+    inside = tv > iso
+    case = (
+        inside[:, 0] * 1 + inside[:, 1] * 2 + inside[:, 2] * 4 + inside[:, 3] * 8
+    ).astype(np.int32)
+
+    # edge intersection points for every tet: (T, 6, 3)
+    a = _TET_EDGES[:, 0]
+    b = _TET_EDGES[:, 1]
+    va, vb = tv[:, a], tv[:, b]  # (T, 6)
+    denom = vb - va
+    t = np.where(np.abs(denom) > 1e-12, (iso - va) / np.where(denom == 0, 1, denom), 0.5)
+    t = np.clip(t, 0.0, 1.0)
+    pa, pb = tp[:, a], tp[:, b]  # (T, 6, 3)
+    epts = pa + t[..., None] * (pb - pa)
+
+    tris = []
+    for c in range(1, 15):
+        rows = np.nonzero(case == c)[0]
+        if rows.size == 0:
+            continue
+        for e0, e1, e2 in _CASE_TRIS[c]:
+            tris.append(np.stack([epts[rows, e0], epts[rows, e1], epts[rows, e2]], axis=1))
+    if not tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tri_pts = np.concatenate(tris)  # (M, 3, 3) in grid units
+
+    verts = tri_pts.reshape(-1, 3) * voxel + np.asarray(origin, np.float32)[None]
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    if weld:
+        key = np.round(verts / (voxel * 1e-3)).astype(np.int64)
+        _, first, inv = np.unique(
+            key, axis=0, return_index=True, return_inverse=True
+        )
+        verts = verts[first]
+        faces = inv[faces].astype(np.int32)
+        # drop degenerate triangles collapsed by welding
+        ok = (
+            (faces[:, 0] != faces[:, 1])
+            & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2])
+        )
+        faces = faces[ok]
+    return verts.astype(np.float32), faces
+
+
+def density_field(
+    points: np.ndarray,
+    voxel: float = 0.04,
+    pad: int = 2,
+    max_voxels: int = 40_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Trilinear point-splat density grid → (field (Nx,Ny,Nz), origin (3,)).
+
+    Each point distributes unit mass to its 8 surrounding voxel corners;
+    the iso-surface of the result at ~0.5·median(nonzero) is a tight shell
+    around the cloud.
+    """
+    pts = np.asarray(points, np.float32)
+    lo = pts.min(axis=0) - pad * voxel
+    hi = pts.max(axis=0) + pad * voxel
+    dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+    while int(dims.prod()) > max_voxels:
+        voxel *= 1.26  # ~2x volume per step
+        dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+    nx, ny, nz = (int(d) for d in dims)
+
+    g = (pts - lo) / voxel
+    g0 = np.floor(g).astype(np.int64)
+    frac = g - g0
+    flat = np.zeros(nx * ny * nz, np.float32)
+    for k in range(8):
+        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        idx = (
+            np.clip(g0[:, 0] + dx, 0, nx - 1) * (ny * nz)
+            + np.clip(g0[:, 1] + dy, 0, ny - 1) * nz
+            + np.clip(g0[:, 2] + dz, 0, nz - 1)
+        )
+        np.add.at(flat, idx, w)
+    return flat.reshape(nx, ny, nz), lo
+
+
+def mesh_point_cloud(
+    points: np.ndarray,
+    voxel: float = 0.04,
+    iso_quantile: float = 0.35,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Point cloud → shell mesh ((V,3) verts, (F,3) faces), no dependencies.
+
+    The dependency-free stand-in for the reference's Poisson pipeline
+    (mapping.py:121-137): density splat + marching tetrahedra.
+    """
+    field, origin = density_field(points, voxel)
+    nz = field[field > 0]
+    if nz.size == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    iso = float(np.quantile(nz, iso_quantile))
+    return marching_tetrahedra(field, iso, origin, voxel)
+
+
+# ---------------------------------------------------------------------------
+# TSDF fusion (JAX — runs on the device, one scan over frames)
+# ---------------------------------------------------------------------------
+
+
+def tsdf_from_scan(
+    scan,
+    voxel: float = 0.04,
+    trunc: float | None = None,
+    bounds: tuple[np.ndarray, np.ndarray] | None = None,
+    max_voxels: int = 20_000_000,
+):
+    """Fuse a Scan's depth frames into a TSDF grid.
+
+    Returns (tsdf (Nx,Ny,Nz) float32 in [-1,1], origin (3,), voxel).
+    Mesh it with `marching_tetrahedra(tsdf, 0.0, origin, voxel)`.
+
+    TPU-native form of depth-map fusion: voxel centres are a dense (N, 3)
+    array; each `lax.scan` step projects ALL voxels into one frame
+    (pose → camera → pixel), gathers nearest-pixel depth, and integrates a
+    truncated SDF with running weights. No octree, no host loop over voxels.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dlm.ops import geometry as G
+
+    trunc = trunc if trunc is not None else 4 * voxel
+    depth = np.asarray(scan.depth, np.float32)  # (F, Hd, Wd) mm
+    F, Hd, Wd = depth.shape
+    intr = np.asarray(scan.intrinsics, np.float32)
+    wh = np.asarray(scan.rgb_size, np.float32)
+    poses = np.asarray(scan.poses, np.float32)
+
+    # intrinsics at depth resolution (reference pose_processor.py:133-137)
+    s = wh[:, 0] / Wd
+    intr_d = intr / s[:, None]
+
+    if bounds is None:
+        # estimate bounds from a sparse unprojection of every frame
+        sub = 8
+        pts = []
+        for f in range(F):
+            d = depth[f, ::sub, ::sub] / 1000.0
+            vv, uu = np.mgrid[0:Hd:sub, 0:Wd:sub].astype(np.float32)
+            ok = d > 1e-4
+            if not ok.any():
+                continue
+            fx, fy, cx, cy = intr_d[f]
+            X = (uu[ok] - cx) / fx * d[ok]
+            Y = (vv[ok] - cy) / fy * d[ok]
+            cam = np.stack([X, Y, d[ok]], axis=1)
+            T = np.asarray(G.pose_to_matrix(poses[f]))
+            pts.append(cam @ T[:3, :3].T + T[:3, 3])
+        if not pts:
+            raise ValueError("scan has no valid depth to fuse")
+        cloud = np.concatenate(pts)
+        lo = cloud.min(axis=0) - 2 * voxel
+        hi = cloud.max(axis=0) + 2 * voxel
+    else:
+        lo, hi = (np.asarray(b, np.float32) for b in bounds)
+
+    dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+    while int(dims.prod()) > max_voxels:
+        voxel *= 1.26
+        trunc = 4 * voxel
+        dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+    nx, ny, nz = (int(d) for d in dims)
+
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(nx), jnp.arange(ny), jnp.arange(nz), indexing="ij"
+    )
+    centers = (
+        jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(jnp.float32) * voxel
+        + jnp.asarray(lo)[None]
+    )  # (N, 3)
+
+    def integrate(carry, frame):
+        tsdf_sum, w_sum = carry
+        pose, fxfycxcy, dframe = frame
+        T = G.pose_to_matrix(pose)
+        E = G.invert_se3(T)
+        cam = centers @ E[:3, :3].T + E[:3, 3]
+        z = cam[:, 2]
+        fx, fy, cx, cy = fxfycxcy[0], fxfycxcy[1], fxfycxcy[2], fxfycxcy[3]
+        u = cam[:, 0] / jnp.maximum(z, 1e-6) * fx + cx
+        v = cam[:, 1] / jnp.maximum(z, 1e-6) * fy + cy
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, Wd - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, Hd - 1)
+        in_view = (z > 1e-3) & (u >= 0) & (u <= Wd - 1) & (v >= 0) & (v <= Hd - 1)
+        d = dframe[vi, ui] / 1000.0
+        sdf = d - z
+        w = (in_view & (d > 1e-4) & (sdf > -trunc)).astype(jnp.float32)
+        t = jnp.clip(sdf / trunc, -1.0, 1.0)
+        return (tsdf_sum + w * t, w_sum + w), None
+
+    @jax.jit
+    def fuse(poses_j, intr_j, depth_j):
+        init = (jnp.zeros(centers.shape[0]), jnp.zeros(centers.shape[0]))
+        (tsdf_sum, w_sum), _ = jax.lax.scan(
+            integrate, init, (poses_j, intr_j, depth_j)
+        )
+        # unobserved voxels become NaN — marching_tetrahedra skips cubes
+        # touching them, so occluded space can't grow phantom back-surfaces
+        return jnp.where(w_sum > 0, tsdf_sum / jnp.maximum(w_sum, 1e-6), jnp.nan)
+
+    field = np.asarray(
+        fuse(jnp.asarray(poses), jnp.asarray(intr_d), jnp.asarray(depth))
+    ).reshape(nx, ny, nz)
+    return field, lo.astype(np.float32), voxel
+
+
+def mesh_scan(scan, voxel: float = 0.04) -> tuple[np.ndarray, np.ndarray]:
+    """Scan → fused TSDF → triangle mesh ((V,3), (F,3))."""
+    field, origin, voxel = tsdf_from_scan(scan, voxel)
+    return marching_tetrahedra(field, 0.0, origin, voxel)
