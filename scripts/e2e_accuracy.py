@@ -1,0 +1,76 @@
+"""End-to-end accuracy loop: finetune → detect → map → align → match vs GT.
+
+Closes the loop the reference leaves to offline tooling: the framework
+finetunes its own YOLOv10 + BEiT on a synthetic scan's ground truth
+(pipeline/selftrain.py), runs the FULL pipeline (gold standard, then
+maintenance with a rigid world offset and one sign removed), and asserts
+the outputs equal the scene ground truth (pipeline/evaluate.py).
+
+Run on TPU (training dominates; a few minutes) or CPU (--cpu, slow):
+    PYTHONPATH=. python scripts/e2e_accuracy.py --out-dir tests/fixtures
+The written checkpoints are committed as tests/fixtures/* so CI re-runs the
+inference+mapping+matching half of this loop on every push
+(tests/test_e2e_accuracy.py).
+
+Last TPU run (v5e-1, 300 steps, 2026-08-16):
+    training: 387s (compile-dominated; steps are ms-scale)
+    {"placement_errors_m": {"0": 0.0123, "1": 0.0106, "2": 0.0872},
+     "missing_flagged": 1, "rows": 3}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out-dir", default=os.path.join(tempfile.gettempdir(), "tpu3dlm_e2e_ckpt"))
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--beit-steps", type=int, default=80)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse checkpoints already in --out-dir")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu3dlm.models.beit import BeitConfig
+    from tpu3dlm.pipeline.evaluate import BEIT_KW, IMG_SIZE, NC, make_project, verify
+    from tpu3dlm.pipeline.selftrain import finetune_synthetic
+
+    root = tempfile.mkdtemp(prefix="tpu3dlm_e2e_")
+    yolo_ckpt = os.path.join(args.out_dir, "yolo_synthetic.msgpack")
+    beit_ckpt = os.path.join(args.out_dir, "beit_synthetic.msgpack")
+    cfg_path, data_root, gold, _ = make_project(root, yolo_ckpt, beit_ckpt)
+
+    if not args.skip_train or not os.path.exists(yolo_ckpt):
+        t0 = time.time()
+        y, b = finetune_synthetic(
+            os.path.join(data_root, "gold_std"), args.out_dir,
+            img_size=IMG_SIZE, yolo_steps=args.steps, yolo_lr=2e-3,
+            beit_steps=args.beit_steps, beit_lr=1e-3,
+            beit_config=BeitConfig(**BEIT_KW), nc=NC,
+        )
+        os.replace(y, yolo_ckpt)
+        os.replace(b, beit_ckpt)
+        print(f"training: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    t0 = time.time()
+    report = verify(cfg_path, gold)
+    report["verify_seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

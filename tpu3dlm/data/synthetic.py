@@ -72,6 +72,8 @@ class SyntheticScene:
     depth_wh: tuple[int, int]
     intrinsics: tuple[float, float, float, float]  # fx, fy, cx, cy at RGB res
     gt_boxes_2d: dict[int, list[list[float]]]  # frame → [[x1,y1,x2,y2,conf,label]]
+    gt_damage_2d: dict[int, list[int]] = dataclasses.field(default_factory=dict)
+    # frame → damage class per gt_boxes_2d row (the sign's ground truth)
 
 
 def default_signs() -> list[Sign]:
@@ -223,6 +225,7 @@ def generate_scan(
     conn.execute("CREATE TABLE Data (id INTEGER PRIMARY KEY, image BLOB, depth BLOB)")
 
     gt_boxes: dict[int, list[list[float]]] = {}
+    gt_damage: dict[int, list[int]] = {}
     for f in range(num_frames):
         cam_t = poses[f, :3].copy()
         R = _rotmat_z(float(yaws[f]))
@@ -251,11 +254,14 @@ def generate_scan(
         )
 
         frame_boxes = []
+        frame_damage = []
         for sign in signs:
             box = _project_sign_bbox(sign, cam_t, R, rgb_w, rgb_h, fx, fy, cx, cy)
             if box is not None:
                 frame_boxes.append(box + [0.95, sign.label])
+                frame_damage.append(sign.damage)
         gt_boxes[f] = frame_boxes
+        gt_damage[f] = frame_damage
     conn.commit()
     conn.close()
 
@@ -287,7 +293,7 @@ def generate_scan(
         pts = pts @ Tw[:3, :3].T + Tw[:3, 3]
     save_ply(os.path.join(folder, "cloud.ply"), pts, cols)
 
-    return SyntheticScene(
+    scene = SyntheticScene(
         signs=signs,
         wall_z=wall_z,
         poses=out_poses,
@@ -296,7 +302,49 @@ def generate_scan(
         depth_wh=depth_wh,
         intrinsics=(fx, fy, cx, cy),
         gt_boxes_2d=gt_boxes,
+        gt_damage_2d=gt_damage,
     )
+    save_scene_gt(os.path.join(folder, "gt.json"), scene)
+    return scene
+
+
+def save_scene_gt(path: str, scene: SyntheticScene) -> None:
+    """Persist the scene ground truth next to the scan so training/eval can
+    run from disk alone (the reference trains offline with ultralytics/HF
+    label files; this is the framework-native equivalent)."""
+    import json
+
+    payload = {
+        "wall_z": scene.wall_z,
+        "rgb_wh": list(scene.rgb_wh),
+        "depth_wh": list(scene.depth_wh),
+        "intrinsics": list(scene.intrinsics),
+        "signs": [
+            {
+                "x0": s.x0, "y0": s.y0, "x1": s.x1, "y1": s.y1, "z": s.z,
+                "color": list(s.color), "label": s.label, "damage": s.damage,
+                "corners_world": s.corners_world.tolist(),
+            }
+            for s in scene.signs
+        ],
+        "gt_boxes_2d": {str(f): v for f, v in scene.gt_boxes_2d.items()},
+        "gt_damage_2d": {str(f): v for f, v in scene.gt_damage_2d.items()},
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def load_scene_gt(path: str) -> dict:
+    """Load gt.json → dict with int frame keys and numpy sign corners."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    payload["gt_boxes_2d"] = {int(k): v for k, v in payload["gt_boxes_2d"].items()}
+    payload["gt_damage_2d"] = {int(k): v for k, v in payload["gt_damage_2d"].items()}
+    for s in payload["signs"]:
+        s["corners_world"] = np.asarray(s["corners_world"], np.float32)
+    return payload
 
 
 def _rotmat_to_quat(R: np.ndarray) -> np.ndarray:

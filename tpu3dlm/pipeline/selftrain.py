@@ -1,0 +1,276 @@
+"""Native finetuning driver: produce the framework's own YOLOv10/BEiT
+checkpoints from a scan with known ground truth.
+
+The reference pipeline consumes checkpoints finetuned *offline* with
+ultralytics/HF tooling (src/detector/detector.py:36,
+src/damage/classifier.py:32-35) — the training loop itself is outside the
+reference. This module closes that loop natively: data-parallel
+`shard_map` train steps (parallel/finetune.py) over the ground-truth boxes
+of a scan (e.g. the synthetic generator's gt.json), emitting msgpack
+checkpoints the Pipeline loads via cfg.yolo_weights / cfg.beit_weights.
+
+Usage (CLI):
+    python -m tpu3dlm.pipeline.selftrain --data-dir <scan folder> \
+        --out-dir <ckpt dir> [--img-size 96] [--yolo-steps 200] ...
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def scale_boxes_to_frame(boxes_px: np.ndarray, scan, frame_idx) -> np.ndarray:
+    """(N, 4) original-pixel boxes of given frames → stored-frame pixels
+    (handles both square-resize and letterbox scans)."""
+    out = np.asarray(boxes_px, np.float32).copy()
+    wh = np.asarray(scan.rgb_size)[frame_idx]
+    if scan.letterbox is not None:
+        lb = np.asarray(scan.letterbox)[frame_idx]
+        out[:, [0, 2]] = out[:, [0, 2]] * lb[:, 0:1] + lb[:, 1:2]
+        out[:, [1, 3]] = out[:, [1, 3]] * lb[:, 0:1] + lb[:, 2:3]
+    else:
+        S = float(np.shape(scan.rgb)[1])
+        out[:, [0, 2]] *= (S / wh[:, 0:1])
+        out[:, [1, 3]] *= (S / wh[:, 1:2])
+    return out
+
+
+def yolo_training_arrays(
+    gt_boxes_2d: dict[int, list[list[float]]], scan, max_gt: int = 8
+):
+    """Ground-truth records ([x1,y1,x2,y2,conf,label] in original pixels)
+    → padded detector-space training arrays (images, boxes, labels, mask)."""
+    F = scan.num_frames
+    images = np.asarray(scan.rgb)
+    boxes = np.zeros((F, max_gt, 4), np.float32)
+    labels = np.zeros((F, max_gt), np.int32)
+    mask = np.zeros((F, max_gt), bool)
+    for f in range(F):
+        recs = gt_boxes_2d.get(f, [])[:max_gt]
+        if not recs:
+            continue
+        raw = np.asarray([r[:4] for r in recs], np.float32)
+        scaled = scale_boxes_to_frame(raw, scan, np.full(len(recs), f))
+        for b, rec in enumerate(recs):
+            boxes[f, b] = scaled[b]
+            labels[f, b] = int(rec[5])
+            mask[f, b] = True
+    return images, boxes, labels, mask
+
+
+def beit_training_crops(
+    gt_boxes_2d: dict[int, list[list[float]]],
+    gt_damage_2d: dict[int, list[int]],
+    scan,
+    size: int,
+):
+    """Rectified uint8 crops of every ground-truth box + damage labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dlm.ops.image import _rectify_one_mxu
+
+    frames, flat_boxes, labels = [], [], []
+    for f, recs in gt_boxes_2d.items():
+        dmg = gt_damage_2d.get(f, [0] * len(recs))
+        for rec, d in zip(recs, dmg):
+            frames.append(f)
+            flat_boxes.append(rec[:4])
+            labels.append(int(d))
+    if not frames:
+        return (
+            np.zeros((0, size, size, 3), np.uint8),
+            np.zeros((0,), np.int32),
+        )
+    frame_idx = np.asarray(frames)
+    boxes = scale_boxes_to_frame(np.asarray(flat_boxes, np.float32), scan, frame_idx)
+    rgb = np.asarray(scan.rgb).astype(np.float32) / 255.0
+    crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
+        jnp.asarray(rgb[frame_idx]), jnp.asarray(boxes), (size, size)
+    )
+    crops_u8 = np.clip(np.asarray(crops) * 255.0, 0, 255).astype(np.uint8)
+    return crops_u8, np.asarray(labels, np.int32)
+
+
+def _pad_batch(arrays, n: int):
+    """Pad leading axis of each array to a multiple of n (zeros/False)."""
+    out = []
+    for x in arrays:
+        extra = (-x.shape[0]) % n
+        if extra:
+            pad = np.zeros((extra,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad])
+        out.append(x)
+    return out
+
+
+def finetune_yolo(
+    images_u8: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_labels: np.ndarray,
+    gt_mask: np.ndarray,
+    nc: int,
+    img_size: int,
+    steps: int = 200,
+    lr: float = 2e-3,
+    variant: str = "n",
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 50,
+):
+    """Overfit/adapt YOLOv10 on (images, gt) — returns trained variables.
+
+    Data-parallel over the mesh's batch axis (frames padded to a device
+    multiple; padded frames have empty gt, i.e. pure-background signal).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu3dlm.models.yolov10 import YOLOv10
+    from tpu3dlm.parallel.finetune import make_yolo_train_step
+    from tpu3dlm.parallel.mesh import make_mesh
+
+    mesh = mesh or make_mesh(1)
+    n_dev = mesh.devices.size
+    images_u8, gt_boxes, gt_labels, gt_mask = _pad_batch(
+        [np.asarray(images_u8), np.asarray(gt_boxes),
+         np.asarray(gt_labels), np.asarray(gt_mask)],
+        n_dev,
+    )
+
+    yolo = YOLOv10(nc=nc, variant=variant)
+    variables = yolo.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    )
+    tx = optax.adamw(lr)
+    opt_state = tx.init(variables["params"])
+    step = make_yolo_train_step(yolo, tx, mesh, img_size)
+
+    imgs = jnp.asarray(images_u8.astype(np.float32) / 255.0)
+    gb, gl, gm = jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_mask)
+    for i in range(steps):
+        variables, opt_state, loss = step(variables, opt_state, imgs, gb, gl, gm)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            logger.info("yolo finetune step %d: loss=%.4f", i, float(loss))
+    return jax.tree.map(np.asarray, variables)
+
+
+def finetune_beit(
+    crops_u8: np.ndarray,
+    labels: np.ndarray,
+    config,
+    steps: int = 80,
+    lr: float = 1e-3,
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 20,
+):
+    """Finetune the BEiT damage classifier on labelled crops → params tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dlm.models.beit import BeitClassifier
+    from tpu3dlm.parallel.finetune import init_finetune, make_beit_train_step
+    from tpu3dlm.parallel.mesh import make_mesh
+
+    mesh = mesh or make_mesh(1)
+    n_dev = mesh.devices.size
+    # pad by repeating (keeps the padded slots on-distribution)
+    reps = int(np.ceil(max(n_dev, len(labels)) / max(len(labels), 1)))
+    crops_u8 = np.concatenate([crops_u8] * reps)
+    labels = np.concatenate([labels] * reps)
+    crops_u8, labels = _pad_batch([crops_u8, labels], n_dev)
+
+    beit = BeitClassifier(config)
+    params, tx, opt_state = init_finetune(beit, jax.random.PRNGKey(seed), lr=lr)
+    step = make_beit_train_step(beit, tx, mesh)
+    c, y = jnp.asarray(crops_u8), jnp.asarray(labels)
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, c, y)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            logger.info("beit finetune step %d: loss=%.4f", i, float(loss))
+    return jax.tree.map(np.asarray, params)
+
+
+def finetune_synthetic(
+    data_dir: str,
+    out_dir: str,
+    img_size: int = 96,
+    yolo_steps: int = 200,
+    yolo_lr: float = 2e-3,
+    beit_steps: int = 80,
+    beit_lr: float = 1e-3,
+    beit_config=None,
+    variant: str = "n",
+    nc: int = 2,
+    mesh=None,
+    resize_mode: str = "square",
+) -> tuple[str, str]:
+    """Train both models from a scan folder's gt.json; write msgpack
+    checkpoints (yolo.msgpack, beit.msgpack) into out_dir."""
+    from tpu3dlm.data.dataset import load_scan
+    from tpu3dlm.data.synthetic import load_scene_gt
+    from tpu3dlm.models.beit import BeitConfig
+    from tpu3dlm.models.weights import save_flax_checkpoint
+
+    gt = load_scene_gt(os.path.join(data_dir, "gt.json"))
+    base = os.path.join(data_dir, "rtabmap_extract")
+    scan = load_scan(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(data_dir, "poses.txt"),
+        img_size=img_size,
+        resize_mode=resize_mode,
+    )
+
+    images, boxes, labels, mask = yolo_training_arrays(gt["gt_boxes_2d"], scan)
+    yolo_vars = finetune_yolo(
+        images, boxes, labels, mask, nc=nc, img_size=img_size,
+        steps=yolo_steps, lr=yolo_lr, variant=variant, mesh=mesh,
+    )
+
+    beit_config = beit_config or BeitConfig(num_labels=2)
+    crops, dmg = beit_training_crops(
+        gt["gt_boxes_2d"], gt["gt_damage_2d"], scan, beit_config.image_size
+    )
+    beit_params = finetune_beit(
+        crops, dmg, beit_config, steps=beit_steps, lr=beit_lr, mesh=mesh
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    yolo_path = os.path.join(out_dir, "yolo.msgpack")
+    beit_path = os.path.join(out_dir, "beit.msgpack")
+    save_flax_checkpoint(yolo_path, yolo_vars)
+    save_flax_checkpoint(beit_path, beit_params)
+    logger.info("checkpoints written: %s %s", yolo_path, beit_path)
+    return yolo_path, beit_path
+
+
+if __name__ == "__main__":
+    import argparse
+
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True, help="scan folder with gt.json")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--img-size", type=int, default=96)
+    p.add_argument("--yolo-steps", type=int, default=200)
+    p.add_argument("--yolo-lr", type=float, default=2e-3)
+    p.add_argument("--beit-steps", type=int, default=80)
+    p.add_argument("--beit-lr", type=float, default=1e-3)
+    p.add_argument("--variant", default="n")
+    p.add_argument("--nc", type=int, default=2)
+    args = p.parse_args()
+    finetune_synthetic(
+        args.data_dir, args.out_dir, img_size=args.img_size,
+        yolo_steps=args.yolo_steps, yolo_lr=args.yolo_lr,
+        beit_steps=args.beit_steps, beit_lr=args.beit_lr,
+        variant=args.variant, nc=args.nc,
+    )

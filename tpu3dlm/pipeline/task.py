@@ -170,6 +170,7 @@ class Pipeline:
         classifier = DamageDetector(
             num_labels=len(labels),
             id2label={i: lab for i, lab in enumerate(labels)},
+            config=self._beit_config(len(labels)),
             variables=self._load_beit_weights(len(labels)),
             dtype=dtype,
         )
@@ -181,7 +182,6 @@ class Pipeline:
         """Single-jit detect+classify+project (pipeline/fused.py)."""
         import jax.numpy as jnp
 
-        from tpu3dlm.models.beit import BeitConfig
         from tpu3dlm.pipeline.fused import FusedScanRunner
 
         labels = getattr(self.cfg, "damage_labels", "undamaged,damaged").split(",")
@@ -191,7 +191,7 @@ class Pipeline:
             max_det=getattr(self.cfg, "max_det", 64),
             nc=getattr(self.cfg, "num_classes", 80),
             variant=getattr(self.cfg, "yolo_variant", "n"),
-            beit_config=BeitConfig(num_labels=len(labels)),
+            beit_config=self._beit_config(len(labels)),
             yolo_variables=self._load_yolo_weights(),
             beit_variables=self._load_beit_weights(len(labels)),
             mesh_devices=getattr(self.cfg, "mesh_devices", 1),
@@ -256,6 +256,8 @@ class Pipeline:
             visualise=self.cfg.alignment_vis,
             base_cloud=base_cloud,
             comparison_cloud=comp_cloud,
+            max_points=getattr(self.cfg, "icp_max_points", 16384),
+            icp_iterations=getattr(self.cfg, "icp_iterations", 30),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder
@@ -285,6 +287,25 @@ class Pipeline:
             vis.create_video(transformations, out)
 
     # -- weights ----------------------------------------------------------
+
+    def _beit_config(self, num_labels: int):
+        """BeitConfig from the cfg's beit_* architecture knobs (BEiT-base
+        defaults) so compact task-specific classifiers from
+        pipeline/selftrain.py can run through the same pipeline."""
+        from tpu3dlm.models.beit import BeitConfig
+
+        base = BeitConfig()
+        return BeitConfig(
+            image_size=getattr(self.cfg, "beit_image_size", base.image_size),
+            patch_size=getattr(self.cfg, "beit_patch_size", base.patch_size),
+            hidden_size=getattr(self.cfg, "beit_hidden_size", base.hidden_size),
+            num_layers=getattr(self.cfg, "beit_num_layers", base.num_layers),
+            num_heads=getattr(self.cfg, "beit_num_heads", base.num_heads),
+            intermediate_size=getattr(
+                self.cfg, "beit_intermediate_size", base.intermediate_size
+            ),
+            num_labels=num_labels,
+        )
 
     def _load_yolo_weights(self):
         path = getattr(self.cfg, "yolo_weights", "") or ""
@@ -321,11 +342,13 @@ class Pipeline:
             import jax
             import jax.numpy as jnp
 
-            from tpu3dlm.models.beit import BeitClassifier, BeitConfig
+            from tpu3dlm.models.beit import BeitClassifier
 
-            model = BeitClassifier(BeitConfig(num_labels=num_labels))
+            cfg = self._beit_config(num_labels)
+            model = BeitClassifier(cfg)
             template = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32),
             )
             self.logger.info("Loading native BEiT checkpoint %s", path)
             return W.load_flax_checkpoint(path, template)

@@ -50,8 +50,18 @@ _SCHEMA: dict[str, str] = {
     "yolo_weights": "path",
     "beit_weights": "path",
     "damage_labels": "str",
+    # classifier architecture (defaults = BEiT-base; override for compact
+    # task-specific classifiers trained with pipeline/selftrain.py)
+    "beit_image_size": "int",
+    "beit_patch_size": "int",
+    "beit_hidden_size": "int",
+    "beit_num_layers": "int",
+    "beit_num_heads": "int",
+    "beit_intermediate_size": "int",
     "mesh_devices": "int",
     "use_pallas": "bool",
+    "icp_max_points": "int",
+    "icp_iterations": "int",
     "infer_dtype": "str",
     "fused_inference": "bool",
 }
@@ -118,6 +128,14 @@ yolo_weights =
 beit_weights =
 damage_labels = undamaged,damaged
 
+# damage classifier architecture (BEiT-base defaults)
+beit_image_size = 224
+beit_patch_size = 16
+beit_hidden_size = 768
+beit_num_layers = 12
+beit_num_heads = 12
+beit_intermediate_size = 3072
+
 # depth / projection
 depth_width = 192
 depth_height = 256
@@ -133,6 +151,8 @@ visualise = false
 # maintenance comparison
 alignment_vis = false
 comparison_vis = false
+icp_max_points = 16384
+icp_iterations = 30
 
 # TPU runtime
 mesh_devices = 1
