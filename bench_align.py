@@ -1,0 +1,139 @@
+"""Benchmark: two-map align+match wall-clock (BASELINE.md configs 3+4).
+
+Builds two ~1M-point synthetic scene clouds related by a known SE(3),
+registers the comparison onto the base (coarse centroid + 3-stage ICP with
+a 16384-pt query against the FULL-size target — the tiled NN kernels
+stream the 1M-pt target), bipartite-matches the box sets, and reports the
+end-to-end wall-clock (readback-forced).
+
+vs_baseline: the same workload is NN-dominated (stages × iterations nearest
+-neighbour queries of 16384 × 1M points); the baseline is host-CPU time for
+ONE such query × the query count — a FLOP-proportional lower bound on the
+CPU pipeline, measured live (running the full CPU alignment would take tens
+of minutes on this class of host).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_clouds(n_target: int, seed: int = 0):
+    from tpu3dlm.data.synthetic import _sample_cloud, default_signs
+
+    rng = np.random.default_rng(seed)
+    signs = default_signs()
+    pts_per_m2 = max(1000, int(n_target / 11.0))  # wall 10 m² + signs ≈ target
+    base, _ = _sample_cloud(signs, 3.0, rng, pts_per_m2)
+
+    Tw = np.eye(4, dtype=np.float32)
+    ang = 0.12
+    Tw[:3, :3] = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    Tw[:3, 3] = [0.4, -0.25, 0.15]
+    comp, _ = _sample_cloud(signs[:-1], 3.0, np.random.default_rng(seed + 1), pts_per_m2)
+    comp = comp @ Tw[:3, :3].T + Tw[:3, 3]
+
+    def boxes(sign_list, T=None):
+        out = {}
+        for i, s in enumerate(sign_list):
+            c = s.corners_world
+            if T is not None:
+                c = c @ T[:3, :3].T + T[:3, 3]
+            out.setdefault(0, []).append([c[0], c[1], c[2], c[3], s.damage, 0.9, s.label])
+        return out
+
+    return base, comp, boxes(signs), boxes(signs[:-1], Tw), Tw
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    n_target = int(os.environ.get("BENCH_ALIGN_POINTS", "1000000"))
+    iters = int(os.environ.get("BENCH_ALIGN_ITERS", "30"))
+
+    from tpu3dlm.alignment.align import Alignment
+    from tpu3dlm.alignment.comparison import BBoxComparison
+
+    base, comp, base_boxes, comp_boxes, Tw = build_clouds(n_target)
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (4, 1))
+
+    def run_once():
+        align = Alignment(
+            base_pose_df=poses,
+            comparison_pose_df=poses,
+            base_bboxes=base_boxes,
+            comparison_bboxes=comp_boxes,
+            base_cloud=base,
+            comparison_cloud=comp,
+            icp_iterations=iters,
+        )
+        aligned, transforms, base_map, comp_map = align.compare("bench")
+        rows = BBoxComparison(
+            base_boxes, aligned, None,
+            csv_output_file=os.path.join("/tmp", "bench_align_comparison.csv"),
+        ).match_bboxes()
+        return align, rows
+
+    align, rows = run_once()  # compile + warmup
+    t0 = time.perf_counter()
+    align, rows = run_once()
+    wall = time.perf_counter() - t0
+
+    # sanity: the recovered transform must invert the applied one
+    err = np.abs(align.final_transform @ Tw - np.eye(4)).max()
+    n_missing = sum(1 for r in rows if r["status"] == "missing")
+    if err > 0.15 or n_missing != 1:
+        print(f"bench sanity: transform_err={err:.3f} missing={n_missing}", file=sys.stderr)
+
+    # CPU baseline: one 16384 × n_target NN query × the query count
+    vs_baseline = 0.0
+    try:
+        import jax.numpy as jnp
+
+        from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
+
+        cpu = jax.devices("cpu")[0]
+        q = jax.device_put(jnp.asarray(align._last_query_pts), cpu) if hasattr(
+            align, "_last_query_pts") else jax.device_put(
+            jnp.asarray(base[:16384]), cpu)
+        t = jax.device_put(jnp.asarray(base), cpu)
+        np.asarray(nearest_neighbors_xla(q, t)[0])  # compile
+        t0 = time.perf_counter()
+        np.asarray(nearest_neighbors_xla(q, t)[0])
+        one_nn_cpu = time.perf_counter() - t0
+        n_queries = 3 * iters  # 3 coarse-to-fine stages (alignment/align.py)
+        vs_baseline = (one_nn_cpu * n_queries) / max(wall, 1e-9)
+    except Exception as e:
+        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "two_map_align_match_wall_clock",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,12 +131,16 @@ class Alignment:
         """Run registration; returns
         (aligned_comparison_bboxes, transformations, base_map, aligned_comparison_map)."""
         base, comp = self._registration_sets()
-        base_s = _subsample(base, self.max_points)
+        # only the QUERY cloud is subsampled (it bounds the solve size); the
+        # target stays full-resolution — the tiled NN kernels stream it
+        # (Pallas: 16k × 1M in ~85 ms on v5e-1, PERF.md), so decimating it
+        # would throw away registration accuracy for nothing
+        base_s = base.astype(np.float32)
         comp_s = _subsample(comp, self.max_points)
 
         self.logger.info(
-            "Aligning %s: %d → %d pts (subsampled to %d)",
-            data_folder, comp.shape[0], base.shape[0], self.max_points,
+            "Aligning %s: %d pts (query subsampled to %d) → %d-pt target",
+            data_folder, comp.shape[0], comp_s.shape[0], base.shape[0],
         )
 
         # coarse: centroid translation (recorded as pure-translation 4×4)

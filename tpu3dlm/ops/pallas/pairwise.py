@@ -119,26 +119,47 @@ def nearest_neighbors_pallas(
     return idx[:n, 0], d2[:n, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "chunk_b"))
 def nearest_neighbors_xla(
-    a: jax.Array, b: jax.Array, chunk: int = 1024
+    a: jax.Array, b: jax.Array, chunk: int = 1024, chunk_b: int = 4096
 ) -> tuple[jax.Array, jax.Array]:
-    """Chunked XLA fallback with identical semantics (runs anywhere)."""
-    n = a.shape[0]
+    """Double-chunked XLA fallback with identical semantics (runs anywhere).
+
+    Tiles BOTH axes: the distance matrix lives only chunk × chunk_b at a
+    time with a running (min, argmin) folded over reference chunks — so a
+    full-size (e.g. 1M-pt) target cloud streams through without ever
+    materialising N×M in memory, mirroring the Pallas kernel's scratch
+    accumulation."""
+    n, m = a.shape[0], b.shape[0]
     n_pad = (-n) % chunk
     a_p = jnp.pad(a.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    bf = b.astype(jnp.float32)
-    b2 = jnp.sum(bf * bf, axis=1)
+    m_pad = (-m) % chunk_b
+    # padded refs sit at 1e15 → d2 ≈ 3e30, never the minimum (same sentinel
+    # as the Pallas kernel's _pad_points)
+    b_p = jnp.pad(
+        b.astype(jnp.float32), ((0, m_pad), (0, 0)), constant_values=1e15
+    )
+    b_tiles = b_p.reshape(-1, chunk_b, 3)
+    offsets = jnp.arange(b_tiles.shape[0], dtype=jnp.int32) * chunk_b
 
     def body(a_chunk):
-        d2 = (
-            jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
-            - 2.0 * a_chunk @ bf.T
-            + b2[None, :]
-        )
-        return jnp.argmin(d2, axis=1).astype(jnp.int32), jnp.maximum(
-            jnp.min(d2, axis=1), 0.0
-        )
+        a2 = jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
+
+        def fold(carry, tile):
+            best_d2, best_idx = carry
+            bc, off = tile
+            d2 = a2 - 2.0 * a_chunk @ bc.T + jnp.sum(bc * bc, axis=1)[None, :]
+            tile_min = jnp.min(d2, axis=1)
+            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + off
+            better = tile_min < best_d2
+            return (
+                jnp.where(better, tile_min, best_d2),
+                jnp.where(better, tile_arg, best_idx),
+            ), None
+
+        init = (jnp.full(chunk, _BIG, jnp.float32), jnp.zeros(chunk, jnp.int32))
+        (best_d2, best_idx), _ = jax.lax.scan(fold, init, (b_tiles, offsets))
+        return best_idx, jnp.maximum(best_d2, 0.0)
 
     idx, d2 = jax.lax.map(body, a_p.reshape(-1, chunk, 3))
     return idx.reshape(-1)[:n], d2.reshape(-1)[:n]
