@@ -41,22 +41,46 @@ def _quad_area(corners: jax.Array) -> jax.Array:
     return 0.5 * jnp.linalg.norm(jnp.cross(d1, d2))
 
 
-def _aabb_from_quad(corners: jax.Array, depth_buffer: float) -> jax.Array:
-    """(4, 3) planar quad → (6,) AABB [min_xyz, max_xyz] of the extruded box."""
-    box8 = G.create_3d_bounding_box(corners, depth_buffer)
-    return jnp.concatenate([box8.min(axis=0), box8.max(axis=0)])
+def _box_frame(corners: jax.Array, depth_buffer: float):
+    """(4, 3) planar quad → oriented box: (R rows = local axes, center,
+    half-extents). Corner order TL, BL, BR, TR (ops.geometry.bbox_corners_2d)."""
+    u = corners[3] - corners[0]  # width axis
+    v = corners[1] - corners[0]  # height axis
+    w_len = jnp.linalg.norm(u) + 1e-12
+    ux = u / w_len
+    v_perp = v - jnp.dot(v, ux) * ux
+    h_len = jnp.linalg.norm(v_perp) + 1e-12
+    vy = v_perp / h_len
+    nz = jnp.cross(ux, vy)
+    R = jnp.stack([ux, vy, nz])  # (3, 3) rows
+    center = corners.mean(axis=0)
+    half = jnp.stack([w_len / 2.0, h_len / 2.0, jnp.asarray(depth_buffer, corners.dtype)])
+    return R, center, half
 
 
-def _pairwise_aabb_iou(aabbs: jax.Array) -> jax.Array:
-    """(K, 6) AABBs → (K, K) IoU matrix."""
-    mins = aabbs[:, :3]
-    maxs = aabbs[:, 3:]
-    inter_min = jnp.maximum(mins[:, None, :], mins[None, :, :])
-    inter_max = jnp.minimum(maxs[:, None, :], maxs[None, :, :])
-    inter = jnp.prod(jnp.maximum(inter_max - inter_min, 0.0), axis=-1)
-    vol = jnp.prod(jnp.maximum(maxs - mins, 0.0), axis=-1)
-    union = vol[:, None] + vol[None, :] - inter
-    return inter / jnp.maximum(union, 1e-12)
+def _pairwise_oriented_iou(
+    corners: jax.Array,  # (K, 4, 3) planar quads
+    depth_buffer: float,
+) -> jax.Array:
+    """(K, K) orientation-aware IoU of the extruded boxes.
+
+    Each pair is evaluated in the FIRST box's local frame: that box is
+    exact; the other is AABB-projected into the frame (standard OBB extent
+    |R_i·R_jᵀ|·h_j). Exact for equal orientations — the de-duplication case
+    — and far tighter than global AABBs for oblique quads, which inflate
+    world AABBs and over-suppress neighbours. Symmetrised by max.
+    """
+    R, c, h = jax.vmap(_box_frame, in_axes=(0, None))(corners, depth_buffer)
+    # M[i,j] = R_i · R_jᵀ ; extents of box j in box i's frame
+    M = jnp.einsum("ikl,jml->ijkm", R, R)
+    ext = jnp.einsum("ijkm,jm->ijk", jnp.abs(M), h)  # (K, K, 3)
+    ctr = jnp.einsum("ikl,ijl->ijk", R, c[None, :, :] - c[:, None, :])  # (K, K, 3)
+    lo = jnp.maximum(-h[:, None, :], ctr - ext)
+    hi = jnp.minimum(h[:, None, :], ctr + ext)
+    inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+    vol = jnp.prod(2.0 * h, axis=-1)
+    iou = inter / jnp.maximum(vol[:, None] + vol[None, :] - inter, 1e-12)
+    return jnp.maximum(iou, iou.T)
 
 
 @partial(
@@ -94,10 +118,7 @@ def nms3d_mask(
     score = jnp.where(flat_mask, flat_conf, -jnp.inf)
     order = jnp.argsort(-score)[:K]  # conf desc, stable → frame order ties
     sel_valid = flat_mask[order]
-    aabbs = jax.vmap(_aabb_from_quad, in_axes=(0, None))(
-        flat_corners[order], depth_buffer
-    )
-    iou = _pairwise_aabb_iou(aabbs)
+    iou = _pairwise_oriented_iou(flat_corners[order], depth_buffer)
 
     idx = jnp.arange(K)
     later = idx[None, :] > idx[:, None]  # j strictly after i in conf order
@@ -126,6 +147,18 @@ def suppress_bboxes(
     API parity: ``BoundingBoxProcessor(global_bboxes_data, pose_df)
     .suppress_bboxes()`` (reference task_def.py:147-148).
     """
+    import logging
+
+    import numpy as np
+
+    n_candidates = int(np.asarray(gboxes.mask).sum())
+    top_k = 1024  # nms3d_mask default — the static O(K²) cap
+    if n_candidates > top_k:
+        logging.getLogger(__name__).warning(
+            "3D NMS: %d candidate boxes exceed the top-%d confidence cap — "
+            "the lowest-confidence %d are dropped before suppression",
+            n_candidates, top_k, n_candidates - top_k,
+        )
     keep = nms3d_mask(
         jnp.asarray(gboxes.corners),
         jnp.asarray(gboxes.conf),
