@@ -4,10 +4,14 @@ Functional parity with the reference's ``src/map_alignment/visualise.py``
 (VisualiseAlignment.create_video, :182-212): each recorded transformation is
 interpolated in 20 log/exp steps (:82-130 — here the closed-form
 `ops.geometry.se3_interpolate` replaces scipy logm/expm) and a frame is
-rendered per step. Rendering is a dependency-free orthographic point splat
-(the reference's offscreen Open3D + Poisson mesh is presentation-layer; this
-keeps the animation contract without the Open3D stack, which is unavailable
-in the TPU image — SURVEY.md §2c).
+rendered per step.
+
+Rendering matches the reference's artifact quality without its Open3D
+dependency: both clouds are surface-meshed (mapper/meshing.py — the
+dependency-free stand-in for the reference's Poisson meshes, visualise.py:
+26-38) and drawn with the Lambert-shaded software renderer
+(utils/render.py) under a slow camera orbit; if meshing yields nothing
+(degenerate cloud) the renderer falls back to the orthographic point splat.
 """
 
 from __future__ import annotations
@@ -18,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu3dlm.ops.geometry import se3_interpolate
+
+_BASE_COLOR = (0.55, 0.55, 0.58)  # gold-standard map: grey
+_COMP_COLOR = (0.85, 0.25, 0.22)  # comparison map: red
 
 
 def _splat(
@@ -45,6 +52,9 @@ class VisualiseAlignment:
         comparison_points: np.ndarray,
         image_hw: tuple[int, int] = (480, 640),
         max_points: int = 50_000,
+        renderer: str = "auto",  # "mesh" | "splat" | "auto"
+        mesh_voxel: float | None = None,
+        orbit_sweep: float = 0.9,  # total camera azimuth sweep (radians)
     ):
         rng = np.random.default_rng(0)
 
@@ -57,40 +67,84 @@ class VisualiseAlignment:
         self.base = sub(base_points)
         self.comparison = sub(comparison_points)
         self.image_hw = image_hw
+        self.orbit_sweep = orbit_sweep
         self.frames: list[np.ndarray] = []
         self.logger = logging.getLogger(__name__)
 
         allpts = np.concatenate([self.base, self.comparison])
         margin = 0.1 * (allpts.max(0) - allpts.min(0) + 1e-6)
         self.bounds = (allpts.min(0) - margin, allpts.max(0) + margin)
+        self.center = allpts.mean(0)
+        self.radius = 1.6 * float(np.linalg.norm(allpts - self.center, axis=1).max())
 
-    def _render(self, comparison_now: np.ndarray) -> np.ndarray:
+        self.base_mesh = self.comp_mesh = None
+        if renderer in ("mesh", "auto"):
+            from tpu3dlm.mapper.meshing import mesh_point_cloud
+
+            span = float((allpts.max(0) - allpts.min(0)).max())
+            voxel = mesh_voxel or max(span / 72.0, 1e-3)
+            bm = mesh_point_cloud(self.base, voxel=voxel)
+            cm = mesh_point_cloud(self.comparison, voxel=voxel)
+            if len(bm[1]) and len(cm[1]):
+                self.base_mesh, self.comp_mesh = bm, cm
+                self.logger.info(
+                    "meshed maps for animation: base %d tris, comparison %d tris",
+                    len(bm[1]), len(cm[1]),
+                )
+            elif renderer == "mesh":
+                raise ValueError("meshing produced no triangles; use renderer='splat'")
+
+    @property
+    def uses_mesh(self) -> bool:
+        return self.base_mesh is not None
+
+    def _render(
+        self, comparison_pts: np.ndarray, comp_verts: np.ndarray | None, azimuth: float
+    ) -> np.ndarray:
         h, w = self.image_hw
+        if self.uses_mesh and comp_verts is not None:
+            from tpu3dlm.utils.render import look_at, orbit_eye, render_scene
+
+            view = look_at(orbit_eye(self.center, self.radius, azimuth), self.center)
+            return render_scene(
+                [
+                    (self.base_mesh[0], self.base_mesh[1], _BASE_COLOR),
+                    (comp_verts, self.comp_mesh[1], _COMP_COLOR),
+                ],
+                view,
+                (h, w),
+            )
         canvas = np.full((h, w, 3), 255, np.uint8)
         _splat(self.base, np.array([90, 90, 90], np.uint8), canvas, self.bounds)
-        _splat(comparison_now, np.array([220, 60, 60], np.uint8), canvas, self.bounds)
-        # mp4 encoders want dims divisible by 16 (reference visualise.py:174-178)
+        _splat(comparison_pts, np.array([220, 60, 60], np.uint8), canvas, self.bounds)
         return canvas
 
-    def _apply_incremental_transformation(self, transformation, comparison, steps=20):
-        """One recorded transform → `steps` interpolated frames.
-
-        Accepts a 4×4 rigid transform or the reference's (R, center) rotation
-        tuple (visualise.py:89-96)."""
+    @staticmethod
+    def _as_matrix(transformation) -> np.ndarray:
+        """4×4 rigid transform from a matrix or the reference's (R, center)
+        rotation tuple (visualise.py:89-96)."""
         if isinstance(transformation, tuple):
             R, center = transformation
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = np.asarray(R, np.float32)
             c = np.asarray(center, np.float32)
             T[:3, 3] = c - T[:3, :3] @ c
-        else:
-            T = np.asarray(transformation, np.float32)
+            return T
+        return np.asarray(transformation, np.float32)
 
+    def _apply_incremental_transformation(
+        self, transformation, comparison, comp_verts=None, steps=20, azimuths=None
+    ):
+        """One recorded transform → `steps` interpolated frames."""
+        T = self._as_matrix(transformation)
         T_inc = np.asarray(se3_interpolate(jnp.asarray(T), jnp.float32(1.0 / steps)))
-        for _ in range(steps):
+        for s in range(steps):
             comparison = comparison @ T_inc[:3, :3].T + T_inc[:3, 3]
-            self.frames.append(self._render(comparison))
-        return comparison
+            if comp_verts is not None:
+                comp_verts = comp_verts @ T_inc[:3, :3].T + T_inc[:3, 3]
+            az = azimuths[s] if azimuths is not None else 0.0
+            self.frames.append(self._render(comparison, comp_verts, az))
+        return comparison, comp_verts
 
     def create_video(
         self,
@@ -102,9 +156,15 @@ class VisualiseAlignment:
         """Replay all transforms; write mp4 (falls back to .npz of frames when
         no ffmpeg encoder is available). Returns the frame count."""
         comparison = self.comparison
+        comp_verts = self.comp_mesh[0].copy() if self.uses_mesh else None
+        total = max(len(transformations) * steps, 1)
+        az_all = np.linspace(-self.orbit_sweep / 2, self.orbit_sweep / 2, total)
         for i, t in enumerate(transformations):
             self.logger.info("transform %d/%d", i + 1, len(transformations))
-            comparison = self._apply_incremental_transformation(t, comparison, steps)
+            comparison, comp_verts = self._apply_incremental_transformation(
+                t, comparison, comp_verts, steps,
+                azimuths=az_all[i * steps : (i + 1) * steps],
+            )
 
         try:
             import imageio

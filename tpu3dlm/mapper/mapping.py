@@ -112,20 +112,62 @@ class Mapping:
             self._visualiser(self._poisson_mesh())
         return verts, faces
 
-    def box_line_sets(self) -> list[np.ndarray]:
-        """All overlay boxes as (8, 3) corner arrays (green optimised set)."""
-        out = []
-        for quad in _boxes_iter(self.optimised_bboxes):
-            import jax.numpy as jnp
+    def box_line_sets(self, bboxes=None, buffer_scale: float = 1.5) -> list[np.ndarray]:
+        """Overlay boxes as (8, 3) corner arrays (optimised set by default)."""
+        import jax.numpy as jnp
 
+        out = []
+        for quad in _boxes_iter(bboxes if bboxes is not None else self.optimised_bboxes):
             out.append(
                 np.asarray(
                     G.create_3d_bounding_box(
-                        jnp.asarray(quad), self.bbox_depth_buffer * 1.5
+                        jnp.asarray(quad), self.bbox_depth_buffer * buffer_scale
                     )
                 )
             )
         return out
+
+    def overlay_geometry(self) -> dict:
+        """Every overlay the reference visualiser draws, as dependency-free
+        geometry (reference mapping.py:139-197):
+
+        * ``optimised_boxes``: green (8, 3) boxes, buffer ×1.5;
+        * ``raw_boxes``: red unoptimised boxes — only when
+          ``view_unprocessed_bboxes`` (mapping.py:152-167);
+        * ``pose_points`` (F, 3) + ``pose_direction_lines`` (F, 2, 3)
+          camera-direction segments — only when ``overlay_pose``
+          (mapping.py:181-192).
+        The Open3D-gated viewer consumes exactly this dict, so the geometry
+        is unit-testable without a display.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        geo: dict = {
+            "optimised_boxes": self.box_line_sets(),
+            "raw_boxes": [],
+            "pose_points": None,
+            "pose_direction_lines": None,
+        }
+        if self.view_unprocessed_bboxes:
+            geo["raw_boxes"] = self.box_line_sets(
+                self.global_bboxes_data, buffer_scale=1.0
+            )
+        if self.overlay_pose and self.pose is not None:
+            if hasattr(self.pose, "columns"):
+                pose_arr = self.pose[
+                    ["tx", "ty", "tz", "qx", "qy", "qz", "qw"]
+                ].to_numpy(dtype=np.float32)
+            else:
+                pose_arr = np.asarray(self.pose, np.float32)
+            pts = pose_arr[:, :3]
+            dirs = np.asarray(
+                jax.vmap(G.camera_direction)(jnp.asarray(pose_arr))
+            )
+            ends = pts + 0.2 * dirs
+            geo["pose_points"] = pts
+            geo["pose_direction_lines"] = np.stack([pts, ends], axis=1)
+        return geo
 
     # -- presentation (Open3D-gated) --------------------------------------
 
@@ -152,12 +194,32 @@ class Mapping:
         vis.add_geometry(geometry)
         lines = [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
                  [0, 4], [1, 5], [2, 6], [3, 7]]
-        for corners8 in self.box_line_sets():
+        geo = self.overlay_geometry()
+
+        def add_boxes(corner_sets, color):
+            for corners8 in corner_sets:
+                ls = _o3d.geometry.LineSet(
+                    points=_o3d.utility.Vector3dVector(corners8.astype(np.float64)),
+                    lines=_o3d.utility.Vector2iVector(lines),
+                )
+                ls.paint_uniform_color(color)
+                vis.add_geometry(ls)
+
+        add_boxes(geo["optimised_boxes"], [0, 1, 0])  # green (mapping.py:170-179)
+        add_boxes(geo["raw_boxes"], [1, 0, 0])  # red raw (mapping.py:152-167)
+        if geo["pose_points"] is not None:
+            pc = _o3d.geometry.PointCloud()
+            pc.points = _o3d.utility.Vector3dVector(geo["pose_points"].astype(np.float64))
+            pc.paint_uniform_color([0, 0, 1])
+            vis.add_geometry(pc)
+            segs = geo["pose_direction_lines"]
+            allpts = np.concatenate([segs[:, 0], segs[:, 1]])
+            ray_lines = [[i, i + len(segs)] for i in range(len(segs))]
             ls = _o3d.geometry.LineSet(
-                points=_o3d.utility.Vector3dVector(corners8.astype(np.float64)),
-                lines=_o3d.utility.Vector2iVector(lines),
+                points=_o3d.utility.Vector3dVector(allpts.astype(np.float64)),
+                lines=_o3d.utility.Vector2iVector(ray_lines),
             )
-            ls.paint_uniform_color([0, 1, 0])
+            ls.paint_uniform_color([1, 0, 0])
             vis.add_geometry(ls)
         vis.run()
         vis.destroy_window()
