@@ -134,7 +134,10 @@ def main():
     # Baseline: the same jitted program on host CPU — the reference pipeline
     # is CPU-bound Python (SURVEY.md §2c), so CPU throughput of the identical
     # computation bounds it from above. Two frames keep this leg cheap;
-    # BENCH_CPU_BASELINE=0 skips it and reports the stored round-1 measurement.
+    # BENCH_CPU_BASELINE=0 skips it and reports the last stored measurement
+    # (BENCH_BASELINE.json, written on every live CPU measurement).
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
     vs_baseline = 0.0
     measured_cpu_fps = None
     if os.environ.get("BENCH_CPU_BASELINE", "1") != "0":
@@ -149,8 +152,19 @@ def main():
             print(f"cpu baseline unavailable: {e}", file=sys.stderr)
     if measured_cpu_fps is not None:
         vs_baseline = fps / max(measured_cpu_fps, 1e-9)
+        try:
+            with open(baseline_file, "w") as f:
+                json.dump({"cpu_fps_detect_project": round(measured_cpu_fps, 4),
+                           "img_size": img_size}, f)
+        except OSError:
+            pass
     elif vs_baseline == 0.0:
-        vs_baseline = fps / 0.72  # round-1 measured CPU fps of this program
+        try:
+            with open(baseline_file) as f:
+                stored = json.load(f)["cpu_fps_detect_project"]
+            vs_baseline = fps / max(stored, 1e-9)
+        except Exception:
+            print("no stored CPU baseline; vs_baseline=0", file=sys.stderr)
 
     print(
         json.dumps(
