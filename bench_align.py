@@ -28,10 +28,28 @@ import numpy as np
 def build_clouds(n_target: int, seed: int = 0):
     from tpu3dlm.data.synthetic import _sample_cloud, default_signs
 
-    rng = np.random.default_rng(seed)
     signs = default_signs()
-    pts_per_m2 = max(1000, int(n_target / 11.0))  # wall 10 m² + signs ≈ target
-    base, _ = _sample_cloud(signs, 3.0, rng, pts_per_m2)
+    pts_per_m2 = max(1000, int(n_target / 21.0))  # wall 10 + floor 6 + side 3.75 m² + signs
+
+    def scene(sign_list, rng):
+        pts, _ = _sample_cloud(sign_list, 3.0, rng, pts_per_m2)
+        # perpendicular floor + side wall: a single uniform plane is ICP-
+        # degenerate (in-plane motion unconstrained); three mutually
+        # perpendicular planes — the vehicle-interior geometry — pin all
+        # six degrees of freedom for the plane residual
+        n_floor = int(6.0 * pts_per_m2)
+        floor = np.stack(
+            [rng.uniform(-1.5, 2.5, n_floor), np.full(n_floor, 1.25),
+             rng.uniform(1.5, 3.0, n_floor)], axis=1,
+        ).astype(np.float32)
+        n_side = int(3.75 * pts_per_m2)
+        side = np.stack(
+            [np.full(n_side, -1.5), rng.uniform(-1.25, 1.25, n_side),
+             rng.uniform(1.5, 3.0, n_side)], axis=1,
+        ).astype(np.float32)
+        return np.concatenate([pts, floor, side])
+
+    base = scene(signs, np.random.default_rng(seed))
 
     Tw = np.eye(4, dtype=np.float32)
     ang = 0.12
@@ -40,7 +58,7 @@ def build_clouds(n_target: int, seed: int = 0):
         np.float32,
     )
     Tw[:3, 3] = [0.4, -0.25, 0.15]
-    comp, _ = _sample_cloud(signs[:-1], 3.0, np.random.default_rng(seed + 1), pts_per_m2)
+    comp = scene(signs[:-1], np.random.default_rng(seed + 1))
     comp = comp @ Tw[:3, :3].T + Tw[:3, 3]
 
     def boxes(sign_list, T=None):

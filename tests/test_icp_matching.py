@@ -41,6 +41,85 @@ class TestNearestNeighbors:
         np.testing.assert_allclose(np.asarray(d2), wd2, rtol=1e-4, atol=1e-5)
 
 
+class TestNormals:
+    def test_plane_normals(self, rng):
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        pts = np.stack(
+            [rng.uniform(-1, 1, 2000), rng.uniform(-1, 1, 2000), np.zeros(2000)],
+            axis=1,
+        ).astype(np.float32)
+        n = estimate_normals_grid(pts, voxel=0.2)
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+    def test_viewpoint_orientation(self, rng):
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        pts = np.stack(
+            [rng.uniform(-1, 1, 500), rng.uniform(-1, 1, 500), np.full(500, 3.0)],
+            axis=1,
+        ).astype(np.float32)
+        n = estimate_normals_grid(pts, voxel=0.3, viewpoint=np.zeros(3))
+        # camera at origin looking at the z=3 plane → normals point back (-z)
+        assert (n[:, 2] < 0).all()
+
+
+class TestPointToPlaneICP:
+    def _scene(self, rng, n=6000):
+        """Three mutually perpendicular planes + offset patches — the
+        man-made interior class (fully constrained for plane residuals)
+        where point-to-POINT ICP still slides tangentially along the
+        dominant planes."""
+        wall = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1, 1, n), np.full(n, 2.0)], axis=1
+        )
+        floor = np.stack(
+            [rng.uniform(-2, 2, n // 2), np.full(n // 2, 1.0),
+             rng.uniform(1.0, 2.0, n // 2)], axis=1
+        )
+        side = np.stack(
+            [np.full(n // 2, -2.0), rng.uniform(-1, 1, n // 2),
+             rng.uniform(1.0, 2.0, n // 2)], axis=1
+        )
+        patch = np.stack(
+            [rng.uniform(0.8, 1.2, n // 10), rng.uniform(0.1, 0.5, n // 10),
+             np.full(n // 10, 1.85)], axis=1
+        )
+        return np.concatenate([wall, floor, side, patch]).astype(np.float32)
+
+    def test_recovers_transform_on_planar_scene(self, rng):
+        from tpu3dlm.ops import geometry as G
+        from tpu3dlm.ops.icp import icp_point_to_plane
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        base = self._scene(rng)
+        ang = 0.1
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(
+            G.quat_to_rotmat(jnp.array([0, 0, np.sin(ang / 2), np.cos(ang / 2)]))
+        )
+        T[:3, 3] = [0.25, -0.15, 0.1]
+        comp = self._scene(np.random.default_rng(7)) @ T[:3, :3].T + T[:3, 3]
+        src = comp[rng.choice(comp.shape[0], 2048, replace=False)]
+
+        normals = estimate_normals_grid(base, voxel=0.15)
+        # production recipe (alignment/align.py): centroid init, then
+        # coarse-to-fine correspondence radii
+        T_run = centroid_align(jnp.asarray(src), jnp.asarray(base))
+        for d in (0.6, 0.15):
+            res = icp_point_to_plane(
+                jnp.asarray(src), jnp.asarray(base), jnp.asarray(normals),
+                init_transform=T_run, max_correspondence_dist=d, iterations=25,
+            )
+            T_run = res.transform
+        T_est = np.asarray(T_run)
+        err = np.abs(T_est @ T - np.eye(4)).max()
+        assert err < 0.05, f"point-to-plane failed to invert the transform: {err}"
+        # animation contract: per-iteration increments recorded
+        assert np.asarray(res.step_transforms).shape == (25, 4, 4)
+
+
 class TestKabsch:
     def test_recovers_known_transform(self, rng):
         from tpu3dlm.ops import geometry as G

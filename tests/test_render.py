@@ -103,6 +103,49 @@ class TestMeshAnimation:
         assert n == 2
 
 
+class TestFrameViewGeometry:
+    def test_cloud_boxes_frustum(self, tmp_path_factory):
+        """Projection-time live-display geometry (reference
+        pose_processor.py:144-171, 219-238): world cloud + extruded boxes +
+        camera frustum, all dependency-free."""
+        import os
+
+        from tpu3dlm.data import synthetic
+        from tpu3dlm.data.dataset import load_scan
+        from tpu3dlm.data.scan import detections_from_frame_dict
+        from tpu3dlm.mapper import project_detections
+        from tpu3dlm.mapper.projection import frame_view_geometry
+
+        root = str(tmp_path_factory.mktemp("fvg"))
+        scene = synthetic.generate_scan(root, "gold_std", num_frames=2)
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        scan = load_scan(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=128,
+        )
+        det = detections_from_frame_dict(scene.gt_boxes_2d, scan.num_frames)
+        g = project_detections(scan, det)
+        geo = frame_view_geometry(scan, g, frame_index=0)
+
+        # the unprojected cloud lies on the wall/sign planes (z in [2.8, 3])
+        z = geo["cloud_points"][:, 2]
+        assert len(z) > 1000
+        assert z.min() > 2.7 and z.max() < 3.1
+        assert len(geo["boxes"]) == int(np.asarray(g.mask)[0].sum())
+        for box8 in geo["boxes"]:
+            assert box8.shape == (8, 3)
+        fr = geo["frustum"]
+        assert np.asarray(fr["points"]).shape == (5, 3)
+        assert len(fr["lines"]) == 8
+        # frustum apex sits at the camera position
+        np.testing.assert_allclose(
+            np.asarray(fr["points"])[0], np.asarray(scan.poses)[0, :3], atol=1e-5
+        )
+
+
 class TestMappingOverlays:
     @pytest.fixture(scope="class")
     def mapper(self, tmp_path_factory, rng):

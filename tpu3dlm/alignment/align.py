@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu3dlm.mapper.projection import GlobalBoxes
-from tpu3dlm.ops.icp import centroid_align, icp
+from tpu3dlm.ops.icp import centroid_align, icp, icp_point_to_plane
 
 
 def _poses_to_array(pose_df) -> np.ndarray:
@@ -147,7 +147,18 @@ class Alignment:
         T0 = np.asarray(centroid_align(jnp.asarray(comp_s), jnp.asarray(base_s)))
         # fine: coarse-to-fine ICP stages — shrinking the correspondence
         # radius escapes the planar-scene local minima a single loose radius
-        # settles into; every iteration's increment is recorded
+        # settles into; every iteration's increment is recorded.
+        # With a real cloud target the solver is POINT-TO-PLANE (grid-PCA
+        # target normals): point-to-point ICP slides tangentially along the
+        # dominant planes of man-made scans and can diverge under partial
+        # overlap; the plane residual n·(p−q) is tangent-invariant. The
+        # sparse pose+box fallback geometry has no meaningful normals, so it
+        # keeps the point-to-point solve.
+        normals = None
+        if self.base_cloud is not None and len(base_s) >= 1000:
+            from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+            normals = jnp.asarray(estimate_normals_grid(base_s))
         dists = self.max_correspondence_dist
         if isinstance(dists, (int, float)):
             dists = (float(dists),)
@@ -155,14 +166,25 @@ class Alignment:
         T = jnp.asarray(T0)
         res = None
         for d in dists:
-            res = icp(
-                jnp.asarray(comp_s),
-                jnp.asarray(base_s),
-                init_transform=T,
-                max_correspondence_dist=float(d),
-                iterations=self.icp_iterations,
-                use_pallas=self.use_pallas,
-            )
+            if normals is not None:
+                res = icp_point_to_plane(
+                    jnp.asarray(comp_s),
+                    jnp.asarray(base_s),
+                    normals,
+                    init_transform=T,
+                    max_correspondence_dist=float(d),
+                    iterations=self.icp_iterations,
+                    use_pallas=self.use_pallas,
+                )
+            else:
+                res = icp(
+                    jnp.asarray(comp_s),
+                    jnp.asarray(base_s),
+                    init_transform=T,
+                    max_correspondence_dist=float(d),
+                    iterations=self.icp_iterations,
+                    use_pallas=self.use_pallas,
+                )
             steps = np.asarray(res.step_transforms)
             self.transformations += [steps[i] for i in range(steps.shape[0])]
             T = res.transform

@@ -38,6 +38,63 @@ from tpu3dlm.data.scan import Detections, Scan
 from tpu3dlm.ops import geometry as G
 
 
+def frame_view_geometry(
+    scan: Scan,
+    gboxes: "GlobalBoxes",
+    frame_index: int,
+    depth_buffer: float = 0.03,
+    frustum_depth: float = 0.3,
+) -> dict:
+    """Dependency-free geometry for the reference's live 3D display during
+    projection (pose_processor.py:144-171 RGBD cloud + :219-238 box line
+    sets and camera-frustum overlay):
+
+      * ``cloud_points`` (N, 3) world-frame points of this frame's depth map
+        (+ ``cloud_colors`` when the stored RGB matches the depth aspect);
+      * ``boxes``: list of (8, 3) extruded box corners for the frame's
+        valid detections;
+      * ``frustum``: {points (5, 3), lines} camera frustum for the pose.
+
+    An Open3D viewer (utils/visualisation.Visualiser) can consume this
+    directly; tests assert the geometry itself.
+    """
+    from tpu3dlm.ops.pointcloud import depth_to_points
+    from tpu3dlm.utils.visualisation import Visualiser
+
+    depth = jnp.asarray(scan.depth)[frame_index]
+    wh = np.asarray(scan.rgb_size, np.float32)[frame_index]
+    fx, fy, cx, cy = np.asarray(scan.intrinsics, np.float32)[frame_index]
+    s = wh[0] / depth.shape[1]
+    fx_d, fy_d, cx_d, cy_d = fx / s, fy / s, cx / s, cy / s
+    pose = np.asarray(scan.poses, np.float32)[frame_index]
+
+    pts, valid = depth_to_points(depth, fx_d, fy_d, cx_d, cy_d, pose=jnp.asarray(pose))
+    pts = np.asarray(pts)[np.asarray(valid)]
+
+    boxes = []
+    mask = np.asarray(gboxes.mask)[frame_index]
+    corners = np.asarray(gboxes.corners)[frame_index]
+    for b in range(mask.shape[0]):
+        if mask[b]:
+            boxes.append(
+                np.asarray(
+                    G.create_3d_bounding_box(jnp.asarray(corners[b]), depth_buffer)
+                )
+            )
+
+    T = np.asarray(G.pose_to_matrix(jnp.asarray(pose)))
+    frustum = Visualiser()._overlay_camera_frustum(
+        T[:3, 3], T[:3, :3], fx_d, fy_d, depth.shape[1], depth.shape[0],
+        depth=frustum_depth,
+    )
+    if not isinstance(frustum, dict):  # Open3D LineSet → plain geometry
+        frustum = {
+            "points": np.asarray(frustum.points),
+            "lines": [list(map(int, l)) for l in np.asarray(frustum.lines)],
+        }
+    return {"cloud_points": pts, "boxes": boxes, "frustum": frustum}
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GlobalBoxes:

@@ -94,6 +94,95 @@ def icp(
     )
 
 
+@partial(jax.jit, static_argnames=("iterations", "use_pallas"))
+def icp_point_to_plane(
+    source: jax.Array,  # (N, 3) — cloud to move
+    target: jax.Array,  # (M, 3) — fixed cloud
+    target_normals: jax.Array,  # (M, 3) unit normals (ops/pointcloud.py)
+    init_transform: jax.Array | None = None,
+    max_correspondence_dist: float = 0.5,
+    iterations: int = 20,
+    use_pallas: bool = False,
+    damping: float = 1e-6,
+    point_weight: float = 0.1,
+) -> ICPResult:
+    """Hybrid plane+point ICP (Gauss-Newton on the linearised SE(3) step).
+
+    Why it exists alongside the pure point-to-point solver: on man-made
+    scenes (walls, floors — exactly the reference's vehicle interiors)
+    point-to-point ICP slides tangentially along the dominant planes and
+    can *diverge* under partial overlap, because tangential motion is
+    rewarded by denser plane interiors. The plane residual n·(p−q) is
+    tangent-invariant, so it cannot slide — but it is also BLIND along
+    plane-parallel directions, so a small ``point_weight``·‖p−q‖² term
+    supplies the boundary/patch signal that pins the remaining degrees of
+    freedom. The hybrid handles both the fully-perpendicular and the
+    all-parallel-planes scene classes.
+
+    Per iteration: NN correspondences (same tiled kernels), damped 6×6
+    normal-equation solve over both residuals, increment exp(ω), t composed
+    onto T. Returns per-iteration increments for the animation contract,
+    like `icp`.
+    """
+    from tpu3dlm.ops.geometry import so3_exp
+
+    nn = nearest_neighbors_pallas if use_pallas else nearest_neighbors_xla
+    src0 = source.astype(jnp.float32)
+    tgt = target.astype(jnp.float32)
+    nrm = target_normals.astype(jnp.float32)
+    T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform.astype(jnp.float32)
+    max_d2 = max_correspondence_dist**2
+
+    def step(T, _):
+        moved = src0 @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nn(moved, tgt)
+        q = tgt[idx]
+        n = nrm[idx]
+        w = (d2 <= max_d2).astype(jnp.float32)
+
+        # plane term: r = n·(p−q), J row = [(p×n)ᵀ nᵀ]
+        r = jnp.sum((moved - q) * n, axis=-1)  # (N,)
+        a = jnp.cross(moved, n)  # (N, 3)
+        J = jnp.concatenate([a, n], axis=-1)  # (N, 6)
+        Jw = J * w[:, None]
+        H = Jw.T @ J  # (6, 6)
+        g = Jw.T @ r  # (6,)
+
+        # point term: e = p−q (3 rows/corr), J = [−[p]×  I]
+        e = moved - q  # (N, 3)
+        Z = jnp.zeros_like(moved[:, 0])
+        px, py, pz = moved[:, 0], moved[:, 1], moved[:, 2]
+        skew = jnp.stack(
+            [jnp.stack([Z, -pz, py], -1),
+             jnp.stack([pz, Z, -px], -1),
+             jnp.stack([-py, px, Z], -1)], axis=1
+        )  # (N, 3, 3) = [p]×
+        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), skew.shape)
+        Jp = jnp.concatenate([-skew, eye3], axis=2)  # (N, 3, 6)
+        Jpw = Jp * w[:, None, None]
+        H = H + point_weight * jnp.einsum("nij,nik->jk", Jpw, Jp)
+        g = g + point_weight * jnp.einsum("nij,ni->j", Jpw, e)
+
+        lam = damping * jnp.trace(H) + 1e-12
+        xi = jnp.linalg.solve(H + lam * jnp.eye(6), -g)
+        R_inc = so3_exp(xi[:3])
+        T_inc = jnp.eye(4, dtype=jnp.float32)
+        T_inc = T_inc.at[:3, :3].set(R_inc)
+        T_inc = T_inc.at[:3, 3].set(xi[3:])
+        T_new = T_inc @ T
+        rmse = jnp.sqrt(jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0))
+        frac = jnp.mean(w)
+        return T_new, (T_inc, rmse, frac)
+
+    T_final, (incs, rmses, fracs) = jax.lax.scan(step, T0, None, length=iterations)
+    return ICPResult(
+        transform=T_final,
+        step_transforms=incs,
+        rmse=rmses[-1],
+        inlier_frac=fracs[-1],
+    )
+
+
 def centroid_align(source: jax.Array, target: jax.Array) -> jax.Array:
     """4×4 pure translation moving the source centroid onto the target's —
     the standard coarse initialisation recorded as the first animation step

@@ -36,6 +36,62 @@ def depth_to_points(
     return pts, valid
 
 
+def estimate_normals_grid(
+    points,  # (N, 3)
+    voxel: float = 0.08,
+    viewpoint=None,  # orient normals towards this point when given
+):
+    """Per-point unit normals from per-voxel PCA (host numpy).
+
+    Replaces the reference's Open3D KDTree-hybrid normal estimation
+    (src/mapper/mapping.py:123-128) without the dependency: points bin into
+    `voxel`-sized cells, each cell's 3×3 covariance accumulates via
+    scatter-add, a batched eigendecomposition gives the smallest-eigenvalue
+    direction, and every point inherits its cell's normal. One O(N) pass +
+    one batched 3×3 eigh — no tree, no per-point neighbourhood search.
+    Cells with < 3 points fall back to the global dominant-plane normal.
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float64)
+    n = pts.shape[0]
+    cells = np.floor(pts / voxel).astype(np.int64)
+    _, inv = np.unique(cells, axis=0, return_inverse=True)
+    v = int(inv.max()) + 1 if n else 0
+
+    counts = np.bincount(inv, minlength=v).astype(np.float64)
+    sums = np.zeros((v, 3))
+    for k in range(3):
+        sums[:, k] = np.bincount(inv, weights=pts[:, k], minlength=v)
+    means = sums / np.maximum(counts, 1)[:, None]
+    cov = np.zeros((v, 3, 3))
+    d = pts - means[inv]
+    for a in range(3):
+        for b in range(a, 3):
+            cab = np.bincount(inv, weights=d[:, a] * d[:, b], minlength=v)
+            cov[:, a, b] = cab
+            cov[:, b, a] = cab
+    cov /= np.maximum(counts, 1)[:, None, None]
+
+    # batched 3×3 eigh: smallest eigenvector = plane normal
+    _, vecs = np.linalg.eigh(cov + 1e-12 * np.eye(3))
+    normals_v = vecs[:, :, 0]
+    # degenerate cells (too few points) → global dominant-plane normal
+    bad = counts < 3
+    if bad.any():
+        _, gv = np.linalg.eigh(np.cov(pts.T) + 1e-12 * np.eye(3))
+        normals_v[bad] = gv[:, 0]
+
+    normals = normals_v[inv]
+    if viewpoint is not None:
+        to_vp = np.asarray(viewpoint, np.float64)[None] - pts
+        flip = np.sum(normals * to_vp, axis=1) < 0
+        normals[flip] = -normals[flip]
+    return (normals / np.linalg.norm(normals, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+
+
 @partial(jax.jit, static_argnames=("scale_depth",))
 def scan_to_pointcloud(
     depth: jax.Array,  # (F, H, W)
