@@ -138,3 +138,54 @@ class TestFinetune:
             params_r, opt_r, loss = step(params_r, opt_r, crops_s, labels_s)
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
+
+
+class TestMultiChipNN:
+    """Multi-chip nearest-neighbour scaling (parallel/nn.py): query-sharded
+    and target-sharded variants must equal the single-device kernels."""
+
+    def test_target_sharded_matches_single(self, mesh8, rng):
+        from tpu3dlm.parallel.nn import target_sharded_nn
+        from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
+
+        a = rng.normal(size=(256, 3)).astype(np.float32)
+        b = rng.normal(size=(8 * 300, 3)).astype(np.float32)
+        idx1, d21 = nearest_neighbors_xla(jnp.asarray(a), jnp.asarray(b))
+        nn = target_sharded_nn(mesh8)
+        idx2, d22 = nn(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+        np.testing.assert_allclose(np.asarray(d21), np.asarray(d22), atol=1e-5)
+
+    def test_query_sharded_icp_matches_single(self, mesh8, rng):
+        from tpu3dlm.ops.icp import icp_point_to_plane
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+        from tpu3dlm.parallel.nn import shard_queries
+
+        n = 2000
+        base = np.concatenate([
+            np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), np.full(n, 2.0)], 1),
+            np.stack([rng.uniform(-1, 1, n // 2), np.full(n // 2, 1.0),
+                      rng.uniform(1, 2, n // 2)], 1),
+            np.stack([np.full(n // 2, -1.0), rng.uniform(-1, 1, n // 2),
+                      rng.uniform(1, 2, n // 2)], 1),
+        ]).astype(np.float32)
+        src = base[rng.choice(base.shape[0], 1024, replace=False)] + np.array(
+            [0.05, -0.03, 0.08], np.float32
+        )
+        normals = jnp.asarray(estimate_normals_grid(base, voxel=0.2))
+
+        want = icp_point_to_plane(
+            jnp.asarray(src), jnp.asarray(base), normals,
+            max_correspondence_dist=0.5, iterations=10,
+        )
+        qs, tr = shard_queries(mesh8, jnp.asarray(src), jnp.asarray(base))
+        nr = jax.device_put(
+            normals, jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec())
+        )
+        got = icp_point_to_plane(
+            qs, tr, nr, max_correspondence_dist=0.5, iterations=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.transform), np.asarray(want.transform), atol=1e-4
+        )
+        assert len(qs.sharding.device_set) == 8

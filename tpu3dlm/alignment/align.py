@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +91,7 @@ class Alignment:
         icp_iterations: int = 30,
         max_correspondence_dist: float | tuple[float, ...] = (1.0, 0.25, 0.1),
         use_pallas: bool | None = None,
+        mesh=None,  # jax.sharding.Mesh → shard the ICP query axis over it
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -100,10 +102,9 @@ class Alignment:
         self.icp_iterations = icp_iterations
         self.max_correspondence_dist = max_correspondence_dist
         if use_pallas is None:
-            import jax
-
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.mesh = mesh
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -159,6 +160,26 @@ class Alignment:
             from tpu3dlm.ops.pointcloud import estimate_normals_grid
 
             normals = jnp.asarray(estimate_normals_grid(base_s))
+        comp_j = jnp.asarray(comp_s)
+        base_j = jnp.asarray(base_s)
+        if self.mesh is not None:
+            # query-sharded multi-chip ICP: query rows shard over the mesh's
+            # batch axis, target + normals replicate; XLA partitions the
+            # whole scan loop (parallel/nn.py). Queries pad by repetition —
+            # a repeated point only double-counts an existing constraint.
+            from tpu3dlm.parallel.nn import shard_queries
+
+            n_dev = self.mesh.devices.size
+            extra = (-comp_s.shape[0]) % n_dev
+            if extra:
+                comp_j = jnp.concatenate([comp_j, comp_j[:extra]])
+            comp_j, base_j = shard_queries(self.mesh, comp_j, base_j)
+            if normals is not None:
+                normals = jax.device_put(
+                    normals,
+                    jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+                )
+
         dists = self.max_correspondence_dist
         if isinstance(dists, (int, float)):
             dists = (float(dists),)
@@ -168,8 +189,8 @@ class Alignment:
         for d in dists:
             if normals is not None:
                 res = icp_point_to_plane(
-                    jnp.asarray(comp_s),
-                    jnp.asarray(base_s),
+                    comp_j,
+                    base_j,
                     normals,
                     init_transform=T,
                     max_correspondence_dist=float(d),
@@ -178,8 +199,8 @@ class Alignment:
                 )
             else:
                 res = icp(
-                    jnp.asarray(comp_s),
-                    jnp.asarray(base_s),
+                    comp_j,
+                    base_j,
                     init_transform=T,
                     max_correspondence_dist=float(d),
                     iterations=self.icp_iterations,
