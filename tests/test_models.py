@@ -146,6 +146,62 @@ class TestYoloConverter:
             np.testing.assert_array_equal(a, b)
 
 
+class TestUltralyticsCheckpointShim:
+    def test_object_checkpoint_loads_without_package(self, tmp_path):
+        """Real ultralytics best.pt files pickle the MODEL OBJECT
+        (ultralytics.nn.tasks.DetectionModel); loading them must work with
+        the ultralytics package absent (reference detector.py:36 consumes
+        exactly such a file). We fabricate the package just long enough to
+        save the object, delete it, and load through the shim."""
+        torch = pytest.importorskip("torch")
+        import sys
+        import types
+
+        from torch_yolov10_ref import TorchYOLOv10, randomize_
+
+        from tpu3dlm.models.weights import load_torch_state_dict
+
+        pkg = types.ModuleType("ultralytics")
+        nnm = types.ModuleType("ultralytics.nn")
+        tasks = types.ModuleType("ultralytics.nn.tasks")
+
+        class DetectionModel(TorchYOLOv10):
+            pass
+
+        DetectionModel.__module__ = "ultralytics.nn.tasks"
+        DetectionModel.__qualname__ = "DetectionModel"
+        tasks.DetectionModel = DetectionModel
+        sys.modules.update(
+            {"ultralytics": pkg, "ultralytics.nn": nnm, "ultralytics.nn.tasks": tasks}
+        )
+        try:
+            m = DetectionModel(nc=4, variant="n")
+            randomize_(m, seed=2)
+            want = {k: v.numpy().copy() for k, v in m.state_dict().items()}
+            path = str(tmp_path / "best.pt")
+            torch.save({"model": m, "epoch": 3}, path)
+        finally:
+            for k in ("ultralytics", "ultralytics.nn", "ultralytics.nn.tasks"):
+                sys.modules.pop(k, None)
+
+        assert "ultralytics" not in sys.modules
+        sd = load_torch_state_dict(path)
+        assert "ultralytics" not in sys.modules  # shim cleans up after itself
+        assert set(sd) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(sd[k], want[k])
+
+        # and it converts structurally, like any ultralytics checkpoint
+        variables = convert_yolov10_state_dict(sd)
+        ref = YOLOv10(nc=4, variant="n").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+        problems = assert_tree_matches(
+            variables["params"], jax.tree.map(np.asarray, ref["params"])
+        )
+        assert not problems, problems[:10]
+
+
 class TestYoloTorchGolden:
     """Numeric golden: ultralytics-format torch YOLOv10 → converter → Flax
     forward equivalence (VERDICT r1 item 3 — a wrong BN epsilon, padding, or

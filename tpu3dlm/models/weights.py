@@ -21,14 +21,99 @@ from typing import Mapping
 import numpy as np
 
 
+class _StubModules:
+    """sys.modules shim so ultralytics .pt checkpoints unpickle WITHOUT the
+    ultralytics package installed.
+
+    Ultralytics .pt files pickle model *objects* (e.g.
+    ``ultralytics.nn.tasks.DetectionModel``), so a plain ``torch.load``
+    raises ModuleNotFoundError when the package is absent. Pickle never
+    calls ``__init__`` — it only looks the class up and restores
+    ``__dict__`` — so a dynamically-created ``nn.Module`` subclass is a
+    faithful stand-in: the restored ``_parameters/_modules/_buffers`` make
+    ``state_dict()`` work exactly. The shim fabricates such classes for any
+    missing ``ultralytics*`` module on demand and removes itself afterwards.
+    """
+
+    PREFIXES = ("ultralytics",)
+
+    def __init__(self):
+        self._installed: list[str] = []
+
+    def __enter__(self):
+        import importlib.machinery
+        import sys
+        import types
+
+        import torch
+
+        def make_module(name: str) -> types.ModuleType:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=True)
+            mod.__path__ = []  # package, so submodules can import under it
+
+            def __getattr__(attr, _name=name):
+                if attr.startswith("__") and attr.endswith("__"):
+                    raise AttributeError(attr)
+                # submodule access (ultralytics.nn → ultralytics.nn.tasks)
+                # resolves through sys.modules; class access fabricates a
+                # pickle-compatible nn.Module subclass
+                sub = f"{_name}.{attr}"
+                if sub in sys.modules:
+                    return sys.modules[sub]
+                cls = type(attr, (torch.nn.Module,), {"__module__": _name})
+                return cls
+
+            mod.__getattr__ = __getattr__
+            return mod
+
+        import sys as _sys
+
+        # pre-create the roots; deeper modules materialise lazily via pickle's
+        # find_class → importlib.import_module, which we intercept by
+        # registering a meta-path loader
+        class MetaLoader:
+            def find_spec(self, fullname, path=None, target=None):
+                if any(
+                    fullname == p or fullname.startswith(p + ".")
+                    for p in _StubModules.PREFIXES
+                ) and fullname not in _sys.modules:
+                    import importlib.machinery
+                    import importlib.util
+
+                    return importlib.util.spec_from_loader(fullname, self)
+                return None
+
+            def create_module(self, spec):
+                m = make_module(spec.name)
+                self_installed.append(spec.name)
+                return m
+
+            def exec_module(self, module):
+                pass
+
+        self_installed = self._installed
+        self._meta = MetaLoader()
+        _sys.meta_path.insert(0, self._meta)
+        return self
+
+    def __exit__(self, *exc):
+        import sys
+
+        sys.meta_path.remove(self._meta)
+        for name in self._installed:
+            sys.modules.pop(name, None)
+        return False
+
+
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     """Read a torch checkpoint file into a {key: ndarray} dict.
 
-    Handles raw state-dicts and ultralytics-style {"model": nn.Module}
-    wrappers. Ultralytics .pt files pickle model *objects*; unpickling those
-    requires the ultralytics package — if it is unavailable, re-export the
-    checkpoint as a plain state_dict first
-    (``torch.save(ckpt["model"].state_dict(), out)``).
+    Handles raw state-dicts, {"state_dict": ...} wrappers, and ultralytics-
+    style {"model": nn.Module} object checkpoints — the latter unpickle even
+    without the ultralytics package via the `_StubModules` shim (pickle only
+    needs a class with the right name; state_dict() reads the restored
+    module tree).
     """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
@@ -36,7 +121,8 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
         return dict(load_file(path))
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    with _StubModules():
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
         obj = obj["model"].state_dict()
     elif isinstance(obj, dict) and "state_dict" in obj:

@@ -258,6 +258,7 @@ class Pipeline:
             comparison_cloud=comp_cloud,
             max_points=getattr(self.cfg, "icp_max_points", 16384),
             icp_iterations=getattr(self.cfg, "icp_iterations", 30),
+            mesh=self._alignment_mesh(),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder
@@ -285,6 +286,15 @@ class Pipeline:
                 os.path.dirname(self.cfg.csv_output) or ".", "alignment_animation.mp4"
             )
             vis.create_video(transformations, out)
+
+    def _alignment_mesh(self):
+        """Query-sharded ICP mesh when cfg.mesh_devices > 1 (parallel/nn.py)."""
+        n = getattr(self.cfg, "mesh_devices", 1)
+        if n and n > 1:
+            from tpu3dlm.parallel.mesh import make_mesh
+
+            return make_mesh(n)
+        return None
 
     # -- weights ----------------------------------------------------------
 
