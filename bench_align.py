@@ -128,9 +128,7 @@ def main():
         from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
 
         cpu = jax.devices("cpu")[0]
-        q = jax.device_put(jnp.asarray(align._last_query_pts), cpu) if hasattr(
-            align, "_last_query_pts") else jax.device_put(
-            jnp.asarray(base[:16384]), cpu)
+        q = jax.device_put(jnp.asarray(base[:16384]), cpu)
         t = jax.device_put(jnp.asarray(base), cpu)
         np.asarray(nearest_neighbors_xla(q, t)[0])  # compile
         t0 = time.perf_counter()
