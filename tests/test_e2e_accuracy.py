@@ -37,3 +37,38 @@ def test_pipeline_reproduces_ground_truth(tmp_path):
     report = verify(cfg_path, gold, dropped=(2,), tol=0.1)
     assert report["missing_flagged"] == 1
     assert max(report["placement_errors_m"].values()) <= 0.1
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(YOLO) and os.path.exists(BEIT)),
+    reason="fixture checkpoints absent — run scripts/e2e_accuracy.py",
+)
+def test_fused_path_reproduces_ground_truth(tmp_path):
+    """The single-jit fused fast path must hit the same ground-truth 3D
+    placements as the staged path when running the trained weights."""
+    import numpy as np
+
+    from tpu3dlm.pipeline.evaluate import make_project
+    from tpu3dlm.pipeline.task import setup_pipeline
+    from tpu3dlm.utils.config import ConfigLoader
+
+    cfg_path, _, gold, _ = make_project(
+        str(tmp_path), YOLO, BEIT,
+        cloud_points_per_m2=800,
+        extra_cfg=[("fused_inference = false", "fused_inference = true")],
+    )
+    cfg = ConfigLoader(cfg_path, "gold_std")
+    assert cfg.fused_inference is True
+    p = setup_pipeline("gold_std", cfg, None)
+    opt = p.data_to_save["optimised_bboxes"]
+
+    for i, sign in enumerate(gold.signs):
+        best = np.inf
+        for _, recs in opt.items():
+            for rec in recs:
+                corners = np.stack([np.asarray(c) for c in rec[:4]])
+                best = min(
+                    best,
+                    float(np.linalg.norm(corners.mean(0) - sign.corners_world.mean(0))),
+                )
+        assert best <= 0.1, f"fused path: sign {i} centroid error {best:.3f}"
