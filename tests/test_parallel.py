@@ -189,3 +189,36 @@ class TestMultiChipNN:
             np.asarray(got.transform), np.asarray(want.transform), atol=1e-4
         )
         assert len(qs.sharding.device_set) == 8
+
+
+class TestDistributedInit:
+    def test_single_host_bringup(self):
+        """distributed_init() performs a real 1-process coordinator bring-up
+        (the framework's communication-backend path, SURVEY.md §5) — run in
+        a fresh subprocess because the runtime must start before backends."""
+        import os
+        import subprocess
+        import sys
+
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "from tpu3dlm.parallel.mesh import distributed_init\n"
+            "distributed_init()\n"
+            "assert jax.process_count() == 1\n"
+            "import jax.numpy as jnp\n"
+            "assert float(jnp.sum(jnp.arange(4.0))) == 6.0\n"
+            "print('bringup-ok')\n"
+        )
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300, env=env,
+        )
+        assert "bringup-ok" in out.stdout, out.stderr[-800:]
+
+    def test_noop_when_backends_up(self):
+        from tpu3dlm.parallel.mesh import distributed_init
+
+        distributed_init()  # backends already initialised → swallowed no-op

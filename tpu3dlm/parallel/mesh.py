@@ -65,13 +65,36 @@ def pad_to_devices(arrays, mesh: Mesh):
     return jax.tree.map(pad, arrays), lead
 
 
-def distributed_init(coordinator: str | None = None, **kwargs) -> None:
-    """Multi-host bring-up (`jax.distributed.initialize`). No-op when the
-    process is already initialised or single-host args are absent."""
+def distributed_init(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> None:
+    """Multi-host bring-up (`jax.distributed.initialize`).
+
+    The reference has no communication backend at all (SURVEY.md §5); this
+    is the framework's: XLA collectives over ICI within a slice and DCN
+    across hosts once the distributed runtime is up. With explicit args
+    (or TPU metadata in the environment) it initialises that runtime;
+    calling it with no args on a single host performs a real 1-process
+    bring-up on localhost, so the code path is exercised everywhere.
+    No-op if already initialised.
+    """
+    if jax.process_count() > 1:
+        return  # already initialised multi-process
     try:
-        if coordinator is not None:
-            jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
+        if coordinator is None and num_processes is None and not kwargs:
+            # single-host bring-up: a real coordinator on localhost
+            jax.distributed.initialize(
+                coordinator_address="localhost:12391", num_processes=1, process_id=0
+            )
         else:
-            jax.distributed.initialize(**kwargs)
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
     except RuntimeError:
         pass  # already initialised
