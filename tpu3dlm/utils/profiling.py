@@ -50,13 +50,25 @@ def trace(log_dir: str | None):
 
 
 def block_and_time(fn, *args, iters: int = 1):
-    """Time a jitted fn (post-warmup) with block_until_ready; returns secs/call."""
-    import jax
+    """Time a jitted fn (post-warmup); returns secs/call.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    Forces completion with a HOST READBACK of the first output leaf —
+    `jax.block_until_ready` alone can return early on experimental remote
+    platforms (observed on the axon tunnel; docs/ARCHITECTURE.md
+    "Measurement discipline"), which silently under-reports timings."""
+    import jax
+    import numpy as np
+
+    def force(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        if leaves:
+            np.asarray(leaves[0])
+        return o
+
+    force(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / iters
