@@ -60,3 +60,73 @@ class TestScanpack:
 
     def test_missing_file(self):
         assert scanpack_read("/nonexistent/scan.pack") is None
+
+
+class TestNativeNormals:
+    def test_plane_normals_match_numpy_semantics(self, lib, rng):
+        from tpu3dlm.native import native_grid_normals
+
+        pts = np.stack(
+            [rng.uniform(-1, 1, 5000), rng.uniform(-1, 1, 5000),
+             0.01 * rng.normal(size=5000)], axis=1,
+        ).astype(np.float32)
+        n = native_grid_normals(pts, 0.25)
+        assert n is not None
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+        assert (np.abs(n[:, 2]) > 0.99).all()
+
+    def test_rayleigh_quotient_optimality(self, lib, rng):
+        """For every cell, the native normal's n^T C n must be within tol of
+        numpy's smallest eigenvalue — eigensolver correctness without
+        depending on eigenvector sign/degeneracy conventions."""
+        from tpu3dlm.native import native_grid_normals
+
+        pts = rng.normal(size=(4000, 3)).astype(np.float32) * [1.0, 0.7, 0.2]
+        voxel = 0.5
+        n = native_grid_normals(pts, voxel)
+        cells = np.floor(pts / voxel).astype(np.int64)
+        cells -= cells.min(axis=0)
+        dims = cells.max(axis=0) + 1
+        key = (cells[:, 0] * dims[1] + cells[:, 1]) * dims[2] + cells[:, 2]
+        for k in np.unique(key):
+            m = key == k
+            if m.sum() < 8:
+                continue
+            c = np.cov(pts[m].T.astype(np.float64))
+            lmin = np.linalg.eigvalsh(c)[0]
+            # native covariance divides by n (not n-1); compare quotients on
+            # the same matrix
+            c_biased = c * (m.sum() - 1) / m.sum()
+            lmin_b = np.linalg.eigvalsh(c_biased)[0]
+            nv = n[m][0].astype(np.float64)
+            q = nv @ c_biased @ nv
+            assert q <= lmin_b + 1e-6 + 0.05 * abs(lmin_b), (q, lmin_b)
+
+    def test_viewpoint_orientation(self, lib, rng):
+        from tpu3dlm.native import native_grid_normals
+
+        pts = np.stack(
+            [rng.uniform(-1, 1, 1000), rng.uniform(-1, 1, 1000),
+             np.full(1000, 3.0)], axis=1,
+        ).astype(np.float32)
+        n = native_grid_normals(pts, 0.3, viewpoint=np.zeros(3))
+        assert (n[:, 2] < 0).all()
+
+    def test_matches_python_fallback_on_planes(self, lib, rng):
+        """Native and numpy paths agree (up to sign) on well-conditioned
+        plane cells."""
+        from tpu3dlm.native import native_grid_normals
+        from tpu3dlm.ops import pointcloud as pc
+
+        pts = np.stack(
+            [rng.uniform(-2, 2, 8000), np.full(8000, 1.0),
+             rng.uniform(0, 2, 8000)], axis=1,
+        ).astype(np.float32)
+        got = native_grid_normals(pts, 0.25)
+        # force the numpy path
+        import unittest.mock as mock
+
+        with mock.patch("tpu3dlm.native.native_grid_normals", return_value=None):
+            want = pc.estimate_normals_grid(pts, voxel=0.25)
+        agree = np.abs(np.einsum("ij,ij->i", got, want))
+        assert (agree > 0.999).mean() > 0.999

@@ -17,7 +17,7 @@ import numpy as np
 
 _logger = logging.getLogger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = [os.path.join(_HERE, "src", f) for f in ("dbscan.cpp", "scanpack.cpp")]
+_SRC = [os.path.join(_HERE, "src", f) for f in ("dbscan.cpp", "scanpack.cpp", "normals.cpp")]
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
@@ -61,8 +61,37 @@ def get_lib() -> ctypes.CDLL | None:
             ]
             lib.tpu3dlm_scanpack_write.restype = ctypes.c_int
             lib.tpu3dlm_scanpack_read.restype = ctypes.c_int
+            lib.tpu3dlm_grid_normals.restype = ctypes.c_int
+            lib.tpu3dlm_grid_normals.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _LIB = lib
     return _LIB
+
+
+def native_grid_normals(
+    points: np.ndarray, voxel: float, viewpoint=None
+) -> np.ndarray | None:
+    """C++ grid-PCA normals; None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty_like(pts)
+    vp = None
+    if viewpoint is not None:
+        vp = np.ascontiguousarray(viewpoint, np.float32)
+    rc = lib.tpu3dlm_grid_normals(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(pts.shape[0]),
+        ctypes.c_double(voxel),
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if vp is not None
+        else ctypes.POINTER(ctypes.c_float)(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
 
 
 def native_dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray | None:

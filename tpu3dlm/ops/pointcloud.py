@@ -50,8 +50,18 @@ def estimate_normals_grid(
     direction, and every point inherits its cell's normal. One O(N) pass +
     one batched 3×3 eigh — no tree, no per-point neighbourhood search.
     Cells with < 3 points fall back to the global dominant-plane normal.
+
+    Prefers the native C++ core (tpu3dlm/native/src/normals.cpp — one
+    hash-accumulate pass, analytic 3×3 eigensolve); this numpy path is the
+    toolchain-free fallback.
     """
     import numpy as np
+
+    from tpu3dlm.native import native_grid_normals
+
+    native = native_grid_normals(points, voxel, viewpoint)
+    if native is not None:
+        return native
 
     pts = np.asarray(points, np.float64)
     n = pts.shape[0]
