@@ -13,8 +13,11 @@ Design (static shapes, one jit):
      (``area_bbox_min_th``) and minimum camera-to-box distance
      (``cam_to_bbox_min_th``);
   2. each planar quad is extruded ±depth-buffer along its normal
-     (Transforms.create_3d_bounding_box semantics) and reduced to an AABB;
-  3. pairwise AABB IoU over the top-K boxes by confidence;
+     (Transforms.create_3d_bounding_box semantics) into an ORIENTED box;
+  3. pairwise orientation-aware IoU over the top-K boxes by confidence
+     (each pair evaluated in the first box's local frame — exact for the
+     de-duplication case of equal orientations, and far tighter than world
+     AABBs for oblique quads);
   4. greedy suppression by confidence order as a ``lax.fori_loop`` —
      deterministic ties (lower frame index wins).
 
@@ -31,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from tpu3dlm.mapper.projection import GlobalBoxes
-from tpu3dlm.ops import geometry as G
 
 
 def _quad_area(corners: jax.Array) -> jax.Array:

@@ -13,7 +13,7 @@ to keep the torch→flax weight converter (models/weights.py) mechanical.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ and the whole loss is one differentiable jit — no host-side assignment loop.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

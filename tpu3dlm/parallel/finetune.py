@@ -10,13 +10,11 @@ canonical DP pattern that scales to any slice.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu3dlm.models.beit import BeitClassifier, preprocess_crops
 

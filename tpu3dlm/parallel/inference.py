@@ -10,13 +10,11 @@ between stages.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
+from tpu3dlm.models.beit import BeitClassifier, preprocess_crops
 from tpu3dlm.models.yolov10 import YOLOv10, postprocess
 from tpu3dlm.ops.image import _rectify_one_mxu
 from tpu3dlm.mapper.projection import project_boxes

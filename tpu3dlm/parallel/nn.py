@@ -20,8 +20,6 @@ axis is points-per-scan, which it handles by decimation):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
