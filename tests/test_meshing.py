@@ -139,3 +139,53 @@ class TestTSDF:
         assert verts.ndim == 2 and verts.shape[1] == 3
         assert faces.ndim == 2 and faces.shape[1] == 3
         assert len(faces) > 0
+
+
+class TestPipelineMeshArtifact:
+    @pytest.fixture(scope="class")
+    def project(self, tmp_path_factory):
+        from tpu3dlm.data import synthetic
+        from tpu3dlm.utils.config import write_default_config
+
+        root = str(tmp_path_factory.mktemp("meshproj"))
+        cfg_path = os.path.join(root, "configs", "variables.cfg")
+        write_default_config(cfg_path)
+        text = open(cfg_path).read()
+        for k, v in [
+            ("img_size = 640", "img_size = 96"),
+            ("batch_size = 16", "batch_size = 4"),
+            ("num_classes = 80", "num_classes = 2"),
+            ("min_points = 1000", "min_points = 50"),
+            ("eps = 0.04", "eps = 0.1"),
+            ("visualise = false", "visualise = true"),
+            ("mesh_voxel = 0.04", "mesh_voxel = 0.08"),
+        ]:
+            assert k in text, k
+            text = text.replace(k, v)
+        open(cfg_path, "w").write(text)
+        synthetic.generate_scan(
+            os.path.join(root, "configs", "data"), "gold_std", num_frames=3
+        )
+        return cfg_path
+
+    @pytest.mark.parametrize("source", ["cloud", "tsdf"])
+    def test_map_mesh_written(self, project, source):
+        """cfg.visualise now produces a real mesh artifact next to the
+        cloud, from either the PLY cloud or on-device TSDF fusion."""
+        from tpu3dlm.data.ply import load_ply_mesh
+        from tpu3dlm.pipeline.task import Pipeline
+        from tpu3dlm.utils.config import ConfigLoader
+
+        text = open(project).read()
+        open(project, "w").write(
+            text.replace("mesh_source = cloud", f"mesh_source = {source}")
+            if source != "cloud" else text
+        )
+        cfg = ConfigLoader(project, "gold_std")
+        assert cfg.mesh_source == source
+        Pipeline("gold_std", cfg).run()
+        out = os.path.join(os.path.dirname(cfg.ply_path), "map_mesh.ply")
+        verts, faces = load_ply_mesh(out)
+        assert len(faces) > 50, (source, len(faces))
+        # surface sits in the scene's z band
+        assert 2.5 < float(np.median(verts[:, 2])) < 3.2

@@ -103,7 +103,7 @@ class Pipeline:
             self.logger.info(f"Failed to write to file: {e}")
 
         if self.cfg.visualise:
-            self._timed("plot", self._plot_map, global_bboxes, optimised, pose_df)
+            self._timed("plot", self._plot_map, scan, global_bboxes, optimised, pose_df)
 
         if self.cfg_goldstd and self.goldstd_var:
             self._timed(
@@ -218,21 +218,41 @@ class Pipeline:
         self.logger.info("3D NMS Executed.")
         return global_bboxes, optimised, pose_df
 
-    def _plot_map(self, global_bboxes, optimised, pose_df):
-        from tpu3dlm.mapper.mapping import Mapping
+    def _plot_map(self, scan, global_bboxes, optimised, pose_df):
+        """3D map artifact: a real triangle-mesh PLY next to the cloud.
 
+        ``mesh_source = cloud`` (default) surface-reconstructs cloud.ply
+        (reference make_mesh semantics, mapping.py:86-97); ``tsdf`` fuses
+        the scan's depth frames on device instead (mapper/meshing.py) —
+        denoised free-space-carved geometry the reference cannot produce.
+        """
         self.logger.info("Generating 3D Map...")
-        mapper = Mapping(
-            global_bboxes_data=global_bboxes,
-            optimised_bboxes=optimised,
-            pose=pose_df,
-            eps=self.cfg.eps,
-            min_points=self.cfg.min_points,
-            ply_filepath=self.cfg.ply_path,
-            preprocess_point_cloud=self.cfg.preprocess_point_cloud,
-            overlay_pose=self.cfg.overlay_pose,
-        )
-        mapper.make_mesh()
+        out = os.path.join(os.path.dirname(self.cfg.ply_path) or ".", "map_mesh.ply")
+        if getattr(self.cfg, "mesh_source", "cloud") == "tsdf":
+            from tpu3dlm.data.ply import save_ply_mesh
+            from tpu3dlm.mapper.meshing import mesh_scan
+
+            verts, faces = mesh_scan(scan, voxel=getattr(self.cfg, "mesh_voxel", 0.04))
+            save_ply_mesh(out, verts, faces)
+            self.logger.info(
+                "TSDF mesh: %d vertices / %d triangles → %s", len(verts), len(faces), out
+            )
+        else:
+            from tpu3dlm.mapper.mapping import Mapping
+
+            mapper = Mapping(
+                global_bboxes_data=global_bboxes,
+                optimised_bboxes=optimised,
+                pose=pose_df,
+                eps=self.cfg.eps,
+                min_points=self.cfg.min_points,
+                ply_filepath=self.cfg.ply_path,
+                preprocess_point_cloud=self.cfg.preprocess_point_cloud,
+                overlay_pose=self.cfg.overlay_pose,
+            )
+            mapper.make_mesh(
+                output_path=out, voxel=getattr(self.cfg, "mesh_voxel", 0.04)
+            )
         self.logger.info("3D Map Generated.")
 
     def _goldstd_vs_maintenance(self, pose_df, optimised_bboxes):

@@ -62,6 +62,8 @@ _SCHEMA: dict[str, str] = {
     "use_pallas": "bool",
     "icp_max_points": "int",
     "icp_iterations": "int",
+    "mesh_source": "str",
+    "mesh_voxel": "float",
     "infer_dtype": "str",
     "fused_inference": "bool",
 }
@@ -147,6 +149,10 @@ min_points = 1000
 preprocess_point_cloud = true
 overlay_pose = false
 visualise = false
+# 3D map artifact: mesh cloud.ply ("cloud") or TSDF-fuse the scan's depth
+# frames on device ("tsdf")
+mesh_source = cloud
+mesh_voxel = 0.04
 
 # maintenance comparison
 alignment_vis = false
