@@ -118,7 +118,10 @@ def main():
     except Exception:
         pass
 
-    num_frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    # batch 128 is the measured v5e-1 sweet spot for this program: 32 → 536,
+    # 64 → 734, 128 → 904, 256 → 851 fps (dispatch amortisation vs HBM
+    # pressure; PERF.md)
+    num_frames = int(os.environ.get("BENCH_FRAMES", "128"))
     img_size = int(os.environ.get("BENCH_IMG", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
