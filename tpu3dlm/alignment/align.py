@@ -92,6 +92,8 @@ class Alignment:
         max_correspondence_dist: float | tuple[float, ...] = (1.0, 0.25, 0.1),
         use_pallas: bool | None = None,
         mesh=None,  # jax.sharding.Mesh → shard the ICP query axis over it
+        coarse_query_cap: int = 4096,
+        coarse_target_cap: int = 262_144,
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -105,6 +107,8 @@ class Alignment:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.mesh = mesh
+        self.coarse_query_cap = coarse_query_cap
+        self.coarse_target_cap = coarse_target_cap
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -155,43 +159,70 @@ class Alignment:
         # overlap; the plane residual n·(p−q) is tangent-invariant. The
         # sparse pose+box fallback geometry has no meaningful normals, so it
         # keeps the point-to-point solve.
-        normals = None
+        normals_np = None
         if self.base_cloud is not None and len(base_s) >= 1000:
             from tpu3dlm.ops.pointcloud import estimate_normals_grid
 
-            normals = jnp.asarray(estimate_normals_grid(base_s))
-        comp_j = jnp.asarray(comp_s)
-        base_j = jnp.asarray(base_s)
-        if self.mesh is not None:
-            # query-sharded multi-chip ICP: query rows shard over the mesh's
-            # batch axis, target + normals replicate; XLA partitions the
-            # whole scan loop (parallel/nn.py). Queries pad by repetition —
-            # a repeated point only double-counts an existing constraint.
-            from tpu3dlm.parallel.nn import shard_queries
+            normals_np = estimate_normals_grid(base_s)
 
-            n_dev = self.mesh.devices.size
-            extra = (-comp_s.shape[0]) % n_dev
-            if extra:
-                comp_j = jnp.concatenate([comp_j, comp_j[:extra]])
-            comp_j, base_j = shard_queries(self.mesh, comp_j, base_j)
-            if normals is not None:
-                normals = jax.device_put(
-                    normals,
-                    jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
-                )
+        def place(q, t, nrm):
+            """Device placement; query-sharded over the mesh when set
+            (parallel/nn.py). Queries pad by repetition — a repeated point
+            only double-counts an existing constraint."""
+            qj, tj = jnp.asarray(q), jnp.asarray(t)
+            nj = jnp.asarray(nrm) if nrm is not None else None
+            if self.mesh is not None:
+                from tpu3dlm.parallel.nn import shard_queries
 
+                n_dev = self.mesh.devices.size
+                extra = (-qj.shape[0]) % n_dev
+                if extra:
+                    qj = jnp.concatenate([qj, qj[:extra]])
+                qj, tj = shard_queries(self.mesh, qj, tj)
+                if nj is not None:
+                    nj = jax.device_put(
+                        nj,
+                        jax.sharding.NamedSharding(
+                            self.mesh, jax.sharding.PartitionSpec()
+                        ),
+                    )
+            return qj, tj, nj
+
+        # multi-resolution: coarse stages run on subsampled query AND target
+        # (NN cost ∝ N·M, so a 4×/4× reduction is ~16× per coarse stage);
+        # the FINAL stage always runs the full query budget against the
+        # full-size target, so registration accuracy is set by full
+        # resolution — decimation only accelerates the basin search.
         dists = self.max_correspondence_dist
         if isinstance(dists, (int, float)):
             dists = (float(dists),)
+        coarse = None
+        if len(dists) > 1 and (
+            comp_s.shape[0] > self.coarse_query_cap
+            or base_s.shape[0] > self.coarse_target_cap
+        ):
+            t_idx = None
+            if base_s.shape[0] > self.coarse_target_cap:
+                t_idx = np.random.default_rng(1).choice(
+                    base_s.shape[0], self.coarse_target_cap, replace=False
+                )
+            q_c = _subsample(comp_s, min(self.coarse_query_cap, comp_s.shape[0]))
+            t_c = base_s if t_idx is None else base_s[t_idx]
+            n_c = None
+            if normals_np is not None:
+                n_c = normals_np if t_idx is None else normals_np[t_idx]
+            coarse = place(q_c, t_c, n_c)
+        full = place(comp_s, base_s, normals_np)
+
         self.transformations = [T0]
         T = jnp.asarray(T0)
         res = None
-        for d in dists:
-            if normals is not None:
+        for si, d in enumerate(dists):
+            final = si == len(dists) - 1 or coarse is None
+            qj, tj, nj = full if final else coarse
+            if nj is not None:
                 res = icp_point_to_plane(
-                    comp_j,
-                    base_j,
-                    normals,
+                    qj, tj, nj,
                     init_transform=T,
                     max_correspondence_dist=float(d),
                     iterations=self.icp_iterations,
@@ -199,8 +230,7 @@ class Alignment:
                 )
             else:
                 res = icp(
-                    comp_j,
-                    base_j,
+                    qj, tj,
                     init_transform=T,
                     max_correspondence_dist=float(d),
                     iterations=self.icp_iterations,
