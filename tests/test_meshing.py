@@ -153,7 +153,7 @@ class TestPipelineMeshArtifact:
         text = open(cfg_path).read()
         for k, v in [
             ("img_size = 640", "img_size = 96"),
-            ("batch_size = 16", "batch_size = 4"),
+            ("batch_size = 64", "batch_size = 4"),
             ("num_classes = 80", "num_classes = 2"),
             ("min_points = 1000", "min_points = 50"),
             ("eps = 0.04", "eps = 0.1"),

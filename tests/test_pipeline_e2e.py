@@ -34,7 +34,7 @@ def env(tmp_path_factory):
     text = open(cfg_path).read()
     for k, v in [
         ("img_size = 640", "img_size = 128"),
-        ("batch_size = 16", "batch_size = 2"),
+        ("batch_size = 64", "batch_size = 2"),
         ("conf_thresh = 0.5", "conf_thresh = 0.45"),
         ("max_det = 64", "max_det = 8"),
         ("num_classes = 80", "num_classes = 3"),

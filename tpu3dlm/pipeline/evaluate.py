@@ -28,7 +28,7 @@ BEIT_KW = dict(image_size=32, hidden_size=32, num_layers=2, num_heads=2,
 
 _CFG_PATCH = [
     ("img_size = 640", f"img_size = {IMG_SIZE}"),
-    ("batch_size = 16", "batch_size = 8"),
+    ("batch_size = 64", "batch_size = 8"),
     ("conf_thresh = 0.5", f"conf_thresh = {CONF}"),
     ("max_det = 64", "max_det = 8"),
     ("num_classes = 80", f"num_classes = {NC}"),

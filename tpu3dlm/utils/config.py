@@ -119,7 +119,9 @@ csv_output = {root}/data/{data}/comparison_output.csv
 
 # detector
 img_size = 640
-batch_size = 16
+# detect-stage device batch; 64+ amortises per-dispatch overhead on TPU
+# (PERF.md batch sweep)
+batch_size = 64
 conf_thresh = 0.5
 iou_thresh = 0.7
 view_img = false
