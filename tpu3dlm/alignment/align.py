@@ -13,8 +13,11 @@ alignment) followed by per-iteration ICP increments — which
 alignment/visualise.py (and the reference's visualise.py:82-130) replays
 with log/exp interpolation.
 
-TPU path: clouds are subsampled to a static size and registered by the
-`lax.scan` ICP in ops/icp.py with the Pallas nearest-neighbour kernel.
+TPU path: the query cloud is subsampled to a static size and registered
+against the FULL-resolution target by the `lax.scan` ICP solvers in
+ops/icp.py (hybrid plane+point when a real cloud target provides normals)
+with the Pallas nearest-neighbour kernel; coarse stages run on a
+multi-resolution subsample, the final stage at full size.
 """
 
 from __future__ import annotations
