@@ -94,6 +94,62 @@ class TestAlignment:
         np.testing.assert_allclose(comp, align.final_transform, atol=1e-4)
 
 
+class TestGlobalInit:
+    def test_recovers_large_rotation(self, tmp_path_factory):
+        """A maintenance scan captured facing ~155° the other way is far
+        outside any ICP basin from a centroid init; the auto principal-axes
+        init must still recover the world transform."""
+        root = str(tmp_path_factory.mktemp("rot_scans"))
+        Tw = _world_T(angle=2.7, t=(1.0, -0.8, 0.2))
+        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+        maint = synthetic.generate_scan(
+            root, "maintenance", num_frames=4, seed=1, world_transform=Tw
+        )
+        gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
+        maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))
+        align = Alignment(
+            gold.poses, maint.poses,
+            _boxes_from_signs(gold.signs), _boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud, comparison_cloud=maint_cloud,
+            max_points=4096, icp_iterations=40,
+        )
+        aligned, transforms, _, _ = align.compare("maintenance")
+        np.testing.assert_allclose(
+            align.final_transform, np.linalg.inv(Tw), atol=0.05
+        )
+
+        # animation contract: translation 4×4, then an (R, center) rotation
+        # tuple, then per-iteration 4×4 increments — and they compose to the
+        # final transform
+        assert transforms[0].shape == (4, 4)
+        np.testing.assert_allclose(transforms[0][:3, :3], np.eye(3), atol=1e-6)
+        assert isinstance(transforms[1], tuple)
+        comp = np.eye(4)
+        for t in transforms:
+            if isinstance(t, tuple):
+                R, c = t
+                M = np.eye(4, dtype=np.float64)
+                M[:3, :3] = R
+                M[:3, 3] = c - R @ c
+                t = M
+            comp = t @ comp
+        np.testing.assert_allclose(comp, align.final_transform, atol=1e-4)
+
+    def test_auto_keeps_centroid_when_unrotated(self, scans):
+        """auto must not inject a rotation step on an in-basin scan — the
+        recorded-transform contract of the default path stays intact."""
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        align = Alignment(
+            gold.poses, maint.poses,
+            _boxes_from_signs(gold.signs), _boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud, comparison_cloud=maint_cloud,
+            max_points=2048, icp_iterations=10, max_correspondence_dist=1.0,
+        )
+        _, transforms, _, _ = align.compare()
+        assert len(transforms) == 1 + 10
+        assert not any(isinstance(t, tuple) for t in transforms)
+
+
 class TestBBoxComparison:
     def test_missing_and_damaged_flagged(self, scans, tmp_path):
         root, Tw, gold, maint, gold_cloud, maint_cloud = scans

@@ -179,6 +179,57 @@ class TestICP:
         np.testing.assert_allclose(T[:3, :3], np.eye(3))
 
 
+class TestPCAInit:
+    def _anisotropic_cloud(self, rng, n=2000):
+        # distinct variances along each axis so the PCA frame is unambiguous
+        return (rng.normal(size=(n, 3)) * np.array([4.0, 1.5, 0.4])).astype(
+            np.float32
+        )
+
+    def test_candidates_are_proper_rotations(self, rng):
+        from tpu3dlm.ops.icp import pca_init_candidates
+
+        a = self._anisotropic_cloud(rng)
+        b = rng.normal(size=(1500, 3)).astype(np.float32) * 2.0
+        cands = np.asarray(pca_init_candidates(jnp.array(a), jnp.array(b)))
+        assert cands.shape == (4, 4, 4)
+        for T in cands:
+            R = T[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+            np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=0)
+
+    def test_one_candidate_recovers_large_rotation(self, rng):
+        from tpu3dlm.ops import geometry as G
+        from tpu3dlm.ops.icp import init_residual, pca_init_candidates
+
+        target = self._anisotropic_cloud(rng)
+        angle = 2.8  # ~160° — far outside any ICP basin
+        q = np.array([0, 0, np.sin(angle / 2), np.cos(angle / 2)], np.float32)
+        T_true = np.asarray(
+            G.pose_to_matrix(jnp.array([1.0, -2.0, 0.5, *q], jnp.float32))
+        )
+        Ti = np.linalg.inv(T_true)
+        source = target @ Ti[:3, :3].T + Ti[:3, 3]
+        cands = np.asarray(pca_init_candidates(jnp.array(source), jnp.array(target)))
+        res = [
+            float(init_residual(jnp.array(source), jnp.array(target), jnp.array(T)))
+            for T in cands
+        ]
+        best = cands[int(np.argmin(res))]
+        np.testing.assert_allclose(best, T_true, atol=0.05)
+
+    def test_rotation_about_fixes_center(self, rng):
+        from tpu3dlm.ops.icp import rotation_about
+
+        R = np.asarray(
+            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32
+        )
+        c = np.array([1.0, 2.0, 3.0], np.float32)
+        T = np.asarray(rotation_about(jnp.array(R), jnp.array(c)))
+        np.testing.assert_allclose(T[:3, :3] @ c + T[:3, 3], c, atol=1e-6)
+
+
 class TestAuction:
     def test_matches_scipy_square(self, rng):
         for trial in range(5):

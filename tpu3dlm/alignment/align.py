@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu3dlm.mapper.projection import GlobalBoxes
-from tpu3dlm.ops.icp import centroid_align, icp, icp_point_to_plane
+from tpu3dlm.ops.icp import (
+    centroid_align,
+    icp,
+    icp_point_to_plane,
+    init_residual,
+    pca_init_candidates,
+)
 
 
 def _poses_to_array(pose_df) -> np.ndarray:
@@ -97,6 +103,7 @@ class Alignment:
         mesh=None,  # jax.sharding.Mesh → shard the ICP query axis over it
         coarse_query_cap: int = 4096,
         coarse_target_cap: int = 262_144,
+        global_init: str = "auto",  # "centroid" | "pca" | "auto"
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -112,6 +119,9 @@ class Alignment:
         self.mesh = mesh
         self.coarse_query_cap = coarse_query_cap
         self.coarse_target_cap = coarse_target_cap
+        if global_init not in ("centroid", "pca", "auto"):
+            raise ValueError(f"unknown global_init {global_init!r}")
+        self.global_init = global_init
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -135,6 +145,59 @@ class Alignment:
         comp = build(self.comparison_poses, self.comparison_records, self.comparison_cloud)
         return base, comp
 
+    def _choose_init(self, comp_s: np.ndarray, base_s: np.ndarray):
+        """Coarse initialisation per ``global_init``.
+
+        Returns (T_init 4×4, recorded_steps): recorded_steps honor the
+        animation contract — a pure-translation 4×4, plus an (R, center)
+        rotation tuple when a principal-axes init is chosen (the two forms
+        visualise.py replays, SURVEY.md §2b).
+
+        "centroid": translation only (ICP must already be in-basin).
+        "pca": best principal-axes candidate (ops/icp.py) by NN residual.
+        "auto": PCA only when it beats the centroid init's median NN
+        residual by a clear margin — unrotated scans keep the exact
+        centroid behavior, turned-around scans get a rotation basin.
+        """
+        cj, bj = jnp.asarray(comp_s), jnp.asarray(base_s)
+        Tc = np.asarray(centroid_align(cj, bj))
+        if self.global_init == "centroid":
+            return Tc, [Tc]
+
+        # score candidates by median NN distance on cheap subsamples
+        q = jnp.asarray(_subsample(comp_s, min(2048, comp_s.shape[0])))
+        t = jnp.asarray(_subsample(base_s, min(65536, base_s.shape[0]), seed=1))
+        cands = np.asarray(pca_init_candidates(cj, bj))
+        res_c = float(init_residual(q, t, jnp.asarray(Tc)))
+        res_p = [float(init_residual(q, t, jnp.asarray(cands[i]))) for i in range(4)]
+        best = int(np.argmin(res_p))
+        # auto: take the PCA init only when it clearly beats centroid AND
+        # implies a big rotation — small rotations are inside the ICP basin
+        # already, and keeping centroid there makes the recorded-transform
+        # trace deterministic (no sampling-noise-dependent extra step)
+        cos = (np.trace(cands[best][:3, :3]) - 1.0) / 2.0
+        angle = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+        use_pca = self.global_init == "pca" or (
+            res_p[best] < 0.7 * res_c and angle > 30.0
+        )
+        self.logger.info(
+            "global init: centroid residual %.3f m, best PCA candidate %.3f m "
+            "(%.0f° rotation) → %s",
+            res_c, res_p[best], angle, "pca" if use_pca else "centroid",
+        )
+        if not use_pca:
+            return Tc, [Tc]
+
+        T_init = cands[best].astype(np.float32)
+        R, t_full = T_init[:3, :3], T_init[:3, 3]
+        center = base_s.mean(axis=0).astype(np.float32)
+        # decompose T_init = rot_about(R, center) ∘ translate(tr) so the
+        # animation shows a slide then a turn (solve R·(p+tr)+(c−R·c)=R·p+t)
+        tr = R.T @ (t_full - center) + center
+        T0 = np.eye(4, dtype=np.float32)
+        T0[:3, 3] = tr
+        return T_init, [T0, (R, center)]
+
     def compare(self, data_folder: str = ""):
         """Run registration; returns
         (aligned_comparison_bboxes, transformations, base_map, aligned_comparison_map)."""
@@ -151,8 +214,9 @@ class Alignment:
             data_folder, comp.shape[0], comp_s.shape[0], base.shape[0],
         )
 
-        # coarse: centroid translation (recorded as pure-translation 4×4)
-        T0 = np.asarray(centroid_align(jnp.asarray(comp_s), jnp.asarray(base_s)))
+        # coarse: centroid translation, plus a principal-axes rotation when
+        # the scan arrives badly rotated (global_init="auto"|"pca")
+        T_init, init_steps = self._choose_init(comp_s, base_s)
         # fine: coarse-to-fine ICP stages — shrinking the correspondence
         # radius escapes the planar-scene local minima a single loose radius
         # settles into; every iteration's increment is recorded.
@@ -217,8 +281,8 @@ class Alignment:
             coarse = place(q_c, t_c, n_c)
         full = place(comp_s, base_s, normals_np)
 
-        self.transformations = [T0]
-        T = jnp.asarray(T0)
+        self.transformations = list(init_steps)
+        T = jnp.asarray(T_init)
         res = None
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None

@@ -190,3 +190,66 @@ def centroid_align(source: jax.Array, target: jax.Array) -> jax.Array:
     t = jnp.mean(target, axis=0) - jnp.mean(source, axis=0)
     T = jnp.eye(4, dtype=jnp.float32)
     return T.at[:3, 3].set(t)
+
+
+@jax.jit
+def pca_init_candidates(source: jax.Array, target: jax.Array) -> jax.Array:
+    """Global initialisation by principal-axes alignment: (4, 4, 4) candidates.
+
+    ICP only converges from inside its basin; a maintenance scan captured
+    facing the other way (large initial rotation) never reaches it from the
+    centroid init. Aligning the clouds' PCA frames is the classic
+    rotation-free-basin fix, but eigenvectors carry a per-axis sign
+    ambiguity — flipping any two axes keeps the basis right-handed — so this
+    returns all 4 proper-rotation candidates (centroid translation composed
+    in); the caller scores them by nearest-neighbour residual and keeps the
+    best (alignment/align.py).
+    """
+    src = source.astype(jnp.float32)
+    tgt = target.astype(jnp.float32)
+    mu_s = jnp.mean(src, axis=0)
+    mu_t = jnp.mean(tgt, axis=0)
+    sc = src - mu_s
+    tc = tgt - mu_t
+    Cs = sc.T @ sc / src.shape[0]
+    Ct = tc.T @ tc / tgt.shape[0]
+    _, Vs = jnp.linalg.eigh(Cs)  # columns: eigenvectors, ascending eigenvalue
+    _, Vt = jnp.linalg.eigh(Ct)
+    # force right-handed bases so every candidate below is a proper rotation
+    Vs = Vs.at[:, 0].multiply(jnp.sign(jnp.linalg.det(Vs)))
+    Vt = Vt.at[:, 0].multiply(jnp.sign(jnp.linalg.det(Vt)))
+    signs = jnp.array(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], jnp.float32
+    )
+
+    def mk(s):
+        R = Vt @ jnp.diag(s) @ Vs.T
+        T = jnp.eye(4, dtype=jnp.float32)
+        T = T.at[:3, :3].set(R)
+        return T.at[:3, 3].set(mu_t - R @ mu_s)
+
+    return jax.vmap(mk)(signs)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def init_residual(
+    source: jax.Array, target: jax.Array, T: jax.Array, use_pallas: bool = False
+) -> jax.Array:
+    """Clipped-mean nearest-neighbour distance of T·source into target — the
+    score used to rank initialisation candidates. The clip (5% of the target
+    bbox diagonal) bounds the non-overlapping tail that partial scans always
+    have, while the mean stays sensitive to minority structure (e.g. sign
+    patches on an otherwise flip-symmetric wall) that a median would ignore."""
+    nn = nearest_neighbors_pallas if use_pallas else nearest_neighbors_xla
+    tgt = target.astype(jnp.float32)
+    moved = source.astype(jnp.float32) @ T[:3, :3].T + T[:3, 3]
+    _, d2 = nn(moved, tgt)
+    diag = jnp.linalg.norm(jnp.max(tgt, axis=0) - jnp.min(tgt, axis=0))
+    return jnp.mean(jnp.minimum(jnp.sqrt(d2), 0.05 * diag))
+
+
+def rotation_about(R: jax.Array, center: jax.Array) -> jax.Array:
+    """4×4 rotating by R about a fixed point (t = c − R·c)."""
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(R)
+    return T.at[:3, 3].set(center - R @ center)

@@ -279,6 +279,7 @@ class Pipeline:
             max_points=getattr(self.cfg, "icp_max_points", 16384),
             icp_iterations=getattr(self.cfg, "icp_iterations", 30),
             mesh=self._alignment_mesh(),
+            global_init=getattr(self.cfg, "icp_global_init", "auto"),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder

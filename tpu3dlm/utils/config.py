@@ -62,6 +62,7 @@ _SCHEMA: dict[str, str] = {
     "use_pallas": "bool",
     "icp_max_points": "int",
     "icp_iterations": "int",
+    "icp_global_init": "str",
     "mesh_source": "str",
     "mesh_voxel": "float",
     "infer_dtype": "str",
@@ -161,6 +162,7 @@ alignment_vis = false
 comparison_vis = false
 icp_max_points = 16384
 icp_iterations = 30
+icp_global_init = auto
 
 # TPU runtime
 mesh_devices = 1
