@@ -89,7 +89,12 @@ class BeitAttention(nn.Module):
             return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        # scores stay in the compute dtype: on the bf16 fast path the
+        # (B, h, N, N) score tensor is the classifier's biggest HBM tenant —
+        # keeping it f32 cost 59 ms of 249 at 384 crops on v5e-1 (PERF.md).
+        # Softmax still reduces in f32 for stability; the f32 path is
+        # unchanged (golden-tested against HF torch).
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         attn = attn / jnp.sqrt(hd).astype(attn.dtype)
 
         num_rel = (2 * c.grid - 1) * (2 * c.grid - 1) + 3
@@ -102,7 +107,7 @@ class BeitAttention(nn.Module):
         bias = table[index.reshape(-1)].reshape(N, N, c.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, c.hidden_size)
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(out)
