@@ -135,6 +135,37 @@ class TestGlobalInit:
             comp = t @ comp
         np.testing.assert_allclose(comp, align.final_transform, atol=1e-4)
 
+    def test_symmetric_scene_translation_not_mistaken_for_flip(
+        self, tmp_path_factory
+    ):
+        """Regression: the wall cloud is nearly 180°-flip symmetric, and with
+        a sign dropped the flipped PCA candidate once out-scored the centroid
+        init on cloud geometry alone — ICP then converged into the flipped
+        basin with near-perfect rmse. The labeled box anchors in the init
+        score must keep the translation-only solution."""
+        root = str(tmp_path_factory.mktemp("sym_scans"))
+        Tw = np.eye(4, dtype=np.float32)
+        Tw[:3, 3] = (0.4, -0.3, 0.1)
+        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+        maint = synthetic.generate_scan(
+            root, "maintenance", num_frames=4, seed=1,
+            world_transform=Tw, drop_sign_indices=(2,),
+        )
+        gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
+        maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))
+        kept = [s for i, s in enumerate(maint.signs)]
+        align = Alignment(
+            gold.poses, maint.poses,
+            _boxes_from_signs(gold.signs),
+            _boxes_from_signs(kept, T=Tw),
+            base_cloud=gold_cloud, comparison_cloud=maint_cloud,
+            max_points=4096, icp_iterations=30,
+        )
+        align.compare("maintenance")
+        np.testing.assert_allclose(
+            align.final_transform, np.linalg.inv(Tw), atol=0.05
+        )
+
     def test_auto_keeps_centroid_when_unrotated(self, scans):
         """auto must not inject a rotation step on an in-basin scan — the
         recorded-transform contract of the default path stays intact."""

@@ -145,6 +145,30 @@ class Alignment:
         comp = build(self.comparison_poses, self.comparison_records, self.comparison_cloud)
         return base, comp
 
+    def _box_residual(self, T: np.ndarray) -> float | None:
+        """Mean distance from T·(comparison box centroid) to the nearest
+        same-label base box centroid — SEMANTIC anchors for ranking inits.
+
+        Planar scans are often flip-symmetric to pure geometry (a wall
+        scores the same aligned or turned 180°, and ICP converges happily
+        into the flipped basin with near-perfect rmse); the detected
+        signage is not symmetric, and its labels travel with the boxes.
+        Falls back to label-agnostic distance when a label is absent on the
+        base side; returns None when either record set is empty."""
+        if not self.base_records or not self.comparison_records:
+            return None
+        by_label: dict[int, list[np.ndarray]] = {}
+        for r in self.base_records:
+            by_label.setdefault(r["label"], []).append(r["corners"].mean(0))
+        all_base = np.stack([r["corners"].mean(0) for r in self.base_records])
+        ds = []
+        for r in self.comparison_records:
+            c = r["corners"].mean(0) @ T[:3, :3].T + T[:3, 3]
+            pool = by_label.get(r["label"])
+            pool = np.stack(pool) if pool else all_base
+            ds.append(float(np.linalg.norm(pool - c, axis=1).min()))
+        return float(np.mean(ds))
+
     def _choose_init(self, comp_s: np.ndarray, base_s: np.ndarray):
         """Coarse initialisation per ``global_init``.
 
@@ -154,22 +178,35 @@ class Alignment:
         visualise.py replays, SURVEY.md §2b).
 
         "centroid": translation only (ICP must already be in-basin).
-        "pca": best principal-axes candidate (ops/icp.py) by NN residual.
-        "auto": PCA only when it beats the centroid init's median NN
-        residual by a clear margin — unrotated scans keep the exact
-        centroid behavior, turned-around scans get a rotation basin.
+        "pca": best principal-axes candidate (ops/icp.py) by residual.
+        "auto": PCA only when it beats the centroid init's residual by a
+        clear margin AND implies a large rotation — unrotated scans keep
+        the exact centroid behavior, turned-around scans get a rotation
+        basin.
+
+        The residual is clipped-mean cloud NN distance PLUS the box-anchor
+        term (_box_residual): geometry alone cannot distinguish a 180°
+        flip of a near-symmetric planar scan, the labeled sign boxes can.
         """
         cj, bj = jnp.asarray(comp_s), jnp.asarray(base_s)
         Tc = np.asarray(centroid_align(cj, bj))
         if self.global_init == "centroid":
             return Tc, [Tc]
 
-        # score candidates by median NN distance on cheap subsamples
+        # score candidates by clipped-mean NN distance on cheap subsamples —
+        # one batched dispatch for all 5 (remote dispatch is ~20 ms each)
         q = jnp.asarray(_subsample(comp_s, min(2048, comp_s.shape[0])))
         t = jnp.asarray(_subsample(base_s, min(65536, base_s.shape[0]), seed=1))
         cands = np.asarray(pca_init_candidates(cj, bj))
-        res_c = float(init_residual(q, t, jnp.asarray(Tc)))
-        res_p = [float(init_residual(q, t, jnp.asarray(cands[i]))) for i in range(4)]
+        Ts = np.concatenate([Tc[None], cands])
+        res = np.asarray(
+            jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, jnp.asarray(Ts))
+        )
+        box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
+        if box[0] is not None:
+            res = res + np.asarray(box, np.float32)
+        res_c = float(res[0])
+        res_p = [float(r) for r in res[1:]]
         best = int(np.argmin(res_p))
         # auto: take the PCA init only when it clearly beats centroid AND
         # implies a big rotation — small rotations are inside the ICP basin

@@ -315,12 +315,17 @@ def bbox_sampled_median_depth(
     # 110 of project_boxes' 117 ms at bench shapes (F=128, B=64) — scattered
     # loads serialise on the VPU, while Sy·depth·Sxᵀ rides the MXU. Each
     # Sy/Sx row has exactly one 1 (rounded coords are exact small integers in
-    # f32), so the product equals the gathered grid bit-for-bit.
+    # f32), so the product equals the gathered grid bit-for-bit — PROVIDED
+    # the matmul runs at full f32 precision: the TPU default single-pass
+    # bf16 matmul would round mm-scale depth values to ~8-16 mm granularity
+    # (HIGHEST = 3-pass bf16 decomposition, exact for f32 inputs, and still
+    # ~10× faster than the gather it replaces).
     row_ids = jax.lax.broadcasted_iota(jnp.float32, (samples, h), 1)
     col_ids = jax.lax.broadcasted_iota(jnp.float32, (samples, w), 1)
     Sy = (row_ids == ys[:, None]).astype(depth.dtype)
     Sx = (col_ids == xs[:, None]).astype(depth.dtype)
-    vals = Sy @ depth @ Sx.T  # (samples, samples)
+    hp = jax.lax.Precision.HIGHEST
+    vals = jnp.matmul(jnp.matmul(Sy, depth, precision=hp), Sx.T, precision=hp)
     return masked_median(vals, vals > min_depth)
 
 
