@@ -96,6 +96,43 @@ class TestDamageDetector:
         assert clf.get_class_label([0, 1]) == ["undamaged", "damaged"]
 
 
+class TestJitCache:
+    def test_equivalent_stages_share_traced_programs(self):
+        """Two stages with identical static config must reuse one traced
+        program (utils/jitcache.py) — re-tracing costs seconds per pipeline
+        instance; params are call args so sharing is safe."""
+        import jax.numpy as jnp
+
+        d1 = ObjectDetector(img_size=64, nc=3, max_det=4, batch_size=2)
+        d2 = ObjectDetector(img_size=64, nc=3, max_det=4, batch_size=2, rng_seed=7)
+        assert d1._detect_batch is d2._detect_batch
+
+        d3 = ObjectDetector(img_size=96, nc=3, max_det=4, batch_size=2)
+        assert d3._detect_batch is not d1._detect_batch
+
+        from tpu3dlm.models.beit import BeitConfig
+
+        kw = dict(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                  intermediate_size=64, num_labels=2)
+        c1 = DamageDetector(config=BeitConfig(**kw))
+        c2 = DamageDetector(config=BeitConfig(**kw), rng_seed=5)
+        assert c1._classify_batch is c2._classify_batch
+        assert c1._rectify_classify_batch is c2._rectify_classify_batch
+        c3 = DamageDetector(config=BeitConfig(**{**kw, "num_layers": 2}))
+        assert c3._classify_batch is not c1._classify_batch
+
+        # different dtype → different program
+        c4 = DamageDetector(config=BeitConfig(**kw), dtype=jnp.bfloat16)
+        assert c4._classify_batch is not c1._classify_batch
+
+        # and the shared program still computes with EACH instance's params
+        rng = np.random.default_rng(0)
+        crops = rng.integers(0, 255, size=(3, 32, 32, 3)).astype(np.uint8)
+        out1 = np.asarray(c1._classify_batch(c1.variables, crops))
+        out2 = np.asarray(c2._classify_batch(c2.variables, crops))
+        assert out1.shape == out2.shape == (3,)
+
+
 class TestAnnotatedExport:
     def test_save_img_writes_frames(self, scan, tmp_path):
         out = str(tmp_path / "annotated")

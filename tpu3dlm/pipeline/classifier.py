@@ -58,30 +58,44 @@ class DamageDetector:
             )
         self.variables = variables
 
-        @jax.jit
-        def _classify_batch(variables, crops_u8):
-            logits = self.model.apply(variables, preprocess_crops(crops_u8))
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from tpu3dlm.utils.jitcache import cached
 
-        self._classify_batch = _classify_batch
-
+        model = self.model
         size = self.config.image_size
 
-        @jax.jit
-        def _rectify_classify_batch(variables, frames_u8, boxes):
-            """Fused rectify→classify on a fixed-size batch of selected
-            (frame, box) pairs — same select-then-rectify recipe as the
-            fused path (parallel/inference.py), so the staged stage never
-            materialises F×max_boxes crops."""
-            x = frames_u8.astype(jnp.float32) / 255.0
-            crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
-                x, boxes, (size, size)
-            )
-            crops_u8 = jnp.clip(crops * 255.0, 0, 255).astype(jnp.uint8)
-            logits = self.model.apply(variables, preprocess_crops(crops_u8))
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        def _build_classify():
+            @jax.jit
+            def _classify_batch(variables, crops_u8):
+                logits = model.apply(variables, preprocess_crops(crops_u8))
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        self._rectify_classify_batch = _rectify_classify_batch
+            return _classify_batch
+
+        def _build_rectify_classify():
+            @jax.jit
+            def _rectify_classify_batch(variables, frames_u8, boxes):
+                """Fused rectify→classify on a fixed-size batch of selected
+                (frame, box) pairs — same select-then-rectify recipe as the
+                fused path (parallel/inference.py), so the staged stage never
+                materialises F×max_boxes crops."""
+                x = frames_u8.astype(jnp.float32) / 255.0
+                crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
+                    x, boxes, (size, size)
+                )
+                crops_u8 = jnp.clip(crops * 255.0, 0, 255).astype(jnp.uint8)
+                logits = model.apply(variables, preprocess_crops(crops_u8))
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            return _rectify_classify_batch
+
+        # params are call args → equivalently-configured classifiers share
+        # one traced program (utils/jitcache.py)
+        self._classify_batch = cached(
+            ("classify", self.config, dtype), _build_classify
+        )
+        self._rectify_classify_batch = cached(
+            ("rectify_classify", self.config, dtype), _build_rectify_classify
+        )
 
     def classify_crops(self, crops: np.ndarray) -> np.ndarray:
         """(N, S, S, 3) uint8 crops → (N,) int32 class ids, chunked on device."""

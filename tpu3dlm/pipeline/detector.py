@@ -68,13 +68,25 @@ class ObjectDetector:
             )
         self.variables = variables
 
-        @partial(jax.jit, static_argnames=())
-        def _detect_batch(variables, images_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            raw = self.model.apply(variables, x)["one2one"]
-            return postprocess(raw, img_size=self.img_size, max_det=self.max_det)
+        from tpu3dlm.utils.jitcache import cached
 
-        self._detect_batch = _detect_batch
+        model = self.model
+        img_size_, max_det_ = self.img_size, self.max_det
+
+        def _build():
+            @partial(jax.jit, static_argnames=())
+            def _detect_batch(variables, images_u8):
+                x = images_u8.astype(jnp.float32) / 255.0
+                raw = model.apply(variables, x)["one2one"]
+                return postprocess(raw, img_size=img_size_, max_det=max_det_)
+
+            return _detect_batch
+
+        # params are call args, so equivalently-configured detectors share
+        # one traced program (re-tracing YOLOv10 costs seconds per instance)
+        self._detect_batch = cached(
+            ("detect", nc, variant, dtype, img_size_, max_det_), _build
+        )
 
     def __call__(self, scan: Scan) -> Detections:
         return self.detect(scan)

@@ -62,14 +62,30 @@ class FusedScanRunner:
         self.yolo_variables = yolo_variables
         self.beit_variables = beit_variables
 
+        from tpu3dlm.utils.jitcache import cached
+
         self.mesh = make_mesh(mesh_devices) if mesh_devices > 1 else None
+        key = (
+            "fused_step", nc, variant, self.beit.cfg, dtype,
+            img_size, max_det, conf_thresh, mesh_devices,
+        )
         if self.mesh is not None:
-            self._step = sharded_full_scan_step(
-                self.mesh, self.yolo, self.beit, img_size, max_det, conf_thresh
+            self._step = cached(
+                key,
+                lambda: sharded_full_scan_step(
+                    self.mesh, self.yolo, self.beit, img_size, max_det, conf_thresh
+                ),
             )
         else:
-            self._step = jax.jit(
-                full_scan_step_fn(self.yolo, self.beit, img_size, max_det, conf_thresh)
+            # params are call args → equivalently-configured runners share
+            # one traced program (utils/jitcache.py)
+            self._step = cached(
+                key,
+                lambda: jax.jit(
+                    full_scan_step_fn(
+                        self.yolo, self.beit, img_size, max_det, conf_thresh
+                    )
+                ),
             )
 
     def __call__(self, scan: Scan) -> tuple[Detections, GlobalBoxes]:
