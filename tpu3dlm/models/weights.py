@@ -308,6 +308,21 @@ def load_flax_checkpoint(path: str, template: dict) -> dict:
         return serialization.from_bytes(template, f.read())
 
 
+def init_template(model, *example_args) -> dict:
+    """Restore-target tree for `load_flax_checkpoint` with ZERO device work.
+
+    `model.init` would trace AND compile the whole forward pass on the
+    default backend — ~3 minutes for YOLOv10 over a remote-compile TPU
+    tunnel, just to learn the tree structure. `jax.eval_shape` traces
+    abstractly (no compile, no device), and numpy zeros stand in for the
+    leaves; flax's from_bytes only consumes structure + shapes/dtypes.
+    """
+    import jax
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def jax_tree_to_numpy(tree):
     import jax
 

@@ -345,7 +345,6 @@ class Pipeline:
         from tpu3dlm.models import weights as W
 
         if path.endswith(".msgpack"):  # framework-native checkpoint
-            import jax
             import jax.numpy as jnp
 
             from tpu3dlm.models.yolov10 import YOLOv10
@@ -354,9 +353,8 @@ class Pipeline:
                 nc=getattr(self.cfg, "num_classes", 80),
                 variant=getattr(self.cfg, "yolo_variant", "n"),
             )
-            template = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, self.cfg.img_size, self.cfg.img_size, 3), jnp.float32),
+            template = W.init_template(
+                model, jnp.zeros((1, self.cfg.img_size, self.cfg.img_size, 3), jnp.float32)
             )
             self.logger.info("Loading native YOLOv10 checkpoint %s", path)
             return W.load_flax_checkpoint(path, template)
@@ -370,16 +368,14 @@ class Pipeline:
         from tpu3dlm.models import weights as W
 
         if path.endswith(".msgpack"):
-            import jax
             import jax.numpy as jnp
 
             from tpu3dlm.models.beit import BeitClassifier
 
             cfg = self._beit_config(num_labels)
             model = BeitClassifier(cfg)
-            template = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32),
+            template = W.init_template(
+                model, jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
             )
             self.logger.info("Loading native BEiT checkpoint %s", path)
             return W.load_flax_checkpoint(path, template)
