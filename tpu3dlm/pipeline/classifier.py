@@ -56,7 +56,8 @@ class DamageDetector:
                     (1, self.config.image_size, self.config.image_size, 3), jnp.float32
                 ),
             )
-        self.variables = variables
+        # pin weights to device once (host trees re-upload every batch)
+        self.variables = jax.device_put(variables)
 
         from tpu3dlm.utils.jitcache import cached
 

@@ -66,7 +66,8 @@ class ObjectDetector:
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, img_size, img_size, 3), jnp.float32),
             )
-        self.variables = variables
+        # pin weights to device once (host trees re-upload every batch)
+        self.variables = jax.device_put(variables)
 
         from tpu3dlm.utils.jitcache import cached
 

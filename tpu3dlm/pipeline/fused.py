@@ -59,12 +59,19 @@ class FusedScanRunner:
             beit_variables = self.beit.init(
                 jax.random.PRNGKey(rng_seed + 1), jnp.zeros((1, s, s, 3), jnp.float32)
             )
-        self.yolo_variables = yolo_variables
-        self.beit_variables = beit_variables
-
         from tpu3dlm.utils.jitcache import cached
 
         self.mesh = make_mesh(mesh_devices) if mesh_devices > 1 else None
+        # pin weights to device(s) once — host (numpy) trees would re-upload
+        # on every call (~11 MB/scan over a remote tunnel)
+        if self.mesh is None:
+            yolo_variables = jax.device_put(yolo_variables)
+            beit_variables = jax.device_put(beit_variables)
+        else:
+            yolo_variables = replicate(yolo_variables, self.mesh)
+            beit_variables = replicate(beit_variables, self.mesh)
+        self.yolo_variables = yolo_variables
+        self.beit_variables = beit_variables
         key = (
             "fused_step", nc, variant, self.beit.cfg, dtype,
             img_size, max_det, conf_thresh, mesh_devices,
@@ -108,8 +115,8 @@ class FusedScanRunner:
         if self.mesh is not None:
             args, _ = pad_to_devices(args, self.mesh)
             out = self._step(
-                replicate(self.yolo_variables, self.mesh),
-                replicate(self.beit_variables, self.mesh),
+                self.yolo_variables,  # replicated at construction
+                self.beit_variables,
                 *shard_batch(tuple(jnp.asarray(a) for a in args), self.mesh),
             )
         else:
