@@ -54,7 +54,14 @@ class ICPResult:
     inlier_frac: Any  # () fraction of source points within max_dist
 
 
-@partial(jax.jit, static_argnames=("iterations", "use_pallas"))
+def _increment_magnitude(T_inc: jax.Array) -> jax.Array:
+    """Scalar size of a rigid increment: |t| + rotation angle (radians) —
+    both in metre-ish units at scan scale, so one tolerance covers both."""
+    cos = jnp.clip((jnp.trace(T_inc[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.linalg.norm(T_inc[:3, 3]) + jnp.arccos(cos)
+
+
+@partial(jax.jit, static_argnames=("iterations", "use_pallas", "early_stop_tol"))
 def icp(
     source: jax.Array,  # (N, 3) — cloud to move
     target: jax.Array,  # (M, 3) — fixed cloud
@@ -62,11 +69,18 @@ def icp(
     max_correspondence_dist: float = 0.5,
     iterations: int = 20,
     use_pallas: bool = False,
+    early_stop_tol: float = 1e-5,
 ) -> ICPResult:
     """Rigid ICP: returns final transform + per-iteration increments.
 
     Static shapes: callers subsample clouds to fixed sizes beforehand
     (alignment/align.py handles that), so one compile serves every scan.
+
+    ``early_stop_tol``: once an iteration's increment magnitude (|t| +
+    rotation angle) falls below this, remaining iterations skip the NN
+    sweep via `lax.cond` — the trace stays static-length (identity
+    increments pad the animation record) but the dominant NN cost stops
+    when the solve has converged. 0 disables.
     """
     nn = nearest_neighbors_pallas if use_pallas else nearest_neighbors_xla
     src0 = source.astype(jnp.float32)
@@ -74,18 +88,32 @@ def icp(
     T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform.astype(jnp.float32)
     max_d2 = max_correspondence_dist**2
 
-    def step(T, _):
+    def live(carry):
+        T, rmse0, frac0 = carry
         moved = src0 @ T[:3, :3].T + T[:3, 3]
         idx, d2 = nn(moved, tgt)
         matched = tgt[idx]
         w = (d2 <= max_d2).astype(jnp.float32)
         T_inc = kabsch(moved, matched, w)
-        T_new = T_inc @ T
         rmse = jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0))
         frac = jnp.mean(w)
-        return T_new, (T_inc, rmse, frac)
+        return T_inc, rmse, frac
 
-    T_final, (incs, rmses, fracs) = jax.lax.scan(step, T0, None, length=iterations)
+    def frozen(carry):
+        T, rmse, frac = carry
+        return jnp.eye(4, dtype=jnp.float32), rmse, frac
+
+    def step(carry, _):
+        T, done, rmse, frac = carry
+        T_inc, rmse, frac = jax.lax.cond(done, frozen, live, (T, rmse, frac))
+        T_new = T_inc @ T
+        done = done | (_increment_magnitude(T_inc) < early_stop_tol)
+        return (T_new, done, rmse, frac), (T_inc, rmse, frac)
+
+    init = (T0, jnp.asarray(False), jnp.asarray(jnp.inf), jnp.asarray(0.0))
+    (T_final, _, _, _), (incs, rmses, fracs) = jax.lax.scan(
+        step, init, None, length=iterations
+    )
     return ICPResult(
         transform=T_final,
         step_transforms=incs,
@@ -94,7 +122,7 @@ def icp(
     )
 
 
-@partial(jax.jit, static_argnames=("iterations", "use_pallas"))
+@partial(jax.jit, static_argnames=("iterations", "use_pallas", "early_stop_tol"))
 def icp_point_to_plane(
     source: jax.Array,  # (N, 3) — cloud to move
     target: jax.Array,  # (M, 3) — fixed cloud
@@ -105,6 +133,7 @@ def icp_point_to_plane(
     use_pallas: bool = False,
     damping: float = 1e-6,
     point_weight: float = 0.1,
+    early_stop_tol: float = 1e-5,
 ) -> ICPResult:
     """Hybrid plane+point ICP (Gauss-Newton on the linearised SE(3) step).
 
@@ -133,7 +162,8 @@ def icp_point_to_plane(
     T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform.astype(jnp.float32)
     max_d2 = max_correspondence_dist**2
 
-    def step(T, _):
+    def live(carry):
+        T, rmse0, frac0 = carry
         moved = src0 @ T[:3, :3].T + T[:3, 3]
         idx, d2 = nn(moved, tgt)
         q = tgt[idx]
@@ -169,12 +199,27 @@ def icp_point_to_plane(
         T_inc = jnp.eye(4, dtype=jnp.float32)
         T_inc = T_inc.at[:3, :3].set(R_inc)
         T_inc = T_inc.at[:3, 3].set(xi[3:])
-        T_new = T_inc @ T
         rmse = jnp.sqrt(jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0))
         frac = jnp.mean(w)
-        return T_new, (T_inc, rmse, frac)
+        return T_inc, rmse, frac
 
-    T_final, (incs, rmses, fracs) = jax.lax.scan(step, T0, None, length=iterations)
+    def frozen(carry):
+        T, rmse, frac = carry
+        return jnp.eye(4, dtype=jnp.float32), rmse, frac
+
+    def step(carry, _):
+        # converged → lax.cond skips the NN sweep (dominant cost) while the
+        # scan keeps its static length; identity increments pad the record
+        T, done, rmse, frac = carry
+        T_inc, rmse, frac = jax.lax.cond(done, frozen, live, (T, rmse, frac))
+        T_new = T_inc @ T
+        done = done | (_increment_magnitude(T_inc) < early_stop_tol)
+        return (T_new, done, rmse, frac), (T_inc, rmse, frac)
+
+    init = (T0, jnp.asarray(False), jnp.asarray(jnp.inf), jnp.asarray(0.0))
+    (T_final, _, _, _), (incs, rmses, fracs) = jax.lax.scan(
+        step, init, None, length=iterations
+    )
     return ICPResult(
         transform=T_final,
         step_transforms=incs,
