@@ -132,7 +132,19 @@ def main():
     )
 
     default_dev = jax.devices()[0]
-    fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+    trace_dir = os.environ.get("BENCH_PROFILE", "")
+    if trace_dir:
+        # capture an xplane trace of the timed region (view with
+        # tensorboard-plugin-profile or xprof); falls back silently where
+        # the platform doesn't support profiling
+        try:
+            with jax.profiler.trace(trace_dir):
+                fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+        except Exception as e:
+            print(f"profiler unavailable ({e}); timing without trace", file=sys.stderr)
+            fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+    else:
+        fps = time_fps(step, variables, arrays, default_dev, iters, jax)
 
     # Baseline: the same jitted program on host CPU — the reference pipeline
     # is CPU-bound Python (SURVEY.md §2c), so CPU throughput of the identical

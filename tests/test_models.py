@@ -209,7 +209,7 @@ class TestYoloTorchGolden:
     reference's loading of finetuned ultralytics checkpoints
     (src/detector/detector.py:36)."""
 
-    @pytest.mark.parametrize("variant", ["n", "s", "m"])
+    @pytest.mark.parametrize("variant", ["n", "s", "m", "b"])
     def test_forward_matches_torch(self, variant):
         torch = pytest.importorskip("torch")
         from torch_yolov10_ref import TorchYOLOv10, randomize_

@@ -65,6 +65,7 @@ _VARIANTS = {
     "n": (1 / 3, 0.25, 1024, False),
     "s": (1 / 3, 0.50, 1024, True),
     "m": (2 / 3, 0.75, 768, True),
+    "b": (2 / 3, 1.0, 512, True),
     "l": (1.0, 1.0, 512, True),
     "x": (1.0, 1.25, 512, True),
 }
