@@ -37,10 +37,10 @@ def _boxes_from_signs(signs, T=None, damage_override=None):
 def scans(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("scans"))
     Tw = _world_T()
-    gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+    gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0, cloud_points_per_m2=1500)
     maint = synthetic.generate_scan(
         root, "maintenance", num_frames=4, seed=1,
-        world_transform=Tw, drop_sign_indices=(1,),
+        world_transform=Tw, drop_sign_indices=(1,), cloud_points_per_m2=1500,
     )
     gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
     maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))
@@ -101,9 +101,10 @@ class TestGlobalInit:
         init must still recover the world transform."""
         root = str(tmp_path_factory.mktemp("rot_scans"))
         Tw = _world_T(angle=2.7, t=(1.0, -0.8, 0.2))
-        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0, cloud_points_per_m2=1500)
         maint = synthetic.generate_scan(
-            root, "maintenance", num_frames=4, seed=1, world_transform=Tw
+            root, "maintenance", num_frames=4, seed=1, world_transform=Tw,
+            cloud_points_per_m2=1500,
         )
         gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
         maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))
@@ -146,10 +147,10 @@ class TestGlobalInit:
         root = str(tmp_path_factory.mktemp("sym_scans"))
         Tw = np.eye(4, dtype=np.float32)
         Tw[:3, 3] = (0.4, -0.3, 0.1)
-        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0)
+        gold = synthetic.generate_scan(root, "gold_std", num_frames=4, seed=0, cloud_points_per_m2=1500)
         maint = synthetic.generate_scan(
             root, "maintenance", num_frames=4, seed=1,
-            world_transform=Tw, drop_sign_indices=(2,),
+            world_transform=Tw, drop_sign_indices=(2,), cloud_points_per_m2=1500,
         )
         gold_cloud, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
         maint_cloud, _ = load_ply(os.path.join(root, "maintenance", "cloud.ply"))

@@ -164,7 +164,8 @@ class TestPipelineMeshArtifact:
             text = text.replace(k, v)
         open(cfg_path, "w").write(text)
         synthetic.generate_scan(
-            os.path.join(root, "configs", "data"), "gold_std", num_frames=3
+            os.path.join(root, "configs", "data"), "gold_std", num_frames=3,
+            cloud_points_per_m2=800,  # artifact-structure test, not density
         )
         return cfg_path
 
