@@ -229,9 +229,28 @@ class TestVisualiseAlignment:
         vis = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96), max_points=2000)
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = [0.5, 0, 0]
-        n = vis.create_video([T, (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))],
+        c, s = np.cos(0.3), np.sin(0.3)
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        n = vis.create_video([T, (Rz, np.zeros(3, np.float32))],
                              output_video=str(tmp_path / "a.mp4"), steps=5)
         assert n == 10
         assert vis.frames[0].shape == (64, 96, 3)
         # something was drawn
         assert (vis.frames[0] < 255).any()
+
+    def test_identity_tail_skipped(self, scans, tmp_path):
+        """ICP's convergence early-stop pads the record with identity
+        increments — the animation must not replay frozen frames."""
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        vis = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96), max_points=2000)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5, 0, 0]
+        record = [T] + [np.eye(4, dtype=np.float32)] * 20
+        n = vis.create_video(record, output_video=str(tmp_path / "b.mp4"), steps=5)
+        assert n == 5  # only the moving step is replayed
+
+        # an all-identity record still yields one (static) step
+        vis2 = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96), max_points=2000)
+        n2 = vis2.create_video([np.eye(4, dtype=np.float32)] * 3,
+                               output_video=str(tmp_path / "c.mp4"), steps=5)
+        assert n2 == 5

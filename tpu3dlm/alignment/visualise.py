@@ -157,6 +157,20 @@ class VisualiseAlignment:
         no ffmpeg encoder is available). Returns the frame count."""
         comparison = self.comparison
         comp_verts = self.comp_mesh[0].copy() if self.uses_mesh else None
+        # drop near-identity steps: ICP's convergence early-stop pads the
+        # record with identity increments (ops/icp.py) — replaying them
+        # would freeze the tail of the animation. Keep at least one step.
+        def _magnitude(t) -> float:
+            if isinstance(t, tuple):
+                R = np.asarray(t[0])
+                return abs(float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))))
+            T = np.asarray(t)
+            cos = np.clip((np.trace(T[:3, :3]) - 1) / 2, -1, 1)
+            return float(np.linalg.norm(T[:3, 3]) + np.arccos(cos))
+
+        moving = [t for t in transformations if _magnitude(t) > 1e-6]
+        transformations = moving or list(transformations[:1])
+
         total = max(len(transformations) * steps, 1)
         az_all = np.linspace(-self.orbit_sweep / 2, self.orbit_sweep / 2, total)
         for i, t in enumerate(transformations):
