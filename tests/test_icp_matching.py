@@ -119,6 +119,42 @@ class TestPointToPlaneICP:
         # animation contract: per-iteration increments recorded
         assert np.asarray(res.step_transforms).shape == (25, 4, 4)
 
+    def test_partial_overlap(self, rng):
+        """Maintenance scans rarely cover the exact same extent as the gold
+        standard — registration must survive ~35% of the comparison scan
+        having no counterpart (the correspondence-distance gate rejects the
+        non-overlapping tail instead of letting it drag the solve)."""
+        from tpu3dlm.ops import geometry as G
+        from tpu3dlm.ops.icp import icp_point_to_plane
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        base = self._scene(rng)
+        # base covers only x < 1.0 — the comparison's x > 1.0 region is
+        # pure non-overlap
+        base = base[base[:, 0] < 1.0]
+        ang = 0.08
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(
+            G.quat_to_rotmat(jnp.array([0, 0, np.sin(ang / 2), np.cos(ang / 2)]))
+        )
+        T[:3, 3] = [0.2, -0.1, 0.08]
+        comp = self._scene(np.random.default_rng(11)) @ T[:3, :3].T + T[:3, 3]
+        src = comp[rng.choice(comp.shape[0], 2048, replace=False)]
+
+        normals = estimate_normals_grid(base, voxel=0.15)
+        T_run = centroid_align(jnp.asarray(src), jnp.asarray(base))
+        res = None
+        for d in (0.6, 0.15):
+            res = icp_point_to_plane(
+                jnp.asarray(src), jnp.asarray(base), jnp.asarray(normals),
+                init_transform=T_run, max_correspondence_dist=d, iterations=25,
+            )
+            T_run = res.transform
+        err = np.abs(np.asarray(T_run) @ T - np.eye(4)).max()
+        assert err < 0.06, f"partial-overlap registration failed: {err}"
+        # the gate visibly rejected the non-overlapping tail
+        assert 0.3 < float(res.inlier_frac) < 0.95
+
 
 class TestKabsch:
     def test_recovers_known_transform(self, rng):
