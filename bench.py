@@ -48,7 +48,7 @@ def build_inputs(num_frames: int, img_size: int):
     )
 
 
-def make_step(img_size: int, max_det: int):
+def make_step(img_size: int, max_det: int, variant: str = "n"):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,7 @@ def make_step(img_size: int, max_det: int):
     from tpu3dlm.models.yolov10 import YOLOv10, postprocess
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
-    yolo = YOLOv10(nc=80, variant="n", dtype=dtype)
+    yolo = YOLOv10(nc=80, variant=variant, dtype=dtype)
 
     def step(variables, rgb_u8, depth, intrinsics, rgb_size, poses):
         x = rgb_u8.astype(jnp.float32) / 255.0
@@ -75,6 +75,54 @@ def make_step(img_size: int, max_det: int):
         return corners, valid, det["conf"]
 
     return yolo, jax.jit(step)
+
+
+_PEAK_BF16_TFLOPS = {
+    # per-chip dense peak (bf16) for MFU; "TPU v5 lite" == v5e
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def flops_of(step, variables, arrays, device, jax):
+    """Total FLOPs of one step from XLA's own cost analysis (None if the
+    backend doesn't expose it). Counts the whole batched program."""
+    import jax.numpy as jnp
+
+    try:
+        args = [jax.device_put(jnp.asarray(a), device) for a in arrays]
+        vs = jax.device_put(variables, device)
+        fn = step if hasattr(step, "lower") else jax.jit(step)
+        cost = fn.lower(vs, *args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def mfu_fields(flops_total, num_frames, fps, device):
+    """TFLOP/s + fraction-of-peak fields for the bench JSON (VERDICT round-1
+    item 4: '1146× a 1-core CPU is an easy bar; MFU is the honest one')."""
+    if not flops_total:
+        return {}
+    per_frame = flops_total / num_frames
+    tflops = fps * per_frame / 1e12
+    out = {
+        "gflop_per_frame": round(per_frame / 1e9, 2),
+        "tflop_per_sec": round(tflops, 2),
+    }
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name):
+            out["mfu_vs_bf16_peak"] = round(tflops / peak, 4)
+            break
+    return out
 
 
 def _force(out):
@@ -124,9 +172,10 @@ def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "256"))
     img_size = int(os.environ.get("BENCH_IMG", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    variant = os.environ.get("BENCH_VARIANT", "n")
 
     arrays = build_inputs(num_frames, img_size)
-    yolo, step = make_step(img_size, max_det=64)
+    yolo, step = make_step(img_size, max_det=64, variant=variant)
     variables = yolo.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     )
@@ -148,7 +197,9 @@ def main():
 
     # Baseline: the same jitted program on host CPU — the reference pipeline
     # is CPU-bound Python (SURVEY.md §2c), so CPU throughput of the identical
-    # computation bounds it from above. Two frames keep this leg cheap;
+    # computation bounds it from above. ≥8 frames × 3 timed iterations with
+    # the spread recorded (VERDICT round-1 item 7: a 2-frame × 1-iter leg
+    # carried first-call and small-sample noise into the denominator).
     # BENCH_CPU_BASELINE=0 skips it and reports the last stored measurement
     # (BENCH_BASELINE.json, written on every live CPU measurement).
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -159,8 +210,13 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             if cpu != default_dev:
-                cpu_arrays = tuple(a[:2] for a in arrays)
-                measured_cpu_fps = time_fps(step, variables, cpu_arrays, cpu, 1, jax)
+                nb = max(8, int(os.environ.get("BENCH_CPU_FRAMES", "8")))
+                cpu_arrays = tuple(a[:nb] for a in arrays)
+                samples = [
+                    time_fps(step, variables, cpu_arrays, cpu, 1, jax)
+                    for _ in range(3)
+                ]
+                measured_cpu_fps = float(np.mean(samples))
             else:
                 vs_baseline = 1.0
         except Exception as e:
@@ -170,6 +226,9 @@ def main():
         try:
             with open(baseline_file, "w") as f:
                 json.dump({"cpu_fps_detect_project": round(measured_cpu_fps, 4),
+                           "cpu_fps_samples": [round(s, 4) for s in samples],
+                           "cpu_fps_spread": round(max(samples) - min(samples), 4),
+                           "cpu_frames": nb, "cpu_iters": len(samples),
                            "img_size": img_size}, f)
         except OSError:
             pass
@@ -181,16 +240,21 @@ def main():
         except Exception:
             print("no stored CPU baseline; vs_baseline=0", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "rgbd_detect_project_frames_per_sec_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
+    rec = {
+        "metric": "rgbd_detect_project_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if variant != "n":
+        rec["yolo_variant"] = variant
+    rec.update(
+        mfu_fields(
+            flops_of(step, variables, arrays, default_dev, jax),
+            num_frames, fps, default_dev,
         )
     )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

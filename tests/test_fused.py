@@ -83,6 +83,57 @@ class TestFusedRunner:
         assert det.boxes.shape == (3, 4, 4)
         assert gboxes.corners.shape == (3, 4, 4, 3)
 
+    def test_stream_matches_whole_scan(self, scan_dirs, scan):
+        """Chunked streaming (incl. a zero-padded last chunk) must produce
+        exactly the whole-scan fused result, with bounded in-flight depth
+        and lazy chunk decode (VERDICT round-1 item 3)."""
+        from tpu3dlm.data.dataset import iter_scan_chunks
+
+        fused = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=8, nc=3,
+            beit_config=SMALL_BEIT, dtype=jnp.float32,
+        )
+        d_whole, g_whole = fused(scan)
+
+        events = []
+
+        def tracked_chunks():
+            # 3 frames in chunks of 2 → second chunk exercises padding
+            for i, item in enumerate(
+                iter_scan_chunks(chunk_frames=2, img_size=128, **scan_dirs)
+            ):
+                events.append(("produce", i))
+                yield item
+
+        orig_finalize = fused._finalize
+
+        def finalize(out, n):
+            events.append(("drain", n))
+            return orig_finalize(out, n)
+
+        fused._finalize = finalize
+        d_s, g_s = fused.run_stream(tracked_chunks(), max_inflight=1)
+        fused._finalize = orig_finalize
+
+        assert d_s.boxes.shape[0] == scan.num_frames
+        np.testing.assert_array_equal(d_s.mask, np.asarray(d_whole.mask))
+        np.testing.assert_allclose(
+            d_s.boxes, np.asarray(d_whole.boxes), atol=1e-5
+        )
+        m = d_s.mask
+        np.testing.assert_allclose(
+            np.asarray(g_s.corners)[m], np.asarray(g_whole.corners)[m], atol=1e-5
+        )
+        np.testing.assert_array_equal(d_s.damage, np.asarray(d_whole.damage))
+
+        # memory bound: never more than max_inflight+1 chunks pending, and
+        # draining interleaves with production (not all-produce-then-drain)
+        assert fused.stream_peak_inflight <= 2
+        first_drain = events.index(("drain", 2))
+        assert ("produce", 1) in events[:first_drain + 1] or events[
+            first_drain + 1
+        ] == ("produce", 1)
+
     def test_letterbox_matches_staged(self, scan_dirs):
         """The fused path must handle letterboxed scans (what converted
         finetuned checkpoints expect) and agree with the staged path —

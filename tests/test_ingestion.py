@@ -49,6 +49,61 @@ class TestDepthCodec:
         # wall at ~3m from camera at x=-0.5 → depth(mm) near 3000 at centre
         assert 2000.0 < d[128, 96] < 4000.0
 
+    def test_cv8uc4_decode_matches_handwritten_ieee754(self, tmp_path):
+        """Pin the byte/channel order against hand-assembled IEEE-754
+        little-endian float32 patterns — NOT against this repo's own
+        ``encode_depth`` (VERDICT round-1 item 2: the synthetic-scan ingest
+        tests were circular, encoder defined as the decoder's inverse).
+
+        The four uint8 channels of each CV_8UC4 pixel are the float's bytes
+        LSB-first in memory (OpenCV BGRA in-memory layout survives the
+        imwrite/imread PNG roundtrip unchanged), per the reference decode
+        at src/detector/dataset.py:72-77.
+        """
+        import cv2
+
+        # IEEE-754 single precision, written out by hand:
+        #   1.0  = 0x3F800000   2.5   = 0x40200000
+        #   0.25 = 0x3E800000   3.125 = 0x40480000
+        pixels = np.array(
+            [
+                [[0x00, 0x00, 0x80, 0x3F], [0x00, 0x00, 0x20, 0x40]],
+                [[0x00, 0x00, 0x80, 0x3E], [0x00, 0x00, 0x48, 0x40]],
+            ],
+            np.uint8,
+        )  # (2, 2, 4) — bytes LSB..MSB per pixel
+        path = str(tmp_path / "handmade.png")
+        assert cv2.imwrite(path, pixels)
+        d = load_depth_image(path, 2, 2)
+        np.testing.assert_array_equal(
+            d, np.array([[1000.0, 2500.0], [250.0, 3125.0]], np.float32)
+        )
+        # and the in-memory reinterpret agrees (metres)
+        np.testing.assert_array_equal(
+            reinterpret_depth(pixels),
+            np.array([[1.0, 2.5], [0.25, 3.125]], np.float32),
+        )
+
+    def test_16uc1_millimetre_depth(self, tmp_path):
+        """16UC1 PNG depth (common desktop/OpenNI RTAB-Map export) is
+        auto-detected: values are already millimetres."""
+        import cv2
+
+        mm = np.array([[0, 1500], [3000, 65000]], np.uint16)
+        path = str(tmp_path / "depth16.png")
+        assert cv2.imwrite(path, mm)
+        d = load_depth_image(path, 2, 2)
+        assert d.dtype == np.float32
+        np.testing.assert_array_equal(d, mm.astype(np.float32))
+        # stored resolution differing from calibration → nearest resize
+        d4 = load_depth_image(path, 4, 4)
+        assert d4.shape == (4, 4)
+        assert set(np.unique(d4)) <= set(mm.astype(np.float32).ravel())
+        # blob-level decode returns metres
+        np.testing.assert_allclose(
+            reinterpret_depth(mm), mm.astype(np.float32) / 1000.0
+        )
+
 
 class TestPoses:
     def test_load_poses(self, scan_dir):

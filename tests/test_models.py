@@ -338,3 +338,45 @@ class TestBeit:
         np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-6)
         x = preprocess_crops(jnp.zeros((1, 4, 4, 3), jnp.uint8))
         np.testing.assert_allclose(np.asarray(x), -1.0, atol=1e-6)
+
+    def test_bf16_fast_path_tracks_f32(self):
+        """The bf16 inference path (bf16 QK logits before bias+softmax,
+        BeitAttention) must agree with the golden-tested f32 path: same
+        top-1 on every decisive crop, small softmax-probability drift.
+        Guards the fast path the HF goldens don't cover (ADVICE round 1)."""
+        cfg = BeitConfig(
+            image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+            num_heads=4, intermediate_size=128, num_labels=3,
+        )
+        f32 = BeitClassifier(cfg, dtype=jnp.float32)
+        bf16 = BeitClassifier(cfg, dtype=jnp.bfloat16)
+        variables = f32.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        # flax init leaves biases / cls token / rel-pos table at zero —
+        # perturb every leaf so attention bias and head actually contribute
+        leaves, treedef = jax.tree.flatten(variables)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        leaves = [
+            leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+            for leaf, k in zip(leaves, keys)
+        ]
+        variables = jax.tree.unflatten(treedef, leaves)
+
+        rng = np.random.default_rng(3)
+        crops = rng.integers(0, 256, size=(16, 32, 32, 3), dtype=np.uint8)
+        x = preprocess_crops(jnp.asarray(crops))
+        logits32 = np.asarray(f32.apply(variables, x), np.float32)
+        logits16 = np.asarray(bf16.apply(variables, x), np.float32)
+
+        p32 = jax.nn.softmax(logits32, axis=-1)
+        p16 = jax.nn.softmax(logits16, axis=-1)
+        drift = float(np.max(np.abs(np.asarray(p32) - np.asarray(p16))))
+        assert drift < 0.05, f"softmax drift {drift}"
+
+        top = np.sort(logits32, axis=-1)
+        margin = top[:, -1] - top[:, -2]
+        decisive = margin > 2 * drift * np.abs(logits32).max()
+        assert decisive.any()  # the check below must actually bite
+        agree = logits32.argmax(-1) == logits16.argmax(-1)
+        assert agree[decisive].all(), (
+            f"bf16 flipped a decisive top-1: margins {margin[~agree]}"
+        )

@@ -129,6 +129,55 @@ class TestEndToEnd:
         assert {"extract", "detect", "map"} <= set(saved["stage_times"])
 
 
+class TestStreamingPipeline:
+    def test_streaming_matches_whole_scan(self, env):
+        """streaming_chunk > 0 + fused_inference streams the capture in
+        fixed-shape chunks with bounded memory, producing the same record
+        structure and detections as whole-scan ingestion (VERDICT round-1
+        item 3)."""
+        root, cfg_path = env
+        from tpu3dlm.pipeline.task import Pipeline
+
+        class _Cfg:
+            pass
+
+        def clone(cfg, **over):
+            c = _Cfg()
+            for k, v in vars(cfg).items():
+                setattr(c, k, v)
+            for k, v in over.items():
+                setattr(c, k, v)
+            return c
+
+        cfg = ConfigLoader(cfg_path, "gold_std")
+        pkl_s = os.path.join(root, "stream.pkl")
+        pkl_w = os.path.join(root, "whole.pkl")
+        p_s = Pipeline(
+            "gold_std",
+            clone(cfg, fused_inference=True, streaming_chunk=2,
+                  infer_dtype="f32", pickle_path=pkl_s),
+        )
+        out_s = p_s.run()
+        p_w = Pipeline(
+            "gold_std",
+            clone(cfg, fused_inference=True, streaming_chunk=0,
+                  infer_dtype="f32", pickle_path=pkl_w),
+        )
+        out_w = p_w.run()
+
+        assert out_s["predictions"].keys() == out_w["predictions"].keys()
+        for f in out_w["predictions"]:
+            rows_s = out_s["predictions"][f]
+            rows_w = out_w["predictions"][f]
+            assert len(rows_s) == len(rows_w)
+            for rs, rw in zip(rows_s, rows_w):
+                np.testing.assert_allclose(
+                    np.asarray(rs[:4], np.float32),
+                    np.asarray(rw[:4], np.float32), atol=1e-4,
+                )
+        assert out_s["optimised_bboxes"].keys() == out_w["optimised_bboxes"].keys()
+
+
 class TestResume:
     def test_resume_skips_detect(self, env):
         root, cfg_path = env

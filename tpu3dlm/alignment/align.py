@@ -194,9 +194,14 @@ class Alignment:
             return Tc, [Tc]
 
         # score candidates by clipped-mean NN distance on cheap subsamples —
-        # one batched dispatch for all 5 (remote dispatch is ~20 ms each)
-        q = jnp.asarray(_subsample(comp_s, min(2048, comp_s.shape[0])))
-        t = jnp.asarray(_subsample(base_s, min(65536, base_s.shape[0]), seed=1))
+        # one batched dispatch for all 5 (remote dispatch is ~20 ms each).
+        # Fixed sizes (tiling small clouds up, _subsample) so one compiled
+        # init_residual program serves every scan — a size-dependent shape
+        # would retrace per distinct cloud size. Duplicated target points
+        # leave NN distances unchanged; duplicated query points only reweight
+        # the mean negligibly (ranking heuristic, not a measurement).
+        q = jnp.asarray(_subsample(comp_s, 2048))
+        t = jnp.asarray(_subsample(base_s, 65536, seed=1))
         cands = np.asarray(pca_init_candidates(cj, bj))
         Ts = np.concatenate([Tc[None], cands])
         res = np.asarray(

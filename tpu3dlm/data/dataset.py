@@ -39,15 +39,32 @@ def _pair_filenames(image_dir: str, depth_image_dir: str) -> list[tuple[str, str
 def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarray:
     """Decode an RTAB-Map depth PNG → (depth_height, depth_width) float32 mm.
 
-    Byte-level reinterpret of the CV_8UC4 PNG as float32 metres, then ×1000
-    (reference src/detector/dataset.py:68-81) — a value cast would corrupt
-    the data.
+    Auto-detects the PNG encoding (see ``rtabmap_db.reinterpret_depth``):
+
+    - CV_8UC4: byte-level reinterpret as float32 metres, then ×1000
+      (reference src/detector/dataset.py:68-81) — a value cast would
+      corrupt the data. The decoded width is ``stored_width / 4``; the
+      PNG's pixel shape is a transport detail, so the result is reshaped
+      to the calibration's (depth_height, depth_width).
+    - 16UC1 uint16: values already millimetres (common desktop/OpenNI
+      RTAB-Map export); resized nearest-neighbour if the stored
+      resolution differs from the calibration's.
     """
     raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if raw is None:
         raise FileNotFoundError(path)
+    if raw.ndim == 2 and raw.dtype == np.uint16:
+        depth = raw.astype(np.float32)  # already millimetres
+        if depth.shape != (depth_height, depth_width):
+            depth = cv2.resize(
+                depth, (depth_width, depth_height), interpolation=cv2.INTER_NEAREST
+            )
+        return depth
     if raw.ndim != 3 or raw.shape[2] != 4:
-        raise ValueError(f"depth PNG {path} is not CV_8UC4 (shape {raw.shape})")
+        raise ValueError(
+            f"depth PNG {path} is neither CV_8UC4 nor 16UC1 "
+            f"(shape {raw.shape}, dtype {raw.dtype})"
+        )
     depth = np.ascontiguousarray(raw).reshape(raw.shape[0], raw.shape[1] * 4).view(
         np.float32
     )
@@ -134,6 +151,117 @@ def _letterbox_np(rgb: np.ndarray, size: int, fill: int = 114):
     return canvas, scale, pad_x, pad_y
 
 
+def _decode_frames(
+    pairs: list[tuple[str, str]],
+    image_dir: str,
+    depth_image_dir: str,
+    calibration_dir: str,
+    img_size: int,
+    depth_width: int,
+    depth_height: int,
+    resize_mode: str,
+):
+    """Decode a list of (rgb, depth) filename pairs into stacked arrays —
+    the shared inner loop of `load_scan` (whole capture) and
+    `iter_scan_chunks` (streaming)."""
+    n = len(pairs)
+    rgb = np.zeros((n, img_size, img_size, 3), np.uint8)
+    depth = np.zeros((n, depth_height, depth_width), np.float32)
+    intrinsics = np.zeros((n, 4), np.float32)
+    rgb_size = np.zeros((n, 2), np.float32)
+    lbox = np.zeros((n, 3), np.float32) if resize_mode == "letterbox" else None
+
+    for i, (image_filename, depth_filename) in enumerate(pairs):
+        frame = load_rgb_image(os.path.join(image_dir, image_filename))
+        if resize_mode == "letterbox":
+            rgb[i], scale, px, py = _letterbox_np(frame, img_size)
+            lbox[i] = [scale, px, py]
+        else:
+            rgb[i] = cv2.resize(
+                frame, (img_size, img_size), interpolation=cv2.INTER_LINEAR
+            )
+        depth[i] = load_depth_image(
+            os.path.join(depth_image_dir, depth_filename), depth_height, depth_width
+        )
+        calib = load_calibration(
+            os.path.join(calibration_dir, os.path.splitext(image_filename)[0] + ".yaml")
+        )
+        intrinsics[i] = [calib["fx"], calib["fy"], calib["cx"], calib["cy"]]
+        rgb_size[i] = [calib["image_width"], calib["image_height"]]
+    return rgb, depth, intrinsics, rgb_size, lbox
+
+
+def iter_scan_chunks(
+    image_dir: str,
+    depth_image_dir: str,
+    calibration_dir: str,
+    pose_path: str,
+    chunk_frames: int = 64,
+    img_size: int = 640,
+    depth_width: int = 192,
+    depth_height: int = 256,
+    resize_mode: str = "square",
+):
+    """Stream a capture as fixed-shape ``Scan`` chunks of ``chunk_frames``.
+
+    The whole-scan `load_scan` materialises (F, S, S, 3) uint8 on the host
+    — ~1.2 MB/frame at 640², unbounded in the capture length. This
+    iterator bounds host memory to O(chunk_frames) and keeps every chunk
+    the SAME static shape (the last one zero-padded), so one compiled
+    device program serves the entire stream. The reference streams one
+    frame at a time from disk (src/mapper/pose_processor.py:93) for the
+    same reason — scan length must not bound memory.
+
+    Yields ``(scan_chunk, valid)`` where valid ≤ chunk_frames is the
+    number of real frames in this chunk (remaining rows are zero padding
+    with identity poses).
+    """
+    if resize_mode not in ("square", "letterbox"):
+        raise ValueError(f"resize_mode must be square|letterbox, got {resize_mode}")
+    pairs = _pair_filenames(image_dir, depth_image_dir)
+    timestamps, poses = load_poses(pose_path)
+    n = min(len(pairs), poses.shape[0])
+    if n == 0:
+        raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
+
+    for start in range(0, n, chunk_frames):
+        stop = min(start + chunk_frames, n)
+        valid = stop - start
+        rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
+            pairs[start:stop], image_dir, depth_image_dir, calibration_dir,
+            img_size, depth_width, depth_height, resize_mode,
+        )
+        if valid < chunk_frames:
+            pad = chunk_frames - valid
+
+            def _pad(a, fill=0):
+                if a is None:
+                    return None
+                shape = (pad,) + a.shape[1:]
+                return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+            rgb, depth, intrinsics, lbox = (
+                _pad(rgb), _pad(depth), _pad(intrinsics), _pad(lbox)
+            )
+            rgb_size = _pad(rgb_size, fill=1)  # avoid 0-division in affines
+            pose_pad = np.zeros((pad, 7), np.float32)
+            pose_pad[:, 6] = 1.0  # identity quaternion
+            chunk_poses = np.concatenate([poses[start:stop], pose_pad])
+            chunk_ts = np.concatenate(
+                [timestamps[start:stop], np.zeros(pad, timestamps.dtype)]
+            )
+        else:
+            chunk_poses = poses[start:stop]
+            chunk_ts = timestamps[start:stop]
+        yield (
+            Scan(
+                rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
+                poses=chunk_poses, timestamps=chunk_ts, letterbox=lbox,
+            ),
+            valid,
+        )
+
+
 def load_scan(
     image_dir: str,
     depth_image_dir: str,
@@ -182,29 +310,10 @@ def load_scan(
     if n == 0:
         raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
 
-    rgb = np.zeros((n, img_size, img_size, 3), np.uint8)
-    depth = np.zeros((n, depth_height, depth_width), np.float32)
-    intrinsics = np.zeros((n, 4), np.float32)
-    rgb_size = np.zeros((n, 2), np.float32)
-    lbox = np.zeros((n, 3), np.float32) if resize_mode == "letterbox" else None
-
-    for i, (image_filename, depth_filename) in enumerate(pairs[:n]):
-        frame = load_rgb_image(os.path.join(image_dir, image_filename))
-        if resize_mode == "letterbox":
-            rgb[i], scale, px, py = _letterbox_np(frame, img_size)
-            lbox[i] = [scale, px, py]
-        else:
-            rgb[i] = cv2.resize(
-                frame, (img_size, img_size), interpolation=cv2.INTER_LINEAR
-            )
-        depth[i] = load_depth_image(
-            os.path.join(depth_image_dir, depth_filename), depth_height, depth_width
-        )
-        calib = load_calibration(
-            os.path.join(calibration_dir, os.path.splitext(image_filename)[0] + ".yaml")
-        )
-        intrinsics[i] = [calib["fx"], calib["fy"], calib["cx"], calib["cy"]]
-        rgb_size[i] = [calib["image_width"], calib["image_height"]]
+    rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
+        pairs[:n], image_dir, depth_image_dir, calibration_dir,
+        img_size, depth_width, depth_height, resize_mode,
+    )
 
     if cache and resize_mode == "square":
         from tpu3dlm.native import scanpack_write

@@ -87,17 +87,27 @@ class ImageExtractor:
             break
 
 
-def reinterpret_depth(depth_u8: np.ndarray) -> np.ndarray:
-    """CV_8UC4 (H, W, 4) uint8 → (H, W) float32 metres via byte reinterpret.
+def reinterpret_depth(depth_raw: np.ndarray) -> np.ndarray:
+    """Decoded RTAB-Map depth image → (H, W) float32 metres.
 
-    This must be a bit-level reinterpretation, NOT a value cast
-    (reference src/detector/dataset.py:72-74 reshapes to (H, W*4) and
-    flips the dtype field).
+    Auto-detects the two encodings real exports carry:
+
+    - CV_8UC4 (H, W, 4) uint8 whose bytes are little-endian float32 metres
+      (the iOS export trick): a bit-level reinterpretation, NOT a value
+      cast (reference src/detector/dataset.py:72-74 reshapes to (H, W*4)
+      and flips the dtype field).
+    - 16UC1 (H, W) uint16 millimetres (the common desktop/OpenNI export):
+      a value cast ÷1000.
     """
-    if depth_u8.ndim != 3 or depth_u8.shape[2] != 4:
-        raise ValueError(f"expected (H, W, 4) uint8 depth image, got {depth_u8.shape}")
-    h, w = depth_u8.shape[:2]
-    return np.ascontiguousarray(depth_u8).reshape(h, w * 4).view(np.float32)
+    if depth_raw.ndim == 2 and depth_raw.dtype == np.uint16:
+        return depth_raw.astype(np.float32) / 1000.0
+    if depth_raw.ndim != 3 or depth_raw.shape[2] != 4 or depth_raw.dtype != np.uint8:
+        raise ValueError(
+            "expected (H, W, 4) uint8 or (H, W) uint16 depth image, got "
+            f"{depth_raw.shape} {depth_raw.dtype}"
+        )
+    h, w = depth_raw.shape[:2]
+    return np.ascontiguousarray(depth_raw).reshape(h, w * 4).view(np.float32)
 
 
 def encode_depth(depth_m: np.ndarray) -> np.ndarray:

@@ -143,18 +143,22 @@ def suppress_bboxes(
     depth_buffer: float = 0.03,
     area_min: float = 0.001,
     cam_dist_min: float = 0.01,
+    top_k: int = 1024,
 ) -> GlobalBoxes:
     """3D NMS over a scan's GlobalBoxes → GlobalBoxes with pruned mask.
 
     API parity: ``BoundingBoxProcessor(global_bboxes_data, pose_df)
     .suppress_bboxes()`` (reference task_def.py:147-148).
+
+    ``top_k``: static confidence cap on the O(K²) pairwise-IoU suppression —
+    candidates beyond it are dropped lowest-confidence first (configurable
+    via ``nms_top_k`` in the INI config).
     """
     import logging
 
     import numpy as np
 
     n_candidates = int(np.asarray(gboxes.mask).sum())
-    top_k = 1024  # nms3d_mask default — the static O(K²) cap
     if n_candidates > top_k:
         logging.getLogger(__name__).warning(
             "3D NMS: %d candidate boxes exceed the top-%d confidence cap — "
@@ -170,5 +174,6 @@ def suppress_bboxes(
         depth_buffer=depth_buffer,
         area_min=area_min,
         cam_dist_min=cam_dist_min,
+        top_k=top_k,
     )
     return dataclasses.replace(gboxes, mask=keep)

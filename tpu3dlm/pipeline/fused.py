@@ -41,10 +41,12 @@ class FusedScanRunner:
         mesh_devices: int = 1,
         rng_seed: int = 0,
         dtype=jnp.bfloat16,
+        crop_budget: int = 128,
     ):
         self.img_size = img_size
         self.conf_thresh = conf_thresh
         self.max_det = max_det
+        self.crop_budget = crop_budget
         self.logger = logging.getLogger(__name__)
 
         self.yolo = YOLOv10(nc=nc, variant=variant, dtype=dtype)
@@ -72,15 +74,24 @@ class FusedScanRunner:
             beit_variables = replicate(beit_variables, self.mesh)
         self.yolo_variables = yolo_variables
         self.beit_variables = beit_variables
+        # the sharded program closes over the Mesh — key on the concrete
+        # device ids, not just the count, so a runner built after a backend
+        # reinit (different devices, same count) gets a fresh program
+        mesh_ids = (
+            tuple(int(d.id) for d in self.mesh.devices.flat)
+            if self.mesh is not None
+            else ()
+        )
         key = (
             "fused_step", nc, variant, self.beit.cfg, dtype,
-            img_size, max_det, conf_thresh, mesh_devices,
+            img_size, max_det, conf_thresh, mesh_devices, mesh_ids, crop_budget,
         )
         if self.mesh is not None:
             self._step = cached(
                 key,
                 lambda: sharded_full_scan_step(
-                    self.mesh, self.yolo, self.beit, img_size, max_det, conf_thresh
+                    self.mesh, self.yolo, self.beit, img_size, max_det,
+                    conf_thresh, crop_budget,
                 ),
             )
         else:
@@ -90,12 +101,15 @@ class FusedScanRunner:
                 key,
                 lambda: jax.jit(
                     full_scan_step_fn(
-                        self.yolo, self.beit, img_size, max_det, conf_thresh
+                        self.yolo, self.beit, img_size, max_det, conf_thresh,
+                        crop_budget,
                     )
                 ),
             )
 
-    def __call__(self, scan: Scan) -> tuple[Detections, GlobalBoxes]:
+    def _dispatch(self, scan: Scan):
+        """Enqueue the fused step for one scan/chunk; returns DEVICE arrays
+        immediately (JAX async dispatch) — no host sync."""
         if scan.letterbox is not None:
             lb = np.asarray(scan.letterbox, np.float32)  # (F, 3) s, px, py
             affine = np.stack([lb[:, 0], lb[:, 0], lb[:, 1], lb[:, 2]], axis=-1)
@@ -111,18 +125,20 @@ class FusedScanRunner:
             jnp.asarray(scan.poses),
             jnp.asarray(affine),
         )
-        F = scan.num_frames
         if self.mesh is not None:
             args, _ = pad_to_devices(args, self.mesh)
-            out = self._step(
+            return self._step(
                 self.yolo_variables,  # replicated at construction
                 self.beit_variables,
                 *shard_batch(tuple(jnp.asarray(a) for a in args), self.mesh),
             )
-        else:
-            out = self._step(self.yolo_variables, self.beit_variables, *args)
-        out = jax.tree.map(lambda a: np.asarray(a)[:F], out)
+        return self._step(self.yolo_variables, self.beit_variables, *args)
 
+    def _finalize(self, out, n_frames: int) -> tuple[Detections, GlobalBoxes]:
+        """Device outputs → host Detections/GlobalBoxes, trimmed to the
+        first ``n_frames`` real frames (drops device-mesh / chunk padding).
+        This is the sync point — np.asarray blocks on the device queue."""
+        out = jax.tree.map(lambda a: np.asarray(a)[:n_frames], out)
         det = Detections(
             boxes=out["boxes"].astype(np.float32),
             conf=out["conf"].astype(np.float32),
@@ -138,3 +154,68 @@ class FusedScanRunner:
             mask=det.mask,
         )
         return det, gboxes
+
+    def __call__(self, scan: Scan) -> tuple[Detections, GlobalBoxes]:
+        return self._finalize(self._dispatch(scan), scan.num_frames)
+
+    def run_stream(
+        self, chunks, max_inflight: int = 2
+    ) -> tuple[Detections, GlobalBoxes]:
+        """Run a stream of fixed-shape scan chunks (see
+        ``data.dataset.iter_scan_chunks``) with host/device overlap.
+
+        Double buffering falls out of JAX async dispatch: each chunk is
+        enqueued without sync, so while the device runs chunk i the host
+        generator decodes chunk i+1. At most ``max_inflight`` chunks are
+        pending on the device (older results are drained to host first),
+        so device + host memory stay bounded by O(chunk_frames ·
+        max_inflight) regardless of capture length — the streaming
+        equivalent of the reference's frame-at-a-time loop
+        (src/mapper/pose_processor.py:93).
+
+        ``chunks`` yields ``(Scan, valid)`` pairs. Returns the
+        concatenated Detections/GlobalBoxes over all real frames.
+        ``self.stream_peak_inflight`` records the high-water mark (used by
+        the bounded-memory test).
+        """
+        from collections import deque
+
+        pending: deque = deque()
+        dets: list[Detections] = []
+        gbs: list[GlobalBoxes] = []
+        self.stream_peak_inflight = 0
+
+        def drain_one():
+            out, valid = pending.popleft()
+            det, gb = self._finalize(out, valid)
+            dets.append(det)
+            gbs.append(gb)
+
+        for scan, valid in chunks:
+            pending.append((self._dispatch(scan), valid))
+            self.stream_peak_inflight = max(
+                self.stream_peak_inflight, len(pending)
+            )
+            while len(pending) > max_inflight:
+                drain_one()
+        while pending:
+            drain_one()
+
+        if not dets:
+            raise ValueError("run_stream: empty chunk stream")
+        cat = lambda xs: np.concatenate(xs, axis=0)  # noqa: E731
+        det = Detections(
+            boxes=cat([d.boxes for d in dets]),
+            conf=cat([d.conf for d in dets]),
+            label=cat([d.label for d in dets]),
+            damage=cat([d.damage for d in dets]),
+            mask=cat([d.mask for d in dets]),
+        )
+        gb = GlobalBoxes(
+            corners=cat([g.corners for g in gbs]),
+            damage=det.damage,
+            conf=det.conf,
+            label=det.label,
+            mask=det.mask,
+        )
+        return det, gb

@@ -60,7 +60,14 @@ class Pipeline:
         mechanism — every module __main__ restarts from the pickle,
         SURVEY.md §4/§5) so a crash after the expensive detect stage doesn't
         repeat it."""
-        scan = self._timed("extract", self._extract_images)
+        stream_n = getattr(self.cfg, "streaming_chunk", 0)
+        use_stream = stream_n > 0 and getattr(self.cfg, "fused_inference", False)
+        if use_stream:
+            # streaming ingestion: never materialise the whole capture —
+            # frames decode chunk-by-chunk inside the fused detect stage
+            scan = self._timed("extract", self._extract_light)
+        else:
+            scan = self._timed("extract", self._extract_images)
         detections = None
         if resume and os.path.exists(self.cfg.pickle_path):
             try:
@@ -77,7 +84,11 @@ class Pipeline:
                 self.logger.warning("resume failed (%s); re-running detect", e)
         fused_gboxes = None
         if detections is None:
-            if getattr(self.cfg, "fused_inference", False):
+            if use_stream:
+                detections, fused_gboxes = self._timed(
+                    "detect", self._fused_streaming, stream_n
+                )
+            elif getattr(self.cfg, "fused_inference", False):
                 detections, fused_gboxes = self._timed(
                     "detect", self._fused_inference, scan
                 )
@@ -103,7 +114,15 @@ class Pipeline:
             self.logger.info(f"Failed to write to file: {e}")
 
         if self.cfg.visualise:
-            self._timed("plot", self._plot_map, scan, global_bboxes, optimised, pose_df)
+            if use_stream:
+                self.logger.warning(
+                    "visualise skipped: streaming ingestion keeps no frames "
+                    "in memory (set streaming_chunk = 0 to plot)"
+                )
+            else:
+                self._timed(
+                    "plot", self._plot_map, scan, global_bboxes, optimised, pose_df
+                )
 
         if self.cfg_goldstd and self.goldstd_var:
             self._timed(
@@ -178,8 +197,63 @@ class Pipeline:
         self.logger.info("Inference Complete.")
         return detections
 
+    def _extract_light(self) -> Scan:
+        """Streaming-mode extract: db → files as usual, but only poses and
+        frame count come into memory — rgb/depth stay on disk for
+        `iter_scan_chunks` to decode chunk-by-chunk."""
+        self.logger.info("Extracting frames (streaming mode)...")
+        if os.path.exists(self.cfg.db_path):
+            extractor = ImageExtractor(
+                self.cfg.db_path, self.cfg.depth_image_dir, self.cfg.image_dir
+            )
+            extractor.fetch_data()
+            extractor.close()
+        from tpu3dlm.data.dataset import _pair_filenames
+
+        pairs = _pair_filenames(self.cfg.image_dir, self.cfg.depth_image_dir)
+        ts, poses = load_poses(self.cfg.pose_path)
+        n = min(len(pairs), poses.shape[0])
+        if n == 0:
+            raise ValueError(
+                f"no paired frames found in {self.cfg.image_dir} / "
+                f"{self.cfg.depth_image_dir}"
+            )
+        self.logger.info("Frames indexed (%d, decode deferred).", n)
+        # placeholder rgb/depth keep Scan's shape contract (num_frames is
+        # depth.shape[0]) without holding frames
+        return Scan(
+            rgb=np.zeros((n, 1, 1, 3), np.uint8),
+            depth=np.zeros((n, 1, 1), np.float32),
+            intrinsics=np.zeros((n, 4), np.float32),
+            rgb_size=np.ones((n, 2), np.float32),
+            poses=poses[:n],
+            timestamps=ts[:n],
+        )
+
+    def _fused_streaming(self, chunk_frames: int):
+        """Chunked fused inference: bounded-memory ingestion of captures
+        larger than host RAM/HBM (data/dataset.iter_scan_chunks +
+        FusedScanRunner.run_stream)."""
+        from tpu3dlm.data.dataset import iter_scan_chunks
+
+        runner = self._make_fused_runner()
+        chunks = iter_scan_chunks(
+            image_dir=self.cfg.image_dir,
+            depth_image_dir=self.cfg.depth_image_dir,
+            calibration_dir=self.cfg.calibration_dir,
+            pose_path=self.cfg.pose_path,
+            chunk_frames=chunk_frames,
+            img_size=self.cfg.img_size,
+            depth_width=self.cfg.depth_width,
+            depth_height=self.cfg.depth_height,
+        )
+        return runner.run_stream(chunks)
+
     def _fused_inference(self, scan: Scan):
         """Single-jit detect+classify+project (pipeline/fused.py)."""
+        return self._make_fused_runner()(scan)
+
+    def _make_fused_runner(self):
         import jax.numpy as jnp
 
         from tpu3dlm.pipeline.fused import FusedScanRunner
@@ -198,8 +272,9 @@ class Pipeline:
             dtype=jnp.bfloat16
             if getattr(self.cfg, "infer_dtype", "bf16") == "bf16"
             else jnp.float32,
+            crop_budget=getattr(self.cfg, "crop_budget", 128),
         )
-        return runner(scan)
+        return runner
 
     def _map_detected_objects(self, scan: Scan, detections: Detections, fused_gboxes=None):
         self.logger.info("Extracting Pose Information...")
@@ -214,7 +289,11 @@ class Pipeline:
         self.logger.info("Pose Processed.")
 
         self.logger.info("Executing 3D NMS...")
-        optimised = suppress_bboxes(global_bboxes, np.asarray(scan.poses))
+        optimised = suppress_bboxes(
+            global_bboxes,
+            np.asarray(scan.poses),
+            top_k=getattr(self.cfg, "nms_top_k", 1024),
+        )
         self.logger.info("3D NMS Executed.")
         return global_bboxes, optimised, pose_df
 

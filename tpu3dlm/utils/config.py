@@ -58,6 +58,9 @@ _SCHEMA: dict[str, str] = {
     "beit_num_layers": "int",
     "beit_num_heads": "int",
     "beit_intermediate_size": "int",
+    "nms_top_k": "int",
+    "crop_budget": "int",
+    "streaming_chunk": "int",
     "mesh_devices": "int",
     "use_pallas": "bool",
     "icp_max_points": "int",
@@ -127,7 +130,17 @@ conf_thresh = 0.5
 iou_thresh = 0.7
 view_img = false
 max_det = 64
+# 3D NMS confidence cap: candidates beyond this are dropped lowest-conf
+# first before suppression (static O(K^2) pairwise-IoU shape)
+nms_top_k = 1024
 num_classes = 80
+# fused-path classifier budget: BEiT runs on only the top-crop_budget
+# crops by detection confidence across the scan (parallel/inference.py)
+crop_budget = 128
+# 0 = whole-scan ingestion; N>0 streams the capture in N-frame chunks
+# with host-decode/device-compute overlap (bounded memory for scans
+# larger than host RAM/HBM — data/dataset.iter_scan_chunks)
+streaming_chunk = 0
 yolo_variant = n
 yolo_weights =
 beit_weights =
