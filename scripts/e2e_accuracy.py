@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in --out-dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--full-scale", action="store_true",
+                    help="production scale: YOLOv10-n at 640 + BEiT-base at "
+                         "224 (VERDICT round-1 item 6); checkpoints are "
+                         "written as *_full.msgpack")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,21 +50,29 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from tpu3dlm.models.beit import BeitConfig
-    from tpu3dlm.pipeline.evaluate import BEIT_KW, IMG_SIZE, NC, make_project, verify
+    from tpu3dlm.pipeline.evaluate import (
+        BEIT_KW, FULL_BEIT_KW, FULL_IMG_SIZE, IMG_SIZE, NC, make_project, verify,
+    )
     from tpu3dlm.pipeline.selftrain import finetune_synthetic
 
+    img_size = FULL_IMG_SIZE if args.full_scale else IMG_SIZE
+    beit_kw = FULL_BEIT_KW if args.full_scale else BEIT_KW
+    suffix = "_full" if args.full_scale else ""
+
     root = tempfile.mkdtemp(prefix="tpu3dlm_e2e_")
-    yolo_ckpt = os.path.join(args.out_dir, "yolo_synthetic.msgpack")
-    beit_ckpt = os.path.join(args.out_dir, "beit_synthetic.msgpack")
-    cfg_path, data_root, gold, _ = make_project(root, yolo_ckpt, beit_ckpt)
+    yolo_ckpt = os.path.join(args.out_dir, f"yolo_synthetic{suffix}.msgpack")
+    beit_ckpt = os.path.join(args.out_dir, f"beit_synthetic{suffix}.msgpack")
+    cfg_path, data_root, gold, _ = make_project(
+        root, yolo_ckpt, beit_ckpt, img_size=img_size, beit_kw=beit_kw
+    )
 
     if not args.skip_train or not os.path.exists(yolo_ckpt):
         t0 = time.time()
         y, b = finetune_synthetic(
             os.path.join(data_root, "gold_std"), args.out_dir,
-            img_size=IMG_SIZE, yolo_steps=args.steps, yolo_lr=2e-3,
+            img_size=img_size, yolo_steps=args.steps, yolo_lr=2e-3,
             beit_steps=args.beit_steps, beit_lr=1e-3,
-            beit_config=BeitConfig(**BEIT_KW), nc=NC,
+            beit_config=BeitConfig(**beit_kw), nc=NC,
         )
         os.replace(y, yolo_ckpt)
         os.replace(b, beit_ckpt)
@@ -69,6 +81,8 @@ def main():
     t0 = time.time()
     report = verify(cfg_path, gold)
     report["verify_seconds"] = round(time.time() - t0, 1)
+    report["img_size"] = img_size
+    report["beit"] = "base-224" if args.full_scale else "toy-32"
     print(json.dumps(report))
 
 

@@ -202,6 +202,67 @@ class TestUltralyticsCheckpointShim:
         assert not problems, problems[:10]
 
 
+class TestUltralyticsPackageGolden:
+    """Provenance against the REAL ultralytics package (VERDICT round-1
+    item 1): the in-repo torch transcription (torch_yolov10_ref.py) could
+    share a transcription error with the Flax graph and still pass the
+    goldens above. Here a genuine `ultralytics`-built YOLOv10, serialized
+    the way a real best.pt is, goes through `load_torch_state_dict` →
+    `convert_yolov10_state_dict`, and the Flax forward must match the
+    package's own forward. Skipped when ultralytics is not installed
+    (CI installs it; the baked local image does not)."""
+
+    def test_genuine_checkpoint_forward_equivalence(self, tmp_path):
+        ultralytics = pytest.importorskip("ultralytics")
+        torch = pytest.importorskip("torch")
+        from tpu3dlm.models.weights import load_torch_state_dict
+
+        # built from the yaml the package ships — no network, random init
+        # (VERDICT: "random init is enough"); nc comes from the yaml (80)
+        dm = ultralytics.YOLO("yolov10n.yaml").model.float().eval()
+        nc = int(dm.yaml.get("nc", 80))
+
+        # serialize exactly like ultralytics' trainer writes best.pt
+        # (a dict pickling the MODEL OBJECT under "model")
+        ckpt_path = str(tmp_path / "best.pt")
+        torch.save({"model": dm, "epoch": 0}, ckpt_path)
+        sd = load_torch_state_dict(ckpt_path)
+
+        variables = convert_yolov10_state_dict(sd)
+        model = YOLOv10(nc=nc, variant="n")
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        problems = assert_tree_matches(
+            variables["params"], jax.tree.map(np.asarray, ref["params"])
+        )
+        problems += assert_tree_matches(
+            variables["batch_stats"], jax.tree.map(np.asarray, ref["batch_stats"])
+        )
+        assert not problems, problems[:20]
+
+        # raw-head forward from the genuine package: flip only the head's
+        # training flag so v10Detect returns its raw one2many/one2one maps
+        # while BatchNorms stay in eval (running-stats) mode
+        dm.model[-1].training = True
+        rng = np.random.default_rng(5)
+        img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            out_t = dm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        if isinstance(out_t, tuple):  # some versions return (y, raw)
+            out_t = out_t[-1]
+        assert isinstance(out_t, dict) and "one2one" in out_t, type(out_t)
+
+        out_f = model.apply(variables, jnp.array(img))
+        for branch in ("one2many", "one2one"):
+            for f, t in zip(out_f[branch], out_t[branch]):
+                np.testing.assert_allclose(
+                    np.asarray(f).transpose(0, 3, 1, 2),
+                    t.detach().numpy(),
+                    atol=5e-4,
+                    rtol=1e-3,
+                    err_msg=f"ultralytics/{branch}",
+                )
+
+
 class TestYoloTorchGolden:
     """Numeric golden: ultralytics-format torch YOLOv10 → converter → Flax
     forward equivalence (VERDICT r1 item 3 — a wrong BN epsilon, padding, or

@@ -25,21 +25,29 @@ NC = 2
 CONF = 0.5
 BEIT_KW = dict(image_size=32, hidden_size=32, num_layers=2, num_heads=2,
                intermediate_size=64, num_labels=2)
+# full production scale (VERDICT round-1 item 6): YOLOv10-n at 640² with a
+# BEiT-base classifier at 224² — what a user deploying the reference's
+# finetuned checkpoints actually runs
+FULL_IMG_SIZE = 640
+FULL_BEIT_KW = dict(image_size=224, hidden_size=768, num_layers=12,
+                    num_heads=12, intermediate_size=3072, num_labels=2)
 
-_CFG_PATCH = [
-    ("img_size = 640", f"img_size = {IMG_SIZE}"),
-    ("batch_size = 64", "batch_size = 8"),
-    ("conf_thresh = 0.5", f"conf_thresh = {CONF}"),
-    ("max_det = 64", "max_det = 8"),
-    ("num_classes = 80", f"num_classes = {NC}"),
-    ("min_points = 1000", "min_points = 50"),
-    ("beit_image_size = 224", f"beit_image_size = {BEIT_KW['image_size']}"),
-    ("beit_hidden_size = 768", f"beit_hidden_size = {BEIT_KW['hidden_size']}"),
-    ("beit_num_layers = 12", f"beit_num_layers = {BEIT_KW['num_layers']}"),
-    ("beit_num_heads = 12", f"beit_num_heads = {BEIT_KW['num_heads']}"),
-    ("beit_intermediate_size = 3072",
-     f"beit_intermediate_size = {BEIT_KW['intermediate_size']}"),
-]
+
+def _cfg_patch(img_size: int, beit_kw: dict) -> list[tuple[str, str]]:
+    return [
+        ("img_size = 640", f"img_size = {img_size}"),
+        ("batch_size = 64", "batch_size = 8"),
+        ("conf_thresh = 0.5", f"conf_thresh = {CONF}"),
+        ("max_det = 64", "max_det = 8"),
+        ("num_classes = 80", f"num_classes = {NC}"),
+        ("min_points = 1000", "min_points = 50"),
+        ("beit_image_size = 224", f"beit_image_size = {beit_kw['image_size']}"),
+        ("beit_hidden_size = 768", f"beit_hidden_size = {beit_kw['hidden_size']}"),
+        ("beit_num_layers = 12", f"beit_num_layers = {beit_kw['num_layers']}"),
+        ("beit_num_heads = 12", f"beit_num_heads = {beit_kw['num_heads']}"),
+        ("beit_intermediate_size = 3072",
+         f"beit_intermediate_size = {beit_kw['intermediate_size']}"),
+    ]
 
 
 def make_project(
@@ -49,6 +57,8 @@ def make_project(
     dropped: tuple[int, ...] = (2,),
     cloud_points_per_m2: int = 4000,
     extra_cfg: list[tuple[str, str]] | None = None,
+    img_size: int = IMG_SIZE,
+    beit_kw: dict | None = None,
 ):
     """Write config + gold/maintenance synthetic scans under <root>.
 
@@ -59,7 +69,7 @@ def make_project(
     cfg_path = os.path.join(root, "configs", "variables.cfg")
     write_default_config(cfg_path)
     text = open(cfg_path).read()
-    for k, v in _CFG_PATCH + [
+    for k, v in _cfg_patch(img_size, beit_kw or BEIT_KW) + [
         ("yolo_weights =", f"yolo_weights = {yolo_ckpt}"),
         ("beit_weights =", f"beit_weights = {beit_ckpt}"),
     ] + (extra_cfg or []):
