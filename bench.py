@@ -56,7 +56,8 @@ def make_step(img_size: int, max_det: int, variant: str = "n"):
     from tpu3dlm.models.yolov10 import YOLOv10, postprocess
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
-    yolo = YOLOv10(nc=80, variant=variant, dtype=dtype)
+    stem = os.environ.get("BENCH_STEM", "conv")  # "s2d" = space-to-depth stem
+    yolo = YOLOv10(nc=80, variant=variant, dtype=dtype, stem=stem)
 
     def step(variables, rgb_u8, depth, intrinsics, rgb_size, poses):
         x = rgb_u8.astype(jnp.float32) / 255.0
@@ -224,12 +225,20 @@ def main():
     if measured_cpu_fps is not None:
         vs_baseline = fps / max(measured_cpu_fps, 1e-9)
         try:
-            with open(baseline_file, "w") as f:
-                json.dump({"cpu_fps_detect_project": round(measured_cpu_fps, 4),
+            # merge: bench_e2e.py stores its own key in the same file
+            stored = {}
+            try:
+                with open(baseline_file) as f:
+                    stored = json.load(f)
+            except Exception:
+                pass
+            stored.update({"cpu_fps_detect_project": round(measured_cpu_fps, 4),
                            "cpu_fps_samples": [round(s, 4) for s in samples],
                            "cpu_fps_spread": round(max(samples) - min(samples), 4),
                            "cpu_frames": nb, "cpu_iters": len(samples),
-                           "img_size": img_size}, f)
+                           "img_size": img_size})
+            with open(baseline_file, "w") as f:
+                json.dump(stored, f)
         except OSError:
             pass
     elif vs_baseline == 0.0:
@@ -248,6 +257,8 @@ def main():
     }
     if variant != "n":
         rec["yolo_variant"] = variant
+    if os.environ.get("BENCH_STEM", "conv") != "conv":
+        rec["stem"] = os.environ["BENCH_STEM"]
     rec.update(
         mfu_fields(
             flops_of(step, variables, arrays, default_dev, jax),

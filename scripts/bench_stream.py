@@ -1,0 +1,111 @@
+"""Streaming vs whole-scan fused inference throughput.
+
+VERDICT round-1 item 3 wants evidence that chunked ingestion
+(data/dataset.iter_scan_chunks + FusedScanRunner.run_stream) holds
+steady-state fps near the whole-scan number. Both paths here are timed
+END-TO-END — host decode + device inference — because that is what
+streaming changes: the whole-scan path decodes everything, then infers;
+the streaming path overlaps decode with device compute, so it can win
+end-to-end even though it adds chunk dispatch overhead.
+
+Run (TPU):  PYTHONPATH=/root/.axon_site:/root/repo \
+                python scripts/bench_stream.py [--frames 128] [--chunk 32]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from tpu3dlm.data import synthetic
+    from tpu3dlm.data.dataset import iter_scan_chunks, load_scan
+    from tpu3dlm.pipeline.fused import FusedScanRunner
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"tpu3dlm_stream_scan_{args.frames}"
+    )
+    marker = os.path.join(root, "gold_std", "poses.txt")
+    if not os.path.exists(marker):
+        synthetic.generate_scan(root, "gold_std", num_frames=args.frames)
+    base = os.path.join(root, "gold_std", "rtabmap_extract")
+    dirs = dict(
+        image_dir=os.path.join(base, "data_rgb"),
+        depth_image_dir=os.path.join(base, "data_depth"),
+        calibration_dir=os.path.join(base, "calibration"),
+        pose_path=os.path.join(root, "gold_std", "poses.txt"),
+    )
+
+    runner = FusedScanRunner(img_size=args.img_size, max_det=64)
+
+    # warmup: compile both the full-chunk program (streaming uses chunk-
+    # sized batches) and the whole-scan program
+    warm = load_scan(img_size=args.img_size, **dirs)
+    runner(warm)
+    runner.run_stream(
+        iter_scan_chunks(chunk_frames=args.chunk, img_size=args.img_size, **dirs)
+    )
+    del warm
+
+    t0 = time.perf_counter()
+    scan = load_scan(img_size=args.img_size, **dirs)
+    det_w, _ = runner(scan)
+    t_whole = time.perf_counter() - t0
+    n = scan.num_frames
+    del scan
+
+    t0 = time.perf_counter()
+    det_s, _ = runner.run_stream(
+        iter_scan_chunks(chunk_frames=args.chunk, img_size=args.img_size, **dirs)
+    )
+    t_stream = time.perf_counter() - t0
+
+    import numpy as np
+
+    if not np.array_equal(det_s.mask, det_w.mask):
+        print("SANITY FAILURE: stream/whole detections differ", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_vs_whole_fused_e2e",
+                "frames": n,
+                "chunk": args.chunk,
+                "whole_fps": round(n / t_whole, 1),
+                "stream_fps": round(n / t_stream, 1),
+                "stream_over_whole": round(t_whole / t_stream, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

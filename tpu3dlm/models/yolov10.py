@@ -111,12 +111,37 @@ class DetectBranch(nn.Module):
         return outs
 
 
+def space_to_depth(x: jax.Array, block: int = 2) -> jax.Array:
+    """(B, H, W, C) → (B, H/b, W/b, C·b²): fold spatial blocks into channels.
+
+    MXU-utilisation lever for the stem: a stride-2 3×3 conv on 3 input
+    channels packs the 128-wide MXU contraction at 27/128; folding 2×2
+    blocks first gives 12 input channels (108/128 with the 3×3 window).
+    The stride-1 conv then covers a 6×6-pixel receptive field and costs
+    4× the stem FLOPs — but the stem is ~1% of the network, so the trade
+    is +~4% model FLOPs for a 4×-denser MXU contraction (accept/reject
+    decided by measurement, PERF.md "MXU utilisation" section).
+    """
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, H // block, W // block, C * block * block
+    )
+
+
 class YOLOv10(nn.Module):
-    """YOLOv10 detector. Returns raw per-scale maps for both heads."""
+    """YOLOv10 detector. Returns raw per-scale maps for both heads.
+
+    ``stem="s2d"`` replaces the stride-2 stem conv with space-to-depth +
+    stride-1 conv (same receptive field / output shape, better MXU channel
+    packing — PERF.md utilisation experiments). Checkpoint-converted
+    weights require the default ``stem="conv"`` layout.
+    """
 
     nc: int = 80
     variant: str = "n"
     dtype: Any = jnp.float32
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,7 +162,12 @@ class YOLOv10(nn.Module):
             if mod == "up":
                 y = L.upsample2x(inp)
             elif mod == "Conv":
-                y = L.ConvBN(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
+                if i == 0 and self.stem == "s2d":
+                    y = L.ConvBN(ch(args[0]), args[1], 1, dtype=dt, name=name)(
+                        space_to_depth(inp, args[2]), train
+                    )
+                else:
+                    y = L.ConvBN(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
             elif mod == "C2f":
                 if i == 8 and v.backbone8_cib:
                     y = L.C2fCIB(
