@@ -33,6 +33,37 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fi
 BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
 )
+FULL_SCALE_REPORT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "ACCURACY_FULL_SCALE.json"
+)
+
+
+def check_full_scale_report() -> dict:
+    """Regression-gate the committed full-model-scale accuracy artifact
+    (docs/ACCURACY_FULL_SCALE.json, produced by
+    `scripts/e2e_accuracy.py --full-scale` on the TPU host): every
+    placement error must sit inside the recorded tolerance and the
+    missing-object count must match expectation. A future change that
+    re-runs the full-scale loop and degrades accuracy fails here."""
+    with open(FULL_SCALE_REPORT) as f:
+        rep = json.load(f)
+    tol = rep["placement_tolerance_m"]
+    worst = max(rep["placement_errors_m"].values())
+    ok = worst <= tol and rep["missing_flagged"] == rep["missing_expected"]
+    if not ok:
+        print(
+            f"SANITY FAILURE: full-scale accuracy artifact out of tolerance "
+            f"(worst {worst} m vs {tol} m, missing {rep['missing_flagged']}"
+            f"/{rep['missing_expected']})",
+            file=sys.stderr,
+        )
+    return {
+        "worst_placement_error_m": worst,
+        "tolerance_m": tol,
+        "missing_ok": rep["missing_flagged"] == rep["missing_expected"],
+        "models": rep["models"],
+        "ok": ok,
+    }
 
 
 def run_pipeline(fused: bool) -> tuple[float, dict, dict]:
@@ -134,6 +165,7 @@ def main() -> None:
                 "vs_baseline": round(vs_baseline, 3),
                 "stage_times": stages,
                 "sanity": sanity,
+                "full_scale_accuracy": check_full_scale_report(),
             }
         )
     )

@@ -16,6 +16,9 @@ Last TPU run (v5e-1, 300 steps, 2026-08-16):
     training: 387s (compile-dominated; steps are ms-scale)
     {"placement_errors_m": {"0": 0.0123, "1": 0.0106, "2": 0.0872},
      "missing_flagged": 1, "rows": 3}
+Full-scale run (--full-scale: YOLOv10-n @ 640, BEiT-base @ 224): committed
+artifact docs/ACCURACY_FULL_SCALE.json, regression-gated by
+bench_e2e.check_full_scale_report().
 """
 
 from __future__ import annotations
@@ -33,8 +36,11 @@ def main():
     logging.basicConfig(level=logging.INFO)
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out-dir", default=os.path.join(tempfile.gettempdir(), "tpu3dlm_e2e_ckpt"))
-    ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--beit-steps", type=int, default=80)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="YOLO finetune steps (default 300 toy / 1500 "
+                         "full-scale — 300 underfits at 640²: max one2one "
+                         "conf 0.26 < conf_thresh 0.5)")
+    ap.add_argument("--beit-steps", type=int, default=None)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in --out-dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -58,6 +64,10 @@ def main():
     img_size = FULL_IMG_SIZE if args.full_scale else IMG_SIZE
     beit_kw = FULL_BEIT_KW if args.full_scale else BEIT_KW
     suffix = "_full" if args.full_scale else ""
+    if args.steps is None:
+        args.steps = 1500 if args.full_scale else 300
+    if args.beit_steps is None:
+        args.beit_steps = 120 if args.full_scale else 80
 
     root = tempfile.mkdtemp(prefix="tpu3dlm_e2e_")
     yolo_ckpt = os.path.join(args.out_dir, f"yolo_synthetic{suffix}.msgpack")

@@ -276,3 +276,58 @@ class TestDistributedInit:
         from tpu3dlm.parallel.mesh import distributed_init
 
         distributed_init()  # backends already initialised → swallowed no-op
+
+    def test_two_process_collective(self):
+        """REAL multi-process bring-up: two OS processes initialise through
+        `distributed_init(coordinator, num_processes=2, process_id=i)` with
+        gloo CPU collectives and run a cross-process `psum` over the global
+        2-device mesh — the actual DCN code path (each process models one
+        host), not a virtual-device simulation. Both must agree on the
+        globally-reduced value."""
+        import os
+        import subprocess
+        import sys
+
+        code = (
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
+            "from tpu3dlm.parallel.mesh import distributed_init\n"
+            "pid = int(sys.argv[1])\n"
+            "distributed_init(coordinator='localhost:12961',\n"
+            "                 num_processes=2, process_id=pid)\n"
+            "assert jax.process_count() == 2\n"
+            "import numpy as np\n"
+            "import jax.numpy as jnp\n"
+            "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P\n"
+            "devs = jax.devices()  # global: 1 local device per process\n"
+            "assert len(devs) == 2, devs\n"
+            "mesh = Mesh(np.array(devs), ('batch',))\n"
+            "local = jnp.full((1, 4), float(pid + 1))\n"
+            "g = jax.make_array_from_single_device_arrays(\n"
+            "    (2, 4), NamedSharding(mesh, P('batch')),\n"
+            "    [jax.device_put(local, jax.local_devices()[0])])\n"
+            "f = jax.shard_map(lambda a: jax.lax.psum(jnp.sum(a), 'batch'),\n"
+            "                  mesh=mesh, in_specs=P('batch'), out_specs=P())\n"
+            "out = jax.jit(f)(g)\n"
+            "val = float(out.addressable_shards[0].data)\n"
+            "assert val == 12.0, val  # 4*1 (proc 0) + 4*2 (proc 1)\n"
+            "print(f'proc {pid} psum-ok', flush=True)\n"
+        )
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("XLA_FLAGS", None)  # 1 device per process, not the test mesh
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code, str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} rc={p.returncode}: {err[-800:]}"
+            assert f"proc {i} psum-ok" in out, (out, err[-400:])

@@ -80,9 +80,14 @@ def distributed_init(
     calling it with no args on a single host performs a real 1-process
     bring-up on localhost, so the code path is exercised everywhere.
     No-op if already initialised.
+
+    The already-initialised guard must NOT touch the backends:
+    `jax.process_count()` would initialise them, and `initialize` raises
+    once backends are up — which this function's RuntimeError swallow
+    would then silently turn into a single-process world.
     """
-    if jax.process_count() > 1:
-        return  # already initialised multi-process
+    if jax.distributed.is_initialized():
+        return  # distributed runtime already up
     try:
         if coordinator is None and num_processes is None and not kwargs:
             # single-host bring-up: a real coordinator on localhost
