@@ -133,6 +133,51 @@ class TestJitCache:
         assert out1.shape == out2.shape == (3,)
 
 
+class TestWeightCache:
+    def test_weights_shared_across_pipelines_until_file_changes(self, tmp_path):
+        """Two Pipeline instances pointing at the same checkpoint must get
+        the IDENTICAL device-resident weight tree (task._cached_device_weights
+        — re-reading + re-uploading ~11 MB per scan was ~70% of the two-scan
+        e2e wall-clock), and touching the file (new mtime) must rebuild."""
+        import os
+        import time as _time
+
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from tpu3dlm.models import weights as W
+        from tpu3dlm.models.yolov10 import YOLOv10
+        from tpu3dlm.pipeline import task
+
+        model = YOLOv10(nc=3, variant="n")
+        tmpl = W.init_template(model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        ckpt = str(tmp_path / "yolo.msgpack")
+        with open(ckpt, "wb") as f:
+            f.write(serialization.to_bytes(tmpl))
+
+        class _Cfg:
+            yolo_weights = ckpt
+            img_size = 64
+            num_classes = 3
+
+        p1 = task.Pipeline.__new__(task.Pipeline)
+        p1.cfg = _Cfg()
+        p1.logger = task.logging.getLogger("t")
+        p2 = task.Pipeline.__new__(task.Pipeline)
+        p2.cfg = _Cfg()
+        p2.logger = p1.logger
+
+        w1 = p1._load_yolo_weights()
+        w2 = p2._load_yolo_weights()
+        assert w1 is w2  # same cache entry, no reload/re-upload
+
+        # mtime bump → cache miss → fresh tree
+        _time.sleep(0.01)
+        os.utime(ckpt)
+        w3 = p1._load_yolo_weights()
+        assert w3 is not w1
+
+
 class TestAnnotatedExport:
     def test_save_img_writes_frames(self, scan, tmp_path):
         out = str(tmp_path / "annotated")

@@ -33,6 +33,27 @@ from tpu3dlm.mapper import project_detections, suppress_bboxes
 from tpu3dlm.pipeline.classifier import DamageDetector
 from tpu3dlm.pipeline.detector import ObjectDetector
 
+# Converted, device-resident model weights shared across Pipeline instances.
+# A two-scan run (gold standard + maintenance) uses the same checkpoints;
+# without this every Pipeline re-read the msgpack, re-built the tree, and
+# re-uploaded ~11 MB over the (remote) device link — ~1.5 s per scan of the
+# measured e2e wall-clock. Keyed by (kind, path, mtime, model config) so an
+# updated checkpoint file or different model shape misses. Same pattern and
+# caveats as utils/jitcache (entries live for the process; guarded by a lock).
+_WEIGHT_CACHE: dict = {}
+_WEIGHT_LOCK = __import__("threading").Lock()
+
+
+def _cached_device_weights(key, builder, *args):
+    with _WEIGHT_LOCK:
+        if key not in _WEIGHT_CACHE:
+            import jax
+
+            # device_put pins the tree once; runners' own device_put of an
+            # already-committed array is a no-op
+            _WEIGHT_CACHE[key] = jax.device_put(builder(*args))
+        return _WEIGHT_CACHE[key]
+
 
 class Pipeline:
     def __init__(self, data_folder, cfg, cfg_goldstd=None, goldstd_var=None):
@@ -421,6 +442,15 @@ class Pipeline:
         path = getattr(self.cfg, "yolo_weights", "") or ""
         if not path or not os.path.exists(path):
             return None
+
+        key = (
+            "yolo", os.path.abspath(path), os.path.getmtime(path),
+            getattr(self.cfg, "num_classes", 80),
+            getattr(self.cfg, "yolo_variant", "n"), self.cfg.img_size,
+        )
+        return _cached_device_weights(key, self._build_yolo_weights, path)
+
+    def _build_yolo_weights(self, path):
         from tpu3dlm.models import weights as W
 
         if path.endswith(".msgpack"):  # framework-native checkpoint
@@ -444,6 +474,16 @@ class Pipeline:
         path = getattr(self.cfg, "beit_weights", "") or ""
         if not path or not os.path.exists(path):
             return None
+
+        key = (
+            "beit", os.path.abspath(path), os.path.getmtime(path),
+            self._beit_config(num_labels),
+        )
+        return _cached_device_weights(
+            key, self._build_beit_weights, path, num_labels
+        )
+
+    def _build_beit_weights(self, path, num_labels: int):
         from tpu3dlm.models import weights as W
 
         if path.endswith(".msgpack"):
