@@ -275,3 +275,59 @@ class TestScanCache:
         np.testing.assert_array_equal(np.asarray(s1.rgb), np.asarray(s2.rgb))
         np.testing.assert_array_equal(np.asarray(s1.depth), np.asarray(s2.depth))
         np.testing.assert_array_equal(np.asarray(s1.poses), np.asarray(s2.poses))
+
+    def _stream_kwargs(self, root, img_size=160):
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        return dict(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=img_size,
+            chunk_frames=2,
+        )
+
+    def test_stream_cache_decode_free(self, scan_dir, monkeypatch):
+        """Second streamed pass must serve chunks from the memmap pack with
+        ZERO image decodes, byte-identical to the decoding pass."""
+        import tpu3dlm.data.dataset as ds
+
+        root, _ = scan_dir
+        kwargs = self._stream_kwargs(root, img_size=144)  # fresh pack size
+        first = [c for c in ds.iter_scan_chunks(**kwargs, cache=True)]
+        pack = os.path.join(root, "gold_std", "rtabmap_extract", "scan_144.pack")
+        assert os.path.exists(pack)
+
+        def _boom(*a, **k):
+            raise AssertionError("decode called on a cached streaming pass")
+
+        monkeypatch.setattr(ds, "_decode_frames", _boom)
+        second = [c for c in ds.iter_scan_chunks(**kwargs, cache=True)]
+        assert len(first) == len(second)
+        for (c1, v1), (c2, v2) in zip(first, second):
+            assert v1 == v2
+            np.testing.assert_array_equal(np.asarray(c1.rgb), np.asarray(c2.rgb))
+            np.testing.assert_array_equal(np.asarray(c1.depth), np.asarray(c2.depth))
+            np.testing.assert_array_equal(
+                np.asarray(c1.intrinsics), np.asarray(c2.intrinsics)
+            )
+            np.testing.assert_array_equal(np.asarray(c1.poses), np.asarray(c2.poses))
+
+    def test_stream_abandoned_pack_ignored(self, scan_dir):
+        """A stream stopped mid-way must not leave a pack that later loads —
+        the magic is only stamped after the final chunk."""
+        from tpu3dlm.native import scanpack_memmap
+
+        root, _ = scan_dir
+        kwargs = self._stream_kwargs(root, img_size=152)
+        import tpu3dlm.data.dataset as ds
+
+        it = ds.iter_scan_chunks(**kwargs, cache=True)
+        next(it)  # one chunk, then abandon
+        it.close()
+        pack = os.path.join(root, "gold_std", "rtabmap_extract", "scan_152.pack")
+        assert os.path.exists(pack)
+        assert scanpack_memmap(pack) is None  # unfinalised → invalid
+        # a full pass then rebuilds and finalises it
+        list(ds.iter_scan_chunks(**kwargs, cache=True))
+        assert scanpack_memmap(pack) is not None

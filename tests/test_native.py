@@ -1,5 +1,7 @@
 """Native C++ component tests: DBSCAN core vs numpy fallback, scanpack I/O."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -60,6 +62,67 @@ class TestScanpack:
 
     def test_missing_file(self):
         assert scanpack_read("/nonexistent/scan.pack") is None
+
+
+class TestScanpackMemmap:
+    """Python memmap layer over the pack layout (streaming reader/writer).
+
+    Layout parity with the C++ writer (native/src/scanpack.cpp Header +
+    array order) is load-bearing: a pack written whole by `load_scan` must
+    memmap-serve the streaming path byte-identically."""
+
+    @staticmethod
+    def _arrays(rng, f=3, h=8, w=6, hd=10, wd=7):
+        return (
+            rng.integers(0, 255, size=(f, h, w, 3)).astype(np.uint8),
+            rng.uniform(0, 5, size=(f, hd, wd)).astype(np.float32),
+            rng.uniform(size=(f, 4)).astype(np.float32),
+            rng.uniform(size=(f, 2)).astype(np.float32),
+            rng.uniform(size=(f, 7)).astype(np.float32),
+        )
+
+    def test_memmap_matches_c_writer(self, lib, tmp_path, rng):
+        from tpu3dlm.native import scanpack_memmap
+
+        arrays = self._arrays(rng)
+        p = str(tmp_path / "scan.pack")
+        assert scanpack_write(p, *arrays)
+        pack = scanpack_memmap(p)
+        assert pack is not None and pack["dims"] == (3, 8, 6, 10, 7)
+        for name, ref in zip(("rgb", "depth", "intr", "rgb_size", "poses"), arrays):
+            np.testing.assert_array_equal(np.array(pack[name]), ref)
+
+    def test_create_finalize_read_back(self, tmp_path, rng):
+        """Incremental writer → finalize → both readers see the data."""
+        from tpu3dlm.native import scanpack_create, scanpack_finalize, scanpack_memmap
+
+        arrays = self._arrays(rng)
+        p = str(tmp_path / "scan.pack")
+        w = scanpack_create(p, 3, 8, 6, 10, 7)
+        for name, ref in zip(("rgb", "depth", "intr", "rgb_size", "poses"), arrays):
+            w[name][:2] = ref[:2]  # chunk 1
+            w[name][2:] = ref[2:]  # chunk 2
+            w[name].flush()
+        assert scanpack_memmap(p) is None  # not finalized yet
+        scanpack_finalize(p)
+        pack = scanpack_memmap(p)
+        for name, ref in zip(("rgb", "depth", "intr", "rgb_size", "poses"), arrays):
+            np.testing.assert_array_equal(np.array(pack[name]), ref)
+        if get_lib() is not None:  # C reader agrees on the same bytes
+            out = scanpack_read(p)
+            assert out is not None
+            for a, ref in zip(out, arrays):
+                np.testing.assert_array_equal(a, ref)
+
+    def test_truncated_pack_rejected(self, tmp_path, rng):
+        from tpu3dlm.native import scanpack_create, scanpack_finalize, scanpack_memmap
+
+        p = str(tmp_path / "scan.pack")
+        scanpack_create(p, 3, 8, 6, 10, 7)
+        scanpack_finalize(p)
+        with open(p, "r+b") as fp:
+            fp.truncate(os.path.getsize(p) - 16)
+        assert scanpack_memmap(p) is None
 
 
 class TestNativeNormals:

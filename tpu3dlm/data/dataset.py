@@ -201,6 +201,7 @@ def iter_scan_chunks(
     depth_width: int = 192,
     depth_height: int = 256,
     resize_mode: str = "square",
+    cache: bool = False,
 ):
     """Stream a capture as fixed-shape ``Scan`` chunks of ``chunk_frames``.
 
@@ -211,6 +212,13 @@ def iter_scan_chunks(
     device program serves the entire stream. The reference streams one
     frame at a time from disk (src/mapper/pose_processor.py:93) for the
     same reason — scan length must not bound memory.
+
+    ``cache=True`` (square mode): chunks are served from the scanpack
+    cache when one exists (memory-mapped slices — zero image decodes, OS
+    paging keeps residency O(chunk)); otherwise this pass decodes AND
+    writes the pack incrementally, so the next run streams decode-free.
+    A stream abandoned mid-way leaves the pack unfinalised (no magic) and
+    it is ignored — never a half-scan that loads as a whole one.
 
     Yields ``(scan_chunk, valid)`` where valid ≤ chunk_frames is the
     number of real frames in this chunk (remaining rows are zero padding
@@ -224,13 +232,55 @@ def iter_scan_chunks(
     if n == 0:
         raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
 
+    pack = pack_writer = None
+    if cache and resize_mode == "square":
+        from tpu3dlm.native import scanpack_create, scanpack_memmap
+
+        pack_path = os.path.join(
+            os.path.dirname(image_dir.rstrip("/")), f"scan_{img_size}.pack"
+        )
+        pack = scanpack_memmap(pack_path)
+        if pack is not None and pack["dims"] != (
+            n, img_size, img_size, depth_height, depth_width,
+        ):
+            pack = None  # stale pack for a different frame count / shape
+        if pack is None:
+            try:
+                pack_writer = scanpack_create(
+                    pack_path, n, img_size, img_size, depth_height, depth_width
+                )
+            except OSError:
+                pack_writer = None
+
     for start in range(0, n, chunk_frames):
         stop = min(start + chunk_frames, n)
         valid = stop - start
-        rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
-            pairs[start:stop], image_dir, depth_image_dir, calibration_dir,
-            img_size, depth_width, depth_height, resize_mode,
-        )
+        if pack is not None:
+            # decode-free streaming: copy the memmap slices (contiguous
+            # buffers for device_put; the copy is the chunk's O(chunk) cost)
+            rgb = np.array(pack["rgb"][start:stop])
+            depth = np.array(pack["depth"][start:stop])
+            intrinsics = np.array(pack["intr"][start:stop])
+            rgb_size = np.array(pack["rgb_size"][start:stop])
+            lbox = None
+        else:
+            rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
+                pairs[start:stop], image_dir, depth_image_dir, calibration_dir,
+                img_size, depth_width, depth_height, resize_mode,
+            )
+            if pack_writer is not None:
+                pack_writer["rgb"][start:stop] = rgb
+                pack_writer["depth"][start:stop] = depth
+                pack_writer["intr"][start:stop] = intrinsics
+                pack_writer["rgb_size"][start:stop] = rgb_size
+                pack_writer["poses"][start:stop] = poses[start:stop]
+                if stop == n:
+                    from tpu3dlm.native import scanpack_finalize
+
+                    for v in pack_writer.values():
+                        if isinstance(v, np.memmap):
+                            v.flush()
+                    scanpack_finalize(pack_path)
         if valid < chunk_frames:
             pad = chunk_frames - valid
 

@@ -169,3 +169,71 @@ def scanpack_read(path: str):
     if rc != 0:
         return None
     return rgb, depth, intr, rgb_size, poses
+
+
+_PACK_MAGIC = b"TPSCAN1\x00"
+_PACK_HEADER = 48  # 8-byte magic + 5 × int64 dims (scanpack.cpp Header)
+
+
+def _pack_offsets(f: int, h: int, w: int, hd: int, wd: int) -> dict:
+    """Byte offset + (shape, dtype) of each array in the pack layout."""
+    out, off = {}, _PACK_HEADER
+    for name, shape, dt in (
+        ("rgb", (f, h, w, 3), np.uint8),
+        ("depth", (f, hd, wd), np.float32),
+        ("intr", (f, 4), np.float32),
+        ("rgb_size", (f, 2), np.float32),
+        ("poses", (f, 7), np.float32),
+    ):
+        out[name] = (off, shape, dt)
+        off += int(np.prod(shape)) * np.dtype(dt).itemsize
+    out["total"] = off
+    return out
+
+
+def scanpack_memmap(path: str, mode: str = "r"):
+    """Memory-mapped views over a scanpack file (no C round trip, O(pages)
+    resident — the streaming reader's zero-decode source). Returns
+    ``{"rgb": memmap, "depth": ..., "intr": ..., "rgb_size": ..., "poses": ...,
+    "dims": (f, h, w, hd, wd)}`` or None if the file is absent/invalid
+    (e.g. a partially-written pack whose magic was never finalised)."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fp:
+        hdr = fp.read(_PACK_HEADER)
+    if len(hdr) != _PACK_HEADER or hdr[:8] != _PACK_MAGIC:
+        return None
+    f, h, w, hd, wd = (int(x) for x in np.frombuffer(hdr, np.int64, 5, 8))
+    offs = _pack_offsets(f, h, w, hd, wd)
+    if os.path.getsize(path) < offs["total"]:
+        return None  # truncated
+    out = {"dims": (f, h, w, hd, wd)}
+    for name in ("rgb", "depth", "intr", "rgb_size", "poses"):
+        off, shape, dt = offs[name]
+        out[name] = np.memmap(path, dtype=dt, mode=mode, offset=off, shape=shape)
+    return out
+
+
+def scanpack_create(path: str, f: int, h: int, w: int, hd: int, wd: int):
+    """Preallocate a pack for incremental (chunk-by-chunk) writing.
+
+    The magic is NOT written yet — `scanpack_read`/`scanpack_memmap` treat
+    the file as invalid until `scanpack_finalize` stamps it, so a stream
+    that stops early never leaves a half-pack that later loads as a scan.
+    Returns writable memmap views (same keys as `scanpack_memmap`)."""
+    offs = _pack_offsets(f, h, w, hd, wd)
+    with open(path, "wb") as fp:
+        fp.write(b"\x00" * 8)  # magic stamped by scanpack_finalize
+        fp.write(np.asarray([f, h, w, hd, wd], np.int64).tobytes())
+        fp.truncate(offs["total"])
+    out = {"dims": (f, h, w, hd, wd)}
+    for name in ("rgb", "depth", "intr", "rgb_size", "poses"):
+        off, shape, dt = offs[name]
+        out[name] = np.memmap(path, dtype=dt, mode="r+", offset=off, shape=shape)
+    return out
+
+
+def scanpack_finalize(path: str) -> None:
+    """Stamp the magic after every frame is written — makes the pack valid."""
+    with open(path, "r+b") as fp:
+        fp.write(_PACK_MAGIC)

@@ -267,6 +267,7 @@ class Pipeline:
             img_size=self.cfg.img_size,
             depth_width=self.cfg.depth_width,
             depth_height=self.cfg.depth_height,
+            cache=getattr(self.cfg, "scan_cache", False),
         )
         return runner.run_stream(chunks)
 

@@ -61,6 +61,7 @@ _SCHEMA: dict[str, str] = {
     "nms_top_k": "int",
     "crop_budget": "int",
     "streaming_chunk": "int",
+    "scan_cache": "bool",
     "mesh_devices": "int",
     "use_pallas": "bool",
     "icp_max_points": "int",
@@ -141,6 +142,9 @@ crop_budget = 128
 # with host-decode/device-compute overlap (bounded memory for scans
 # larger than host RAM/HBM — data/dataset.iter_scan_chunks)
 streaming_chunk = 0
+# serve streamed chunks from the scanpack cache (memory-mapped, zero
+# decodes after the first pass — native/__init__.scanpack_memmap)
+scan_cache = false
 yolo_variant = n
 yolo_weights =
 beit_weights =
