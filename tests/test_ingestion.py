@@ -287,6 +287,21 @@ class TestScanCache:
             chunk_frames=2,
         )
 
+    def test_threaded_decode_bit_identical(self, scan_dir):
+        """decode_workers>1 writes disjoint rows from a thread pool — the
+        result must be bit-identical to the sequential path."""
+        from tpu3dlm.data.dataset import load_scan as _ls
+
+        root, _ = scan_dir
+        kwargs = self._stream_kwargs(root, img_size=160)
+        kwargs.pop("chunk_frames")
+        seq = _ls(**kwargs)
+        par = _ls(**kwargs, workers=4)
+        for field in ("rgb", "depth", "intrinsics", "rgb_size", "poses"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seq, field)), np.asarray(getattr(par, field))
+            )
+
     def test_stream_cache_decode_free(self, scan_dir, monkeypatch):
         """Second streamed pass must serve chunks from the memmap pack with
         ZERO image decodes, byte-identical to the decoding pass."""

@@ -127,3 +127,23 @@ class TestPoseDataExtractor:
         df = PoseDataExtractor(str(p)).fetch_data()
         assert list(df.columns) == ["timestamp", "tx", "ty", "tz", "qx", "qy", "qz", "qw"]
         assert len(df) == 2
+
+
+class TestToHost:
+    def test_tree_structure_and_values(self):
+        """Batched async d2h readback (utils/host.to_host) must return the
+        same pytree with numpy leaves, for device arrays, numpy arrays,
+        and scalars alike."""
+        from tpu3dlm.utils.host import to_host
+
+        tree = {
+            "dev": jnp.arange(6.0).reshape(2, 3),
+            "np": np.ones((2, 2), np.int32),
+            "nested": (jnp.zeros(3), 4.5),
+        }
+        out = to_host(tree)
+        assert isinstance(out["dev"], np.ndarray)
+        np.testing.assert_array_equal(out["dev"], np.arange(6.0).reshape(2, 3))
+        np.testing.assert_array_equal(out["np"], tree["np"])
+        np.testing.assert_array_equal(out["nested"][0], np.zeros(3))
+        assert float(out["nested"][1]) == 4.5

@@ -160,10 +160,18 @@ def _decode_frames(
     depth_width: int,
     depth_height: int,
     resize_mode: str,
+    workers: int = 0,
 ):
     """Decode a list of (rgb, depth) filename pairs into stacked arrays —
     the shared inner loop of `load_scan` (whole capture) and
-    `iter_scan_chunks` (streaming)."""
+    `iter_scan_chunks` (streaming).
+
+    ``workers > 1`` decodes frames on a thread pool — cv2's imread/resize
+    release the GIL, so this scales with host cores (the TPU-native stand-in
+    for the reference DataLoader's worker processes). Each thread writes
+    disjoint rows of the preallocated output, so the result is bit-identical
+    to the sequential path regardless of completion order.
+    """
     n = len(pairs)
     rgb = np.zeros((n, img_size, img_size, 3), np.uint8)
     depth = np.zeros((n, depth_height, depth_width), np.float32)
@@ -171,7 +179,8 @@ def _decode_frames(
     rgb_size = np.zeros((n, 2), np.float32)
     lbox = np.zeros((n, 3), np.float32) if resize_mode == "letterbox" else None
 
-    for i, (image_filename, depth_filename) in enumerate(pairs):
+    def _one(i: int) -> None:
+        image_filename, depth_filename = pairs[i]
         frame = load_rgb_image(os.path.join(image_dir, image_filename))
         if resize_mode == "letterbox":
             rgb[i], scale, px, py = _letterbox_np(frame, img_size)
@@ -188,6 +197,15 @@ def _decode_frames(
         )
         intrinsics[i] = [calib["fx"], calib["fy"], calib["cx"], calib["cy"]]
         rgb_size[i] = [calib["image_width"], calib["image_height"]]
+
+    if workers > 1 and n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_one, range(n)))  # list() re-raises worker errors
+    else:
+        for i in range(n):
+            _one(i)
     return rgb, depth, intrinsics, rgb_size, lbox
 
 
@@ -202,6 +220,7 @@ def iter_scan_chunks(
     depth_height: int = 256,
     resize_mode: str = "square",
     cache: bool = False,
+    workers: int = 0,
 ):
     """Stream a capture as fixed-shape ``Scan`` chunks of ``chunk_frames``.
 
@@ -266,7 +285,7 @@ def iter_scan_chunks(
         else:
             rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
                 pairs[start:stop], image_dir, depth_image_dir, calibration_dir,
-                img_size, depth_width, depth_height, resize_mode,
+                img_size, depth_width, depth_height, resize_mode, workers,
             )
             if pack_writer is not None:
                 pack_writer["rgb"][start:stop] = rgb
@@ -322,6 +341,7 @@ def load_scan(
     depth_height: int = 256,
     resize_mode: str = "square",
     cache: bool = False,
+    workers: int = 0,
 ) -> Scan:
     """Stack a full capture into a ``Scan`` pytree.
 
@@ -345,14 +365,19 @@ def load_scan(
         from tpu3dlm.native import scanpack_read
 
         cached = scanpack_read(pack_path)
+        if cached is not None and cached[1].shape[1:] != (depth_height, depth_width):
+            cached = None  # stale pack: depth grid shape changed
         if cached is not None:
             rgb, depth, intrinsics, rgb_size, poses7 = cached
-            timestamps, _ = load_poses(pose_path)
+            timestamps, poses_now = load_poses(pose_path)
             n = rgb.shape[0]
-            return Scan(
-                rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
-                poses=poses7, timestamps=timestamps[:n],
-            )
+            n_now = min(len(_pair_filenames(image_dir, depth_image_dir)),
+                        poses_now.shape[0])
+            if n == n_now:  # stale if the capture gained/lost frames
+                return Scan(
+                    rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
+                    poses=poses7, timestamps=timestamps[:n],
+                )
 
     pairs = _pair_filenames(image_dir, depth_image_dir)
     timestamps, poses = load_poses(pose_path)
@@ -362,7 +387,7 @@ def load_scan(
 
     rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
         pairs[:n], image_dir, depth_image_dir, calibration_dir,
-        img_size, depth_width, depth_height, resize_mode,
+        img_size, depth_width, depth_height, resize_mode, workers,
     )
 
     if cache and resize_mode == "square":

@@ -70,11 +70,11 @@ class Detections:
         """Export to the reference's prediction record shape:
         {frame_index: [[x1, y1, x2, y2, damage, conf, label], ...]}
         (src/detector/detector.py:126-129)."""
-        boxes = np.asarray(self.boxes)
-        conf = np.asarray(self.conf)
-        label = np.asarray(self.label)
-        damage = np.asarray(self.damage)
-        mask = np.asarray(self.mask)
+        from tpu3dlm.utils.host import to_host
+
+        boxes, conf, label, damage, mask = to_host(
+            (self.boxes, self.conf, self.label, self.damage, self.mask)
+        )
         out: dict[int, list[list[float]]] = {}
         for f in range(boxes.shape[0]):
             rows = []

@@ -109,11 +109,11 @@ class GlobalBoxes:
     def to_frame_dict(self) -> dict[int, list[list]]:
         """Reference record shape: {frame: [[c0, c1, c2, c3, dmg, conf, label]]}
         with each corner a length-3 ndarray (pose_processor.py:208)."""
-        corners = np.asarray(self.corners)
-        damage = np.asarray(self.damage)
-        conf = np.asarray(self.conf)
-        label = np.asarray(self.label)
-        mask = np.asarray(self.mask)
+        from tpu3dlm.utils.host import to_host
+
+        corners, damage, conf, label, mask = to_host(
+            (self.corners, self.damage, self.conf, self.label, self.mask)
+        )
         out: dict[int, list[list]] = {}
         for f in range(corners.shape[0]):
             rows = []

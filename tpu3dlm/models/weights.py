@@ -324,9 +324,9 @@ def init_template(model, *example_args) -> dict:
 
 
 def jax_tree_to_numpy(tree):
-    import jax
+    from tpu3dlm.utils.host import to_host
 
-    return jax.tree.map(np.asarray, tree)
+    return to_host(tree)  # batched async d2h: one latency for all leaves
 
 
 def assert_tree_matches(converted: dict, reference: dict, prefix: str = "") -> list[str]:

@@ -106,7 +106,9 @@ class ObjectDetector:
                     [chunk, np.zeros_like(chunk[:1]).repeat(bs - n_valid, 0)]
                 )
             res = self._detect_batch(self.variables, jnp.asarray(chunk))
-            outs.append(jax.tree.map(lambda a: np.asarray(a)[:n_valid], res))
+            from tpu3dlm.utils.host import to_host
+
+            outs.append(jax.tree.map(lambda a: a[:n_valid], to_host(res)))
         boxes = np.concatenate([o["boxes"] for o in outs])[:F]
         conf = np.concatenate([o["conf"] for o in outs])[:F]
         label = np.concatenate([o["label"] for o in outs])[:F]

@@ -158,7 +158,9 @@ def finetune_yolo(
         variables, opt_state, loss = step(variables, opt_state, imgs, gb, gl, gm)
         if log_every and (i % log_every == 0 or i == steps - 1):
             logger.info("yolo finetune step %d: loss=%.4f", i, float(loss))
-    return jax.tree.map(np.asarray, variables)
+    from tpu3dlm.utils.host import to_host
+
+    return to_host(variables)
 
 
 def finetune_beit(
@@ -195,7 +197,9 @@ def finetune_beit(
         params, opt_state, loss = step(params, opt_state, c, y)
         if log_every and (i % log_every == 0 or i == steps - 1):
             logger.info("beit finetune step %d: loss=%.4f", i, float(loss))
-    return jax.tree.map(np.asarray, params)
+    from tpu3dlm.utils.host import to_host
+
+    return to_host(params)
 
 
 def finetune_synthetic(

@@ -176,6 +176,8 @@ class Pipeline:
             img_size=self.cfg.img_size,
             depth_width=self.cfg.depth_width,
             depth_height=self.cfg.depth_height,
+            cache=getattr(self.cfg, "scan_cache", False),
+            workers=getattr(self.cfg, "decode_workers", 0),
         )
         self.logger.info("Frames extracted.")
         return scan
@@ -268,6 +270,7 @@ class Pipeline:
             depth_width=self.cfg.depth_width,
             depth_height=self.cfg.depth_height,
             cache=getattr(self.cfg, "scan_cache", False),
+            workers=getattr(self.cfg, "decode_workers", 0),
         )
         return runner.run_stream(chunks)
 

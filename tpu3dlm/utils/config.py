@@ -62,6 +62,7 @@ _SCHEMA: dict[str, str] = {
     "crop_budget": "int",
     "streaming_chunk": "int",
     "scan_cache": "bool",
+    "decode_workers": "int",
     "mesh_devices": "int",
     "use_pallas": "bool",
     "icp_max_points": "int",
@@ -145,6 +146,9 @@ streaming_chunk = 0
 # serve streamed chunks from the scanpack cache (memory-mapped, zero
 # decodes after the first pass — native/__init__.scanpack_memmap)
 scan_cache = false
+# host decode thread pool (0/1 = sequential; cv2 releases the GIL so this
+# scales with host cores — the reference DataLoader's num_workers analogue)
+decode_workers = 0
 yolo_variant = n
 yolo_weights =
 beit_weights =
