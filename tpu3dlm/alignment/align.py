@@ -189,8 +189,8 @@ class Alignment:
         flip of a near-symmetric planar scan, the labeled sign boxes can.
         """
         cj, bj = jnp.asarray(comp_s), jnp.asarray(base_s)
-        Tc = np.asarray(centroid_align(cj, bj))
         if self.global_init == "centroid":
+            Tc = np.asarray(centroid_align(cj, bj))
             return Tc, [Tc]
 
         # score candidates by clipped-mean NN distance on cheap subsamples —
@@ -200,13 +200,18 @@ class Alignment:
         # would retrace per distinct cloud size. Duplicated target points
         # leave NN distances unchanged; duplicated query points only reweight
         # the mean negligibly (ranking heuristic, not a measurement).
+        # all init math stays on device; ONE batched readback at the end
+        # (each device→host sync pays ~90 ms tunnel latency, utils/host)
+        from tpu3dlm.utils.host import to_host
+
         q = jnp.asarray(_subsample(comp_s, 2048))
         t = jnp.asarray(_subsample(base_s, 65536, seed=1))
-        cands = np.asarray(pca_init_candidates(cj, bj))
-        Ts = np.concatenate([Tc[None], cands])
-        res = np.asarray(
-            jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, jnp.asarray(Ts))
+        Ts_dev = jnp.concatenate(
+            [centroid_align(cj, bj)[None], pca_init_candidates(cj, bj)]
         )
+        res_dev = jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, Ts_dev)
+        Ts, res = to_host((Ts_dev, res_dev))
+        Tc, cands = Ts[0], Ts[1:]
         box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
         if box[0] is not None:
             res = res + np.asarray(box, np.float32)
@@ -326,6 +331,7 @@ class Alignment:
         self.transformations = list(init_steps)
         T = jnp.asarray(T_init)
         res = None
+        stage_steps = []
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None
             qj, tj, nj = full if final else coarse
@@ -345,13 +351,21 @@ class Alignment:
                     iterations=self.icp_iterations,
                     use_pallas=self.use_pallas,
                 )
-            steps = np.asarray(res.step_transforms)
+            stage_steps.append(res.step_transforms)
+            T = res.transform  # chains to the next stage ON DEVICE
+        # one batched readback for every stage's increments + final state
+        # (the loop itself never needs host values; reading per stage paid
+        # one ~90 ms tunnel sync per resolution level, utils/host)
+        from tpu3dlm.utils.host import to_host
+
+        stage_steps, T_h, rmse, inlier = to_host(
+            (stage_steps, T, res.rmse, res.inlier_frac)
+        )
+        for steps in stage_steps:
             self.transformations += [steps[i] for i in range(steps.shape[0])]
-            T = res.transform
-        self.final_transform = np.asarray(T)
+        self.final_transform = T_h
         self.logger.info(
-            "ICP done: rmse=%.4f inliers=%.1f%%",
-            float(res.rmse), 100 * float(res.inlier_frac),
+            "ICP done: rmse=%.4f inliers=%.1f%%", float(rmse), 100 * float(inlier)
         )
 
         # apply the final transform to every comparison box corner

@@ -65,7 +65,10 @@ class BBoxComparison:
             a, matched = auction_assign(
                 jnp.asarray(cost), unmatch_cost=self.dist_threshold
             )
-            assign = np.where(np.asarray(matched), np.asarray(a), -1)
+            from tpu3dlm.utils.host import to_host
+
+            matched_h, a_h = to_host((matched, a))
+            assign = np.where(matched_h, a_h, -1)
 
         matched_cols = set(int(j) for j in assign if j >= 0)
         for i, rec in enumerate(self.base_records):
