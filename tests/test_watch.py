@@ -1,0 +1,111 @@
+"""ScanWatcher service-mode tests: discovery, quiescence, sentinels,
+gold-std bootstrapping, failure quarantine (pipeline stubbed — the real
+pipeline is covered by test_pipeline_e2e)."""
+
+import json
+import os
+
+import pytest
+
+from tpu3dlm.pipeline.watch import (
+    DONE_SENTINEL,
+    FAILED_SENTINEL,
+    ScanWatcher,
+    _folder_fingerprint,
+)
+
+
+def _make_capture(data_root: str, name: str) -> str:
+    path = os.path.join(data_root, name)
+    os.makedirs(os.path.join(path, "rtabmap_extract", "data_rgb"), exist_ok=True)
+    with open(os.path.join(path, "poses.txt"), "w") as f:
+        f.write("1.0 0 0 0 0 0 0 1 1\n")
+    return path
+
+
+class _FakePipeline:
+    stage_times = {"detect": 0.1}
+    data_to_save = {"predictions": {0: []}}
+
+
+@pytest.fixture
+def watcher(tmp_path, monkeypatch):
+    import tpu3dlm.pipeline.task as task
+
+    calls = []
+
+    def fake_setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+        calls.append(folder)
+        os.makedirs(os.path.dirname(cfg.pickle_path), exist_ok=True)
+        with open(cfg.pickle_path, "wb") as f:
+            f.write(b"x")
+        return _FakePipeline()
+
+    monkeypatch.setattr(task, "setup_pipeline", fake_setup)
+    monkeypatch.setattr(task, "load_gold_std", lambda p: {"stub": True})
+    w = ScanWatcher(str(tmp_path / "variables.cfg"), poll_interval=0.01)
+    w._calls = calls
+    return w
+
+
+class TestScanWatcher:
+    def test_quiescence_two_poll_claim(self, watcher):
+        """A fresh capture must survive TWO polls unchanged before it is
+        claimed (in-progress uploads keep changing the fingerprint)."""
+        _make_capture(watcher.data_root, "scan_a")
+        assert watcher.run_once() == []  # first sight: fingerprint recorded
+        assert watcher.run_once() == ["scan_a"]  # stable → processed
+
+    def test_modified_folder_not_claimed(self, watcher):
+        path = _make_capture(watcher.data_root, "scan_b")
+        watcher.run_once()
+        with open(os.path.join(path, "rtabmap_extract", "late.png"), "w") as f:
+            f.write("more bytes")  # upload still in progress
+        assert watcher.run_once() == []
+        assert watcher.run_once() == ["scan_b"]  # quiescent again
+
+    def test_done_sentinel_skips_and_records(self, watcher):
+        path = _make_capture(watcher.data_root, "scan_c")
+        watcher.run_once()
+        watcher.run_once()
+        rec = json.load(open(os.path.join(path, DONE_SENTINEL)))
+        assert rec["folder"] == "scan_c"
+        assert "wall_clock_s" in rec and "stage_times" in rec
+        assert watcher.run_once() == []  # processed scans never rerun
+
+    def test_gold_std_bootstrapped_first(self, watcher):
+        """Maintenance scan with no gold pickle must run gold_std first
+        (CLI mode-logic parity, reference task_def.py:218-249)."""
+        _make_capture(watcher.data_root, "maint")
+        watcher.run_once()
+        watcher.run_once()
+        assert watcher._calls == ["gold_std", "maint"]
+
+    def test_failure_quarantined(self, watcher, monkeypatch):
+        import tpu3dlm.pipeline.task as task
+
+        def boom(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            raise RuntimeError("corrupt capture")
+
+        monkeypatch.setattr(task, "setup_pipeline", boom)
+        path = _make_capture(watcher.data_root, "scan_bad")
+        watcher.run_once()
+        assert watcher.run_once() == ["scan_bad"]  # claimed, then failed
+        assert os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert "corrupt capture" in open(os.path.join(path, FAILED_SENTINEL)).read()
+        assert watcher.run_once() == []  # quarantined, not retried
+
+    def test_max_scans_bounds_run(self, watcher):
+        _make_capture(watcher.data_root, "s1")
+        _make_capture(watcher.data_root, "s2")
+        watcher.max_scans = 1
+        watcher.run_once()
+        watcher.run()  # must return (not loop forever) after 1 scan
+        assert len(watcher.processed) == 1
+
+    def test_fingerprint_tracks_content(self, tmp_path):
+        p = _make_capture(str(tmp_path), "x")
+        f1 = _folder_fingerprint(p)
+        with open(os.path.join(p, "poses.txt"), "a") as f:
+            f.write("2.0 0 0 0 0 0 0 1 2\n")
+        assert _folder_fingerprint(p) != f1

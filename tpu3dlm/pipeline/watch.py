@@ -1,0 +1,205 @@
+"""Continuous serving mode: watch a data root, process scans as they land.
+
+The reference is strictly one-shot (`run.sh` → task_def.py → exit,
+README.md "Run the pipeline"); a deployed maintenance system receives
+captures continuously. `ScanWatcher` turns the same pipeline into a
+long-running service:
+
+- polls the data root for scan folders (a folder is a capture when it
+  contains ``poses.txt`` + an ``rtabmap_extract`` tree);
+- waits for QUIESCENCE before touching a folder — an upload in progress
+  keeps changing mtimes/file counts, so a capture is only claimed after
+  its fingerprint is stable across two polls (no half-ingested scans);
+- runs ``gold_std`` first if its pickle is missing (same mode logic as
+  the CLI, cli.py / reference task_def.py:218-249), then each new folder
+  as a maintenance check against it;
+- marks completion with a ``.tpu3dlm_done`` sentinel (JSON: wall-clock,
+  per-stage times, missing count) so restarts skip processed scans and
+  operators get a per-scan record;
+- failures are quarantined with ``.tpu3dlm_failed`` + the traceback
+  (reference-parity loud-ingest semantics, tests/test_failure_handling)
+  instead of wedging the service loop.
+
+TPU-native payoff: every scan reuses the SAME compiled stage programs and
+device-resident weights (utils/jitcache + task._cached_device_weights),
+so steady-state per-scan cost is data + compute only — the service pays
+tracing/compile/upload once at the first scan (measured: two-scan e2e
+0.96 s warm vs ~2 min cold incl. compile, PERF.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import traceback
+
+DONE_SENTINEL = ".tpu3dlm_done"
+FAILED_SENTINEL = ".tpu3dlm_failed"
+
+
+def _folder_fingerprint(path: str) -> tuple:
+    """(file count, total bytes, max mtime) over the capture tree — cheap
+    stability probe for detecting in-progress uploads."""
+    count, total, mtime = 0, 0, 0.0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            count += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return count, total, mtime
+
+
+def _is_capture(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "poses.txt")) and os.path.isdir(
+        os.path.join(path, "rtabmap_extract")
+    )
+
+
+class ScanWatcher:
+    """Poll ``data_root`` and run the maintenance pipeline on new captures.
+
+    Parameters
+    ----------
+    config_path: variables.cfg path (written with defaults if absent).
+    poll_interval: seconds between directory scans.
+    max_scans: stop after this many processed scans (None = run forever);
+        the test harness and batch backfills use a bound.
+    """
+
+    def __init__(
+        self,
+        config_path: str,
+        poll_interval: float = 5.0,
+        max_scans: int | None = None,
+    ):
+        from tpu3dlm.utils.config import ConfigLoader, write_default_config
+
+        if not os.path.exists(config_path):
+            write_default_config(config_path)
+        self.config_path = config_path
+        self.poll_interval = poll_interval
+        self.max_scans = max_scans
+        self._loader = ConfigLoader
+        self.cfg_goldstd = ConfigLoader(config_path, "gold_std")
+        self.data_root = os.path.dirname(
+            os.path.dirname(self.cfg_goldstd.pose_path)
+        )
+        self.logger = logging.getLogger(__name__)
+        self._pending_fp: dict[str, tuple] = {}
+        self.processed: list[str] = []
+
+    # -- discovery ---------------------------------------------------------
+
+    def _ready_folders(self) -> list[str]:
+        """Capture folders that are complete, unprocessed, and quiescent."""
+        ready = []
+        if not os.path.isdir(self.data_root):
+            return ready
+        for name in sorted(os.listdir(self.data_root)):
+            path = os.path.join(self.data_root, name)
+            if not os.path.isdir(path) or not _is_capture(path):
+                continue
+            if os.path.exists(os.path.join(path, DONE_SENTINEL)) or os.path.exists(
+                os.path.join(path, FAILED_SENTINEL)
+            ):
+                continue
+            fp = _folder_fingerprint(path)
+            if self._pending_fp.get(name) == fp:
+                ready.append(name)
+            self._pending_fp[name] = fp
+        return ready
+
+    # -- processing --------------------------------------------------------
+
+    def _ensure_gold(self):
+        from tpu3dlm.pipeline.task import setup_pipeline
+
+        if not os.path.exists(self.cfg_goldstd.pickle_path):
+            self.logger.info("gold_std pickle absent — running setup pipeline")
+            setup_pipeline("gold_std", self.cfg_goldstd, None)
+
+    def _process(self, folder: str) -> None:
+        from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
+
+        path = os.path.join(self.data_root, folder)
+        t0 = time.perf_counter()
+        try:
+            if folder == "gold_std":
+                pipeline = setup_pipeline("gold_std", self.cfg_goldstd, None)
+            else:
+                self._ensure_gold()
+                goldstd_var = load_gold_std(self.cfg_goldstd.pickle_path)
+                cfg = self._loader(self.config_path, folder)
+                pipeline = setup_pipeline(
+                    folder, cfg, self.cfg_goldstd, goldstd_var=goldstd_var
+                )
+        except Exception:
+            with open(os.path.join(path, FAILED_SENTINEL), "w") as f:
+                f.write(traceback.format_exc())
+            self.logger.exception("scan %s failed — quarantined", folder)
+            return
+        record = {
+            "folder": folder,
+            "wall_clock_s": round(time.perf_counter() - t0, 3),
+            "stage_times": {
+                k: round(v, 4) for k, v in pipeline.stage_times.items()
+            },
+            "frames": len(pipeline.data_to_save.get("predictions", {})),
+        }
+        with open(os.path.join(path, DONE_SENTINEL), "w") as f:
+            json.dump(record, f, indent=1)
+        self.processed.append(folder)
+        self.logger.info(
+            "scan %s done in %.2f s", folder, record["wall_clock_s"]
+        )
+
+    # -- loop --------------------------------------------------------------
+
+    def run_once(self) -> list[str]:
+        """One poll cycle; returns the folders processed this cycle."""
+        done = []
+        for folder in self._ready_folders():
+            self._process(folder)
+            done.append(folder)
+            if self.max_scans is not None and len(self.processed) >= self.max_scans:
+                break
+        return done
+
+    def run(self) -> None:
+        self.logger.info(
+            "watching %s every %.1f s", self.data_root, self.poll_interval
+        )
+        while True:
+            self.run_once()
+            if self.max_scans is not None and len(self.processed) >= self.max_scans:
+                return
+            time.sleep(self.poll_interval)
+
+
+def main(argv=None):
+    import argparse
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(
+        description="Continuous maintenance service: process scans as they arrive."
+    )
+    ap.add_argument(
+        "--config", type=str, default=os.path.join("configs", "variables.cfg")
+    )
+    ap.add_argument("--poll", type=float, default=5.0)
+    ap.add_argument(
+        "--max-scans", type=int, default=None,
+        help="Exit after N scans (default: run forever).",
+    )
+    args = ap.parse_args(argv)
+    ScanWatcher(args.config, args.poll, args.max_scans).run()
+
+
+if __name__ == "__main__":
+    main()
