@@ -134,6 +134,35 @@ class TestFusedRunner:
             first_drain + 1
         ] == ("produce", 1)
 
+    def test_stream_sharded_matches_whole_scan(self, scan_dirs, scan):
+        """Streaming chunks THROUGH the 8-device mesh path (each chunk
+        sharded over the frame axis, incl. chunk + mesh padding together)
+        must equal the unsharded whole-scan result."""
+        from tpu3dlm.data.dataset import iter_scan_chunks
+
+        assert jax.device_count() >= 8
+        plain = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=4, nc=3,
+            beit_config=SMALL_BEIT, dtype=jnp.float32,
+        )
+        sharded = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=4, nc=3,
+            beit_config=SMALL_BEIT, mesh_devices=8, dtype=jnp.float32,
+            yolo_variables=plain.yolo_variables,
+            beit_variables=plain.beit_variables,
+        )
+        d_w, g_w = plain(scan)
+        d_s, g_s = sharded.run_stream(
+            iter_scan_chunks(chunk_frames=2, img_size=128, **scan_dirs)
+        )
+        assert d_s.boxes.shape[0] == scan.num_frames
+        np.testing.assert_array_equal(d_s.mask, np.asarray(d_w.mask))
+        np.testing.assert_allclose(d_s.boxes, np.asarray(d_w.boxes), atol=1e-5)
+        m = d_s.mask
+        np.testing.assert_allclose(
+            np.asarray(g_s.corners)[m], np.asarray(g_w.corners)[m], atol=1e-4
+        )
+
     def test_letterbox_matches_staged(self, scan_dirs):
         """The fused path must handle letterboxed scans (what converted
         finetuned checkpoints expect) and agree with the staged path —
