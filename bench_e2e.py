@@ -70,15 +70,30 @@ def run_pipeline(fused: bool) -> tuple[float, dict, dict]:
     """Build a fresh two-scan project and run gold + maintenance pipelines.
 
     Returns (wall_seconds, combined_stage_times, report)."""
+    wall, stages, report, _ = run_pipeline_on(None, fused)
+    return wall, stages, report
+
+
+def run_pipeline_on(cfg_path: str | None, fused: bool):
+    """Like run_pipeline, but reusable on an existing project (cfg_path) —
+    the serving steady state, where a long-lived process (pipeline/watch.py)
+    re-runs scans against warm traced programs + device weights.
+
+    Returns (wall_seconds, stage_times, report, cfg_path)."""
     from tpu3dlm.pipeline.evaluate import make_project
     from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
     from tpu3dlm.utils.config import ConfigLoader
 
-    root = tempfile.mkdtemp(prefix="tpu3dlm_bench_e2e_")
-    yolo_ckpt = os.path.join(FIXTURES, "yolo_synthetic.msgpack")
-    beit_ckpt = os.path.join(FIXTURES, "beit_synthetic.msgpack")
-    extra = [("fused_inference = false", "fused_inference = true")] if fused else None
-    cfg_path, _, gold_scene, _ = make_project(root, yolo_ckpt, beit_ckpt, extra_cfg=extra)
+    if cfg_path is None:
+        root = tempfile.mkdtemp(prefix="tpu3dlm_bench_e2e_")
+        yolo_ckpt = os.path.join(FIXTURES, "yolo_synthetic.msgpack")
+        beit_ckpt = os.path.join(FIXTURES, "beit_synthetic.msgpack")
+        extra = (
+            [("fused_inference = false", "fused_inference = true")] if fused else None
+        )
+        cfg_path, _, _gold_scene, _ = make_project(
+            root, yolo_ckpt, beit_ckpt, extra_cfg=extra
+        )
 
     cfg_gold = ConfigLoader(cfg_path, "gold_std")
     cfg_maint = ConfigLoader(cfg_path, "maintenance")
@@ -96,7 +111,7 @@ def run_pipeline(fused: bool) -> tuple[float, dict, dict]:
     missing = [r for r in rows if r["status"] == "missing"]
     if len(missing) != 1:
         print(f"SANITY FAILURE: expected 1 missing sign, got {missing}", file=sys.stderr)
-    return wall, stages, {"missing": len(missing), "rows": len(rows)}
+    return wall, stages, {"missing": len(missing), "rows": len(rows)}, cfg_path
 
 
 def main() -> None:
@@ -114,6 +129,16 @@ def main() -> None:
     # steady state (a fleet re-running scans against a warm cache)
     run_pipeline(fused)
     wall, stages, sanity = run_pipeline(fused)
+    # steady-state: a FRESH project per run, in the warm process — what a
+    # long-lived serving deployment (pipeline/watch.py) pays per new capture
+    # pair once traced programs + device weights are resident (the host-init
+    # + bucket-padded ICP work removed the per-capture retraces that made
+    # this 0.96 s; measured 0.59-0.62 s on v5e-1). Best of two runs.
+    steady, _, steady_sanity, _ = run_pipeline_on(None, fused)
+    steady2, _, _, _ = run_pipeline_on(None, fused)
+    steady = min(steady, steady2)
+    if steady_sanity["missing"] != 1:
+        print("SANITY FAILURE: steady-state run missing-count", file=sys.stderr)
 
     vs_baseline = 0.0
     key = "cpu_seconds_e2e_two_scan"
@@ -163,6 +188,7 @@ def main() -> None:
                 "value": round(wall, 3),
                 "unit": "s",
                 "vs_baseline": round(vs_baseline, 3),
+                "steady_state_s": round(steady, 3),
                 "stage_times": stages,
                 "sanity": sanity,
                 "full_scale_accuracy": check_full_scale_report(),

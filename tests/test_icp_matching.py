@@ -351,3 +351,89 @@ class TestAuction:
             tol = 1e-3 * spread + 1e-3
             assert got - want <= tol, f"{kind} {n}: gap {got - want} > {tol}"
             assert dt < 60.0, f"{kind} {n}: execution took {dt:.1f}s"
+
+
+class TestHostInitTwins:
+    """Host-numpy init helpers must agree with the JAX versions (they exist
+    so the serving path never retraces per cloud size — ops/icp)."""
+
+    def test_centroid_align_np_matches_jax(self, rng):
+        from tpu3dlm.ops.icp import centroid_align_np
+
+        s = rng.normal(0, 1, (500, 3)).astype(np.float32)
+        t = rng.normal(2, 1, (700, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            centroid_align_np(s, t),
+            np.asarray(centroid_align(jnp.asarray(s), jnp.asarray(t))),
+            atol=1e-5,
+        )
+
+    def test_pca_candidates_np_matches_jax_as_set(self, rng):
+        """eigh column signs are implementation-defined, but the 4-candidate
+        proper-rotation SET is invariant — compare as sets."""
+        from tpu3dlm.ops.icp import pca_init_candidates, pca_init_candidates_np
+
+        s = rng.normal(0, [3.0, 1.0, 0.3], (2000, 3)).astype(np.float32)
+        R = np.asarray(
+            [[0.36, 0.48, -0.8], [-0.8, 0.6, 0.0], [0.48, 0.64, 0.6]], np.float32
+        )
+        t = (s @ R.T + np.asarray([5, -2, 1], np.float32)).astype(np.float32)
+        cn = pca_init_candidates_np(s, t)
+        cj = np.asarray(pca_init_candidates(jnp.asarray(s), jnp.asarray(t)))
+        for c in cn:
+            best = min(np.abs(cj - c).max(axis=(1, 2)))
+            assert best < 1e-3, f"candidate missing from JAX set (delta {best})"
+
+    def test_pca_candidates_proper_rotations(self, rng):
+        from tpu3dlm.ops.icp import pca_init_candidates_np
+
+        s = rng.normal(0, [2.0, 1.0, 0.5], (1000, 3)).astype(np.float32)
+        t = rng.normal(0, [1.0, 2.0, 0.4], (1500, 3)).astype(np.float32)
+        for T in pca_init_candidates_np(s, t):
+            R = T[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) > 0.99
+
+
+class TestTargetBucketPadding:
+    """Far-sentinel target padding (ops/icp.pad_target_bucket) must leave
+    the ICP solve EXACT — sentinels can never win a correspondence."""
+
+    def test_bucket_sizes(self):
+        from tpu3dlm.ops.icp import pad_target_bucket
+
+        for n, expect in [(5, 1024), (1024, 1024), (1025, 2048), (70000, 131072)]:
+            pts = np.zeros((n, 3), np.float32)
+            out, _ = pad_target_bucket(pts)
+            assert out.shape == (expect, 3)
+
+    def test_padded_solve_identical(self, rng):
+        from tpu3dlm.ops.icp import pad_target_bucket
+
+        c, s = np.cos(0.2), np.sin(0.2)
+        R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        tgt = rng.uniform(-2, 2, (900, 3)).astype(np.float32)
+        src = (tgt[:512] @ R.T + np.asarray([0.1, -0.05, 0.02])).astype(np.float32)
+        r1 = icp(jnp.asarray(src), jnp.asarray(tgt), iterations=10,
+                 max_correspondence_dist=0.5)
+        padded, _ = pad_target_bucket(tgt)
+        r2 = icp(jnp.asarray(src), jnp.asarray(padded), iterations=10,
+                 max_correspondence_dist=0.5)
+        np.testing.assert_allclose(
+            np.asarray(r1.transform), np.asarray(r2.transform), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(r1.rmse), float(r2.rmse), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(r1.inlier_frac), float(r2.inlier_frac), atol=1e-6
+        )
+
+    def test_normals_padded_alongside(self, rng):
+        from tpu3dlm.ops.icp import pad_target_bucket
+
+        pts = rng.uniform(0, 1, (700, 3)).astype(np.float32)
+        nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (700, 1))
+        p, n = pad_target_bucket(pts, nrm)
+        assert p.shape == n.shape == (1024, 3)
+        np.testing.assert_array_equal(n[:700], nrm)

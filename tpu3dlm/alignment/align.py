@@ -30,11 +30,10 @@ import numpy as np
 
 from tpu3dlm.mapper.projection import GlobalBoxes
 from tpu3dlm.ops.icp import (
-    centroid_align,
     icp,
     icp_point_to_plane,
     init_residual,
-    pca_init_candidates,
+    pad_target_bucket,
 )
 
 
@@ -188,9 +187,10 @@ class Alignment:
         term (_box_residual): geometry alone cannot distinguish a 180°
         flip of a near-symmetric planar scan, the labeled sign boxes can.
         """
-        cj, bj = jnp.asarray(comp_s), jnp.asarray(base_s)
+        from tpu3dlm.ops.icp import centroid_align_np, pca_init_candidates_np
+
         if self.global_init == "centroid":
-            Tc = np.asarray(centroid_align(cj, bj))
+            Tc = centroid_align_np(comp_s, base_s)
             return Tc, [Tc]
 
         # score candidates by clipped-mean NN distance on cheap subsamples —
@@ -200,18 +200,19 @@ class Alignment:
         # would retrace per distinct cloud size. Duplicated target points
         # leave NN distances unchanged; duplicated query points only reweight
         # the mean negligibly (ranking heuristic, not a measurement).
-        # all init math stays on device; ONE batched readback at the end
-        # (each device→host sync pays ~90 ms tunnel latency, utils/host)
-        from tpu3dlm.utils.host import to_host
-
+        # centroid/PCA moments are host-numpy (full clouds arrive at a
+        # different size per capture — a device version would retrace +
+        # remote-compile per scan, ops/icp.centroid_align_np); only the
+        # fixed-shape NN residual scoring dispatches to the device, with
+        # one batched readback (~90 ms tunnel latency per sync, utils/host)
         q = jnp.asarray(_subsample(comp_s, 2048))
         t = jnp.asarray(_subsample(base_s, 65536, seed=1))
-        Ts_dev = jnp.concatenate(
-            [centroid_align(cj, bj)[None], pca_init_candidates(cj, bj)]
+        Tc = centroid_align_np(comp_s, base_s)
+        cands = pca_init_candidates_np(comp_s, base_s)
+        Ts = np.concatenate([Tc[None], cands])
+        res = np.asarray(
+            jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, jnp.asarray(Ts))
         )
-        res_dev = jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, Ts_dev)
-        Ts, res = to_host((Ts_dev, res_dev))
-        Tc, cands = Ts[0], Ts[1:]
         box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
         if box[0] is not None:
             res = res + np.asarray(box, np.float32)
@@ -325,8 +326,12 @@ class Alignment:
             n_c = None
             if normals_np is not None:
                 n_c = normals_np if t_idx is None else normals_np[t_idx]
-            coarse = place(q_c, t_c, n_c)
-        full = place(comp_s, base_s, normals_np)
+            coarse = place(q_c, *pad_target_bucket(t_c, n_c))
+        # target padded to a power-of-two bucket with far sentinels: every
+        # capture has a different cloud size, and exact-size shapes would
+        # recompile the NN/ICP programs per scan (sentinels can never win a
+        # correspondence, so the solve is unchanged — ops/icp)
+        full = place(comp_s, *pad_target_bucket(base_s, normals_np))
 
         self.transformations = list(init_steps)
         T = jnp.asarray(T_init)

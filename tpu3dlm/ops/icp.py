@@ -293,6 +293,78 @@ def init_residual(
     return jnp.mean(jnp.minimum(jnp.sqrt(d2), 0.05 * diag))
 
 
+def centroid_align_np(source, target):
+    """Host-numpy twin of ``centroid_align`` — moment math on full clouds
+    is ~ms on the host but forces a per-cloud-size retrace + remote compile
+    on device (every capture has a different point count), so the serving
+    path computes inits on the host. Cross-checked vs the JAX version in
+    tests/test_icp_matching.py."""
+    import numpy as np
+
+    t = np.mean(np.asarray(target, np.float64), axis=0) - np.mean(
+        np.asarray(source, np.float64), axis=0
+    )
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = t.astype(np.float32)
+    return T
+
+
+def pca_init_candidates_np(source, target):
+    """Host-numpy twin of ``pca_init_candidates`` (same eigh/sign recipe);
+    see centroid_align_np for why this exists."""
+    import numpy as np
+
+    src = np.asarray(source, np.float64)
+    tgt = np.asarray(target, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_t = tgt.mean(axis=0)
+    sc = src - mu_s
+    tc = tgt - mu_t
+    Cs = sc.T @ sc / src.shape[0]
+    Ct = tc.T @ tc / tgt.shape[0]
+    _, Vs = np.linalg.eigh(Cs)
+    _, Vt = np.linalg.eigh(Ct)
+    Vs[:, 0] *= np.sign(np.linalg.det(Vs)) or 1.0
+    Vt[:, 0] *= np.sign(np.linalg.det(Vt)) or 1.0
+    signs = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], np.float64)
+    out = np.empty((4, 4, 4), np.float32)
+    for i, s in enumerate(signs):
+        R = Vt @ np.diag(s) @ Vs.T
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = R
+        T[:3, 3] = mu_t - R @ mu_s
+        out[i] = T.astype(np.float32)
+    return out
+
+
+# target clouds arrive at a different size every capture; compiling the NN
+# sweep per exact size would recompile the ICP stack per scan in a serving
+# deployment. Padding the TARGET to a power-of-two bucket with far-away
+# sentinels is EXACT for the solve: a sentinel can never be any query
+# point's nearest neighbour while a real point exists within the
+# correspondence radius, so weights/rmse/inliers are untouched.
+PAD_SENTINEL = 1.0e6
+
+
+def pad_target_bucket(points, normals=None, min_bucket: int = 1024):
+    """(points, normals) zero-risk padded to the next power-of-two size.
+
+    Returns (padded_points, padded_normals) — normals pass through None."""
+    import numpy as np
+
+    m = points.shape[0]
+    bucket = max(min_bucket, 1 << (max(m - 1, 1)).bit_length())
+    if bucket == m:
+        return points, normals
+    pad = np.full((bucket - m, 3), PAD_SENTINEL, points.dtype)
+    out = np.concatenate([points, pad])
+    if normals is None:
+        return out, None
+    npad = np.zeros((bucket - m, 3), normals.dtype)
+    npad[:, 2] = 1.0
+    return out, np.concatenate([normals, npad])
+
+
 def rotation_about(R: jax.Array, center: jax.Array) -> jax.Array:
     """4×4 rotating by R about a fixed point (t = c − R·c)."""
     T = jnp.eye(4, dtype=jnp.float32)
