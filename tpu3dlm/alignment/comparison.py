@@ -62,13 +62,23 @@ class BBoxComparison:
             cost = np.where(
                 labels_b[:, None] == labels_c[None, :], dist, np.inf
             ).astype(np.float32)
+            # pad the problem to bucket sizes with forbidden (inf) pairs so
+            # every capture pair reuses one compiled auction program: padded
+            # rows can only take their private unmatch slack and padded
+            # columns can only be absorbed by the solver's dummy class, so
+            # the real-row assignment is unchanged (utils/shapes)
+            from tpu3dlm.utils.shapes import next_bucket
+
+            nb, mb = next_bucket(n, 16), next_bucket(m, 16)
+            padded = np.full((nb, mb), np.inf, np.float32)
+            padded[:n, :m] = cost
             a, matched = auction_assign(
-                jnp.asarray(cost), unmatch_cost=self.dist_threshold
+                jnp.asarray(padded), unmatch_cost=self.dist_threshold
             )
             from tpu3dlm.utils.host import to_host
 
             matched_h, a_h = to_host((matched, a))
-            assign = np.where(matched_h, a_h, -1)
+            assign = np.where(matched_h, a_h, -1)[:n]
 
         matched_cols = set(int(j) for j in assign if j >= 0)
         for i, rec in enumerate(self.base_records):

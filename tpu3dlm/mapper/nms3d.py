@@ -158,6 +158,8 @@ def suppress_bboxes(
 
     import numpy as np
 
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+
     n_candidates = int(np.asarray(gboxes.mask).sum())
     if n_candidates > top_k:
         logging.getLogger(__name__).warning(
@@ -165,15 +167,21 @@ def suppress_bboxes(
             "the lowest-confidence %d are dropped before suppression",
             n_candidates, top_k, n_candidates - top_k,
         )
+    # frame axis padded to a bucket (mask=False) so a serving process sees
+    # one compiled program per bucket, not one per capture length — padded
+    # frames are gated out of the quality checks and can never suppress
+    # (score −inf sorts them last and sel_valid keeps their IoU rows inert)
+    F = int(np.asarray(gboxes.mask).shape[0])
+    Fb = next_bucket(F)
     keep = nms3d_mask(
-        jnp.asarray(gboxes.corners),
-        jnp.asarray(gboxes.conf),
-        jnp.asarray(gboxes.mask),
-        jnp.asarray(poses)[:, :3],
+        jnp.asarray(pad_axis0(gboxes.corners, Fb)),
+        jnp.asarray(pad_axis0(gboxes.conf, Fb)),
+        jnp.asarray(pad_axis0(gboxes.mask, Fb, fill=False)),
+        jnp.asarray(pad_axis0(poses, Fb))[:, :3],
         iou_threshold=iou_threshold,
         depth_buffer=depth_buffer,
         area_min=area_min,
         cam_dist_min=cam_dist_min,
         top_k=top_k,
-    )
+    )[:F]
     return dataclasses.replace(gboxes, mask=keep)

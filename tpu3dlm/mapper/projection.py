@@ -193,22 +193,33 @@ def project_boxes(
 def project_detections(
     scan: Scan, det: Detections, scale_depth: float = 1000.0
 ) -> GlobalBoxes:
-    """Scan + 2D Detections → GlobalBoxes (world-frame quads)."""
+    """Scan + 2D Detections → GlobalBoxes (world-frame quads).
+
+    The frame axis is padded to a bucket (utils/shapes) so captures of
+    different lengths reuse one compiled program in a long-lived serving
+    process; padded frames carry ``mask=False`` and zero depth (their
+    sampled median is invalid), so they contribute nothing."""
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+
+    F = int(np.asarray(det.mask).shape[0])
+    Fb = next_bucket(F)
+    poses_p = pad_axis0(scan.poses, Fb)
+    poses_p[F:, 6] = 1.0  # identity quaternion — zero quats normalize to NaN
     corners, mask = project_boxes(
-        jnp.asarray(det.boxes),
-        jnp.asarray(det.mask),
-        jnp.asarray(scan.depth),
-        jnp.asarray(scan.intrinsics),
-        jnp.asarray(scan.rgb_size),
-        jnp.asarray(scan.poses),
+        jnp.asarray(pad_axis0(det.boxes, Fb)),
+        jnp.asarray(pad_axis0(det.mask, Fb, fill=False)),
+        jnp.asarray(pad_axis0(scan.depth, Fb)),
+        jnp.asarray(pad_axis0(scan.intrinsics, Fb, fill=1)),
+        jnp.asarray(pad_axis0(scan.rgb_size, Fb, fill=1)),
+        jnp.asarray(poses_p),
         scale_depth=scale_depth,
     )
     return GlobalBoxes(
-        corners=corners,
+        corners=corners[:F],
         damage=jnp.asarray(det.damage),
         conf=jnp.asarray(det.conf),
         label=jnp.asarray(det.label),
-        mask=mask,
+        mask=mask[:F],
     )
 
 

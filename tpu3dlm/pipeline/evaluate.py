@@ -59,6 +59,7 @@ def make_project(
     extra_cfg: list[tuple[str, str]] | None = None,
     img_size: int = IMG_SIZE,
     beit_kw: dict | None = None,
+    num_frames: int = 5,
 ):
     """Write config + gold/maintenance synthetic scans under <root>.
 
@@ -81,11 +82,11 @@ def make_project(
     Tw = np.eye(4, dtype=np.float32)
     Tw[:3, 3] = [0.4, -0.3, 0.1]
     gold = synthetic.generate_scan(
-        data_root, "gold_std", num_frames=5, seed=0,
+        data_root, "gold_std", num_frames=num_frames, seed=0,
         cloud_points_per_m2=cloud_points_per_m2,
     )
     synthetic.generate_scan(
-        data_root, "maintenance", num_frames=5, seed=1,
+        data_root, "maintenance", num_frames=num_frames, seed=1,
         world_transform=Tw, drop_sign_indices=dropped,
         cloud_points_per_m2=cloud_points_per_m2,
     )

@@ -21,10 +21,14 @@ long-running service:
   instead of wedging the service loop.
 
 TPU-native payoff: every scan reuses the SAME compiled stage programs and
-device-resident weights (utils/jitcache + task._cached_device_weights),
-so steady-state per-scan cost is data + compute only — the service pays
-tracing/compile/upload once at the first scan (measured: two-scan e2e
-0.96 s warm vs ~2 min cold incl. compile, PERF.md).
+device-resident weights (utils/jitcache + task._cached_device_weights) —
+including captures of DIFFERENT sizes: every per-capture axis (frame
+count, box count, cloud size) is bucket-padded (utils/shapes,
+ops/icp.pad_target_bucket), so steady-state per-scan cost is data +
+compute only and the service pays tracing/compile/upload once per bucket
+(measured: two-scan e2e 0.616 s warm vs ~2 min cold incl. compile;
+zero-retrace pinned in tests/test_serving_shapes.py; PERF.md "Serving
+shape stability").
 """
 
 from __future__ import annotations

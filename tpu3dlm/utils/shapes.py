@@ -1,0 +1,57 @@
+"""Shape bucketing for serving: pad varying per-capture axes to a small
+set of static sizes so long-lived processes never retrace.
+
+Every capture arrives with its own frame count and box count; XLA compiles
+one program per distinct input shape, and over a remote-compile runtime
+(axon tunnel: minutes per fresh program) a per-capture retrace erases the
+entire throughput win. The pipeline therefore pads shape-bearing axes up
+to a bucket and masks/trims the padding:
+
+- frames (F) in 3D NMS and the staged projection — padded frames carry
+  ``mask=False`` so they can neither produce nor suppress boxes;
+- assignment problems (n, m) in box comparison — padded pairs cost
+  ``inf`` (forbidden), so padded rows take their unmatch slack and padded
+  columns can only be absorbed by the solver's dummy class;
+- ICP targets use far-sentinel padding (ops/icp.pad_target_bucket).
+
+All of these are EXACT: the padding is constructed so it cannot interact
+with real entries (reference behavior: per-capture dynamic shapes
+throughout, e.g. src/mapper/pose_processor.py:93's frame-at-a-time loop —
+a host-loop design with no compile cost to amortise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def next_bucket(n: int, min_bucket: int = 8, quarter_from: int = 64) -> int:
+    """Smallest bucket ≥ n from {min_bucket·2^k} ∪ quarter-octave steps.
+
+    Below ``quarter_from`` buckets are powers of two of ``min_bucket``
+    (few shapes, negligible absolute overcompute); above it, quarter-octave
+    steps {1, 1.25, 1.5, 1.75}·2^k cap the padding overhead at 25%
+    (mean ~12%) at ~4 compiles per octave.
+    """
+    if n <= min_bucket:
+        return min_bucket
+    p = 1 << (n - 1).bit_length()  # next power of two ≥ n
+    if p <= quarter_from:
+        return p
+    half = p // 2
+    if half >= n:  # n == half exactly (bit_length edge)
+        return half
+    for q in (1, 2, 3):
+        c = half + (half * q) // 4
+        if c >= n:
+            return c
+    return p
+
+
+def pad_axis0(x, size: int, fill=0):
+    """Pad a numpy/JAX array along axis 0 to ``size`` with ``fill``."""
+    x = np.asarray(x)
+    if x.shape[0] >= size:
+        return x
+    pad = np.full((size - x.shape[0],) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad], axis=0)
