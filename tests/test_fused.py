@@ -73,6 +73,27 @@ class TestFusedRunner:
             np.asarray(d1.damage)[m], np.asarray(d2.damage)[m]
         )
 
+    def test_frame_bucket_padding_exact(self, scan):
+        """Whole-scan __call__ pads F to a bucket (3 → 4 here); the result
+        must be IDENTICAL to running the step at the exact frame count —
+        inert zero frames cannot perturb detections, crop selection, or
+        projection."""
+        fused = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=8, nc=3,
+            beit_config=SMALL_BEIT, dtype=jnp.float32,
+        )
+        d_pad, g_pad = fused(scan)  # bucket-padded path
+        d_exact, g_exact = fused._finalize(
+            fused._dispatch(scan), scan.num_frames  # exact-shape program
+        )
+        for a, b in [
+            (d_pad.mask, d_exact.mask),
+            (d_pad.boxes, d_exact.boxes),
+            (d_pad.damage, d_exact.damage),
+            (g_pad.corners, g_exact.corners),
+        ]:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_sharded_fused_runs(self, scan):
         assert jax.device_count() >= 8
         fused = FusedScanRunner(

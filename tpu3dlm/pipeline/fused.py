@@ -27,6 +27,42 @@ from tpu3dlm.parallel.inference import full_scan_step_fn, sharded_full_scan_step
 from tpu3dlm.parallel.mesh import make_mesh, pad_to_devices, replicate, shard_batch
 
 
+def _pad_scan_frames(scan: Scan) -> Scan:
+    """Pad every frame-axis leaf to the next bucket with inert frames:
+    zero RGB (no detection clears conf_thresh), zero depth, identity
+    intrinsics/size/letterbox (avoids div-by-zero in the affine inverse),
+    identity-quaternion poses (zero quats normalize to NaN)."""
+    import dataclasses
+
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+
+    F = scan.num_frames
+    # fine buckets (quarter-octave from 4): frames are the EXPENSIVE axis
+    # here (full YOLO forward per frame + h2d of the RGB), so ≤25% padding
+    # at ~4 compiles/octave is the right trade — unlike the cheap NMS /
+    # projection programs where fewer compiles win
+    Fb = next_bucket(F, min_bucket=4, quarter_from=4)
+    if Fb == F:
+        return scan
+    poses = pad_axis0(scan.poses, Fb)
+    poses[F:, 6] = 1.0
+    letterbox = scan.letterbox
+    if letterbox is not None:
+        letterbox = pad_axis0(letterbox, Fb)
+        letterbox[F:, 0] = 1.0  # scale 0 would blow up the pixel-map inverse
+    return dataclasses.replace(
+        scan,
+        rgb=pad_axis0(scan.rgb, Fb),
+        depth=pad_axis0(scan.depth, Fb),
+        intrinsics=pad_axis0(scan.intrinsics, Fb, fill=1),
+        rgb_size=pad_axis0(scan.rgb_size, Fb, fill=1),
+        poses=poses,
+        letterbox=letterbox,
+        timestamps=None if scan.timestamps is None
+        else pad_axis0(scan.timestamps, Fb),
+    )
+
+
 class FusedScanRunner:
     def __init__(
         self,
@@ -160,7 +196,15 @@ class FusedScanRunner:
         return det, gboxes
 
     def __call__(self, scan: Scan) -> tuple[Detections, GlobalBoxes]:
-        return self._finalize(self._dispatch(scan), scan.num_frames)
+        # whole-scan mode pads the frame axis to a bucket (utils/shapes) so
+        # captures of different lengths share one compiled step in a serving
+        # process; zero frames are inert (no detection clears conf_thresh —
+        # the same mechanism the streaming path's ragged-tail padding relies
+        # on, tests/test_fused.py) and _finalize trims them. Streaming chunks
+        # (run_stream) are already fixed-shape and skip this.
+        return self._finalize(
+            self._dispatch(_pad_scan_frames(scan)), scan.num_frames
+        )
 
     def run_stream(
         self, chunks, max_inflight: int = 2
