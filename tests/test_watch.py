@@ -109,3 +109,34 @@ class TestScanWatcher:
         with open(os.path.join(p, "poses.txt"), "a") as f:
             f.write("2.0 0 0 0 0 0 0 1 2\n")
         assert _folder_fingerprint(p) != f1
+
+
+class TestCLIWatch:
+    def test_cli_watch_flag_runs_service(self, tmp_path, monkeypatch):
+        """`tpu3dlm.cli --watch --max-scans N` enters serving mode and
+        returns once N captures are processed."""
+        import tpu3dlm.pipeline.task as task
+        from tpu3dlm import cli
+
+        def fake_setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            os.makedirs(os.path.dirname(cfg.pickle_path), exist_ok=True)
+            with open(cfg.pickle_path, "wb") as f:
+                f.write(b"x")
+            return _FakePipeline()
+
+        monkeypatch.setattr(task, "setup_pipeline", fake_setup)
+        monkeypatch.setattr(task, "load_gold_std", lambda p: {"stub": True})
+        monkeypatch.chdir(tmp_path)
+
+        cfg_path = str(tmp_path / "configs" / "variables.cfg")
+        # pre-create the watcher to learn the data root, then plant a capture
+        w = ScanWatcher(cfg_path, poll_interval=0.01)
+        _make_capture(w.data_root, "scan_cli")
+
+        cli.main([
+            "--config", cfg_path, "--watch",
+            "--poll-interval", "0.01", "--max-scans", "1",
+        ])
+        assert os.path.exists(
+            os.path.join(w.data_root, "scan_cli", DONE_SENTINEL)
+        )

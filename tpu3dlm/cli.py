@@ -5,7 +5,9 @@ pipeline alone; any other folder first ensures the gold-standard pickle
 exists (running its pipeline if not), loads it, then runs the maintenance
 pipeline with alignment + comparison. ``--setup`` generates a synthetic scan
 into the data folder (standing in for the snapshot-missing
-src/common/data/setup.py, run.sh:16-18).
+src/common/data/setup.py, run.sh:16-18). ``--watch`` switches to the
+continuous serving mode (pipeline/watch.ScanWatcher) the reference's
+one-shot entry has no analogue for.
 """
 
 from __future__ import annotations
@@ -28,6 +30,19 @@ def main(argv=None):
         "--setup", action="store_true",
         help="Generate a synthetic scan into the data folder before running.",
     )
+    parser.add_argument(
+        "--watch", action="store_true",
+        help="Continuous serving mode: poll the data root and process new "
+        "capture folders as they land (pipeline/watch.ScanWatcher).",
+    )
+    parser.add_argument(
+        "--poll-interval", type=float, default=5.0,
+        help="--watch: seconds between directory polls.",
+    )
+    parser.add_argument(
+        "--max-scans", type=int, default=None,
+        help="--watch: stop after N processed scans (default: run forever).",
+    )
     args = parser.parse_args(argv)
 
     from tpu3dlm.utils.config import ConfigLoader, write_default_config
@@ -46,6 +61,16 @@ def main(argv=None):
         data_root = os.path.dirname(os.path.dirname(cfg.pose_path))
         logging.info("Generating synthetic scan under %s/%s", data_root, args.data)
         generate_scan(data_root, args.data)
+
+    if args.watch:
+        from tpu3dlm.pipeline.watch import ScanWatcher
+
+        ScanWatcher(
+            config_path,
+            poll_interval=args.poll_interval,
+            max_scans=args.max_scans,
+        ).run()
+        return
 
     from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
 
