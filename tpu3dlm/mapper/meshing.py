@@ -22,6 +22,8 @@ the consistent tiling.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 # 6-tetrahedra decomposition of the unit cube around diagonal 0-7.
@@ -299,13 +301,47 @@ def tsdf_from_scan(
         dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
     nx, ny, nz = (int(d) for d in dims)
 
-    ii, jj, kk = jnp.meshgrid(
-        jnp.arange(nx), jnp.arange(ny), jnp.arange(nz), indexing="ij"
+    N = nx * ny * nz
+    # voxel centres on the host (cheap index math) — the device program is
+    # keyed only on the BUCKETED (N, F) shapes, so captures with different
+    # grid sizes / frame counts reuse one compiled fusion in serving
+    # (utils/shapes; padded voxels sit 1e6 m away → weight 0 → NaN →
+    # trimmed; padded frames carry zero depth → weight 0 everywhere)
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+
+    ii, jj, kk = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
     )
     centers = (
-        jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(jnp.float32) * voxel
-        + jnp.asarray(lo)[None]
+        np.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(np.float32) * voxel
+        + lo[None].astype(np.float32)
     )  # (N, 3)
+    Nb = next_bucket(N, min_bucket=4096, quarter_from=4096)
+    centers = pad_axis0(centers, Nb, fill=1.0e6)
+    Fb = next_bucket(F, min_bucket=4, quarter_from=4)
+    poses_p = pad_axis0(poses, Fb)
+    poses_p[F:, 6] = 1.0  # identity quats — zero quats make NaN matrices
+    intr_p = pad_axis0(intr_d, Fb, fill=1)
+    depth_p = pad_axis0(depth, Fb)
+
+    field = np.asarray(
+        _fuse_tsdf(
+            jnp.asarray(centers),
+            jnp.float32(trunc),
+            jnp.asarray(poses_p),
+            jnp.asarray(intr_p),
+            jnp.asarray(depth_p),
+        )
+    )[:N].reshape(nx, ny, nz)
+    return field, lo.astype(np.float32), voxel
+
+
+@jax.jit
+def _fuse_tsdf(centers, trunc, poses, intr, depth):
+    """Bucketed TSDF fusion: scan over frames, all voxels per step."""
+    from tpu3dlm.ops import geometry as G
+
+    Hd, Wd = depth.shape[1], depth.shape[2]
 
     def integrate(carry, frame):
         tsdf_sum, w_sum = carry
@@ -326,20 +362,14 @@ def tsdf_from_scan(
         t = jnp.clip(sdf / trunc, -1.0, 1.0)
         return (tsdf_sum + w * t, w_sum + w), None
 
-    @jax.jit
-    def fuse(poses_j, intr_j, depth_j):
-        init = (jnp.zeros(centers.shape[0]), jnp.zeros(centers.shape[0]))
-        (tsdf_sum, w_sum), _ = jax.lax.scan(
-            integrate, init, (poses_j, intr_j, depth_j)
-        )
-        # unobserved voxels become NaN — marching_tetrahedra skips cubes
-        # touching them, so occluded space can't grow phantom back-surfaces
-        return jnp.where(w_sum > 0, tsdf_sum / jnp.maximum(w_sum, 1e-6), jnp.nan)
-
-    field = np.asarray(
-        fuse(jnp.asarray(poses), jnp.asarray(intr_d), jnp.asarray(depth))
-    ).reshape(nx, ny, nz)
-    return field, lo.astype(np.float32), voxel
+    init = (
+        jnp.zeros(centers.shape[0]),
+        jnp.zeros(centers.shape[0]),
+    )
+    (tsdf_sum, w_sum), _ = jax.lax.scan(integrate, init, (poses, intr, depth))
+    # unobserved voxels become NaN — marching_tetrahedra skips cubes
+    # touching them, so occluded space can't grow phantom back-surfaces
+    return jnp.where(w_sum > 0, tsdf_sum / jnp.maximum(w_sum, 1e-6), jnp.nan)
 
 
 def mesh_scan(scan, voxel: float = 0.04) -> tuple[np.ndarray, np.ndarray]:
