@@ -254,3 +254,40 @@ class TestVisualiseAlignment:
         n2 = vis2.create_video([np.eye(4, dtype=np.float32)] * 3,
                                output_video=str(tmp_path / "c.mp4"), steps=5)
         assert n2 == 5
+
+
+class TestShardedAlignment:
+    def test_mesh_sharded_compare_matches_unsharded(self, scans):
+        """Alignment with a query-sharded 8-device mesh (parallel/nn) must
+        recover the same transform as the single-device solve — including
+        through the bucket-padded target (ops/icp.pad_target_bucket)."""
+        import jax
+
+        from tpu3dlm.parallel.mesh import make_mesh
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        kwargs = dict(
+            base_pose_df=gold.poses,
+            comparison_pose_df=maint.poses,
+            base_bboxes=_boxes_from_signs(gold.signs),
+            comparison_bboxes=_boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud,
+            comparison_cloud=maint_cloud,
+            max_points=2048,
+            icp_iterations=15,
+        )
+        assert jax.device_count() >= 8
+        plain = Alignment(**kwargs)
+        plain.compare()
+        sharded = Alignment(mesh=make_mesh(8), **kwargs)
+        sharded.compare()
+        want = np.linalg.inv(Tw)
+        # loose vs ground truth (15 CI-budget iterations leave a few degrees
+        # of residual — full convergence is test_recovers_world_transform's
+        # job); TIGHT vs the unsharded solve: query sharding picks identical
+        # correspondences (argmin over the full target per query), so the
+        # only divergence is f32 reduction order in the per-iteration solves
+        np.testing.assert_allclose(sharded.final_transform, want, atol=0.15)
+        np.testing.assert_allclose(
+            sharded.final_transform, plain.final_transform, atol=1e-2
+        )
