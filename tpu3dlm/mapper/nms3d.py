@@ -158,8 +158,13 @@ def suppress_bboxes(
 
     import numpy as np
 
+    from tpu3dlm.utils.host import to_host
     from tpu3dlm.utils.shapes import next_bucket, pad_axis0
 
+    # inputs arrive as host arrays from both producers (fused _finalize and
+    # project_detections both end their stage with one batched readback),
+    # so the padding below is free numpy; if a caller hands device arrays,
+    # the np.asarray inside pad_axis0 still does the right thing
     n_candidates = int(np.asarray(gboxes.mask).sum())
     if n_candidates > top_k:
         logging.getLogger(__name__).warning(
@@ -183,5 +188,8 @@ def suppress_bboxes(
         area_min=area_min,
         cam_dist_min=cam_dist_min,
         top_k=top_k,
-    )[:F]
+    )
+    # one readback, trim on host (a device [:F] slice would compile per
+    # capture length)
+    keep = to_host(keep)[:F]
     return dataclasses.replace(gboxes, mask=keep)

@@ -201,6 +201,8 @@ def project_detections(
     sampled median is invalid), so they contribute nothing."""
     from tpu3dlm.utils.shapes import next_bucket, pad_axis0
 
+    from tpu3dlm.utils.host import to_host
+
     F = int(np.asarray(det.mask).shape[0])
     Fb = next_bucket(F)
     poses_p = pad_axis0(scan.poses, Fb)
@@ -214,11 +216,16 @@ def project_detections(
         jnp.asarray(poses_p),
         scale_depth=scale_depth,
     )
+    # stage boundary goes to host in ONE batched readback (the fused path's
+    # _finalize does the same); trimming the bucket on device would compile
+    # a tiny slice program per capture length, and downstream (3D NMS →
+    # records) pads/consumes host arrays anyway
+    corners, mask = to_host((corners, mask))
     return GlobalBoxes(
         corners=corners[:F],
-        damage=jnp.asarray(det.damage),
-        conf=jnp.asarray(det.conf),
-        label=jnp.asarray(det.label),
+        damage=np.asarray(det.damage),
+        conf=np.asarray(det.conf),
+        label=np.asarray(det.label),
         mask=mask[:F],
     )
 
