@@ -208,7 +208,7 @@ def main():
     for name, fn in variants.items():
         gi, gd = (np.asarray(x) for x in fn(a_s, b_s))
         assert (gi == ref_i).all(), f"{name}: index mismatch"
-        np.testing.assert_allclose(gd, ref_d, atol=1e-3), name
+        np.testing.assert_allclose(gd, ref_d, atol=1e-3, err_msg=name)
     print("correctness OK", file=sys.stderr)
 
     N, M = 16384, 1 << 20

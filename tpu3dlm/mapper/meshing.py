@@ -22,6 +22,8 @@ the consistent tiling.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -302,31 +304,30 @@ def tsdf_from_scan(
     nx, ny, nz = (int(d) for d in dims)
 
     N = nx * ny * nz
-    # voxel centres on the host (cheap index math) — the device program is
-    # keyed only on the BUCKETED (N, F) shapes, so captures with different
-    # grid sizes / frame counts reuse one compiled fusion in serving
-    # (utils/shapes; padded voxels sit 1e6 m away → weight 0 → NaN →
-    # trimmed; padded frames carry zero depth → weight 0 everywhere)
+    # the device program is keyed ONLY on bucketed (voxel-count, F) shapes —
+    # captures with different grid sizes / frame counts reuse one compiled
+    # fusion in serving (utils/shapes). Voxel centres are generated ON
+    # DEVICE from traced scalars (grid dims, lo, voxel) — shipping a dense
+    # (N, 3) host array would cost up to ~240 MB h2d per capture at the
+    # 20M-voxel cap. Padded voxels (index ≥ N) sit 1e6 m away → weight 0 →
+    # NaN → trimmed; padded frames carry zero depth → weight 0 everywhere.
     from tpu3dlm.utils.shapes import next_bucket, pad_axis0
 
-    ii, jj, kk = np.meshgrid(
-        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
-    )
-    centers = (
-        np.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(np.float32) * voxel
-        + lo[None].astype(np.float32)
-    )  # (N, 3)
     Nb = next_bucket(N, min_bucket=4096, quarter_from=4096)
-    centers = pad_axis0(centers, Nb, fill=1.0e6)
     Fb = next_bucket(F, min_bucket=4, quarter_from=4)
     poses_p = pad_axis0(poses, Fb)
-    poses_p[F:, 6] = 1.0  # identity quats — zero quats make NaN matrices
+    if Fb != F:  # at Fb == F pad_axis0 returns the caller's array untouched
+        poses_p[F:, 6] = 1.0  # identity quats — zero quats make NaN matrices
     intr_p = pad_axis0(intr_d, Fb, fill=1)
     depth_p = pad_axis0(depth, Fb)
 
     field = np.asarray(
         _fuse_tsdf(
-            jnp.asarray(centers),
+            Nb,
+            jnp.int32(N),
+            jnp.asarray([ny * nz, nz], jnp.int32),  # index strides (i, j)
+            jnp.asarray(lo, jnp.float32),
+            jnp.float32(voxel),
             jnp.float32(trunc),
             jnp.asarray(poses_p),
             jnp.asarray(intr_p),
@@ -336,12 +337,23 @@ def tsdf_from_scan(
     return field, lo.astype(np.float32), voxel
 
 
-@jax.jit
-def _fuse_tsdf(centers, trunc, poses, intr, depth):
+@functools.partial(jax.jit, static_argnums=0)
+def _fuse_tsdf(n_bucket, n_real, strides, lo, voxel, trunc, poses, intr, depth):
     """Bucketed TSDF fusion: scan over frames, all voxels per step."""
     from tpu3dlm.ops import geometry as G
 
     Hd, Wd = depth.shape[1], depth.shape[2]
+
+    # (i, j, k) grid coordinates from the flat index with TRACED strides —
+    # the grid shape never enters the program shape, only the bucket does
+    flat = jnp.arange(n_bucket, dtype=jnp.int32)
+    gi = flat // strides[0]
+    gj = (flat % strides[0]) // strides[1]
+    gk = flat % strides[1]
+    ijk = jnp.stack([gi, gj, gk], axis=-1).astype(jnp.float32)
+    centers = jnp.where(
+        (flat < n_real)[:, None], ijk * voxel + lo[None], 1.0e6
+    )
 
     def integrate(carry, frame):
         tsdf_sum, w_sum = carry

@@ -206,7 +206,9 @@ def project_detections(
     F = int(np.asarray(det.mask).shape[0])
     Fb = next_bucket(F)
     poses_p = pad_axis0(scan.poses, Fb)
-    poses_p[F:, 6] = 1.0  # identity quaternion — zero quats normalize to NaN
+    if Fb != F:  # pad_axis0 returns the caller's array untouched at Fb == F
+        # (mutating that would alias — or raise on a read-only device view)
+        poses_p[F:, 6] = 1.0  # identity quats — zero quats normalize to NaN
     corners, mask = project_boxes(
         jnp.asarray(pad_axis0(det.boxes, Fb)),
         jnp.asarray(pad_axis0(det.mask, Fb, fill=False)),

@@ -38,9 +38,7 @@ def next_bucket(n: int, min_bucket: int = 8, quarter_from: int = 64) -> int:
     p = 1 << (n - 1).bit_length()  # next power of two ≥ n
     if p <= quarter_from:
         return p
-    half = p // 2
-    if half >= n:  # n == half exactly (bit_length edge)
-        return half
+    half = p // 2  # always < n (p is the smallest power of two ≥ n)
     for q in (1, 2, 3):
         c = half + (half * q) // 4
         if c >= n:
