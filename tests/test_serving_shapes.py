@@ -360,9 +360,8 @@ class TestTSDFBucketing:
         bounds = (np.asarray([-1.0, -1.0, 1.0]), np.asarray([1.0, 1.0, 2.4]))
         meshing.tsdf_from_scan(self._scan(rng, 5), voxel=0.1, bounds=bounds)
         before = meshing._fuse_tsdf._cache_size()
-        # different frame count (same 4..8 quarter bucket is 5! use 5 vs 5?
-        # no: fine buckets make 5→5; vary within a shared bucket: 9 & 10
-        # share bucket 10)
+        # different frame counts within one fine bucket (9 and 10 both
+        # bucket to 10)
         meshing.tsdf_from_scan(self._scan(rng, 9), voxel=0.1, bounds=bounds)
         b9 = meshing._fuse_tsdf._cache_size()
         meshing.tsdf_from_scan(self._scan(rng, 10), voxel=0.1, bounds=bounds)
