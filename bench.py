@@ -212,6 +212,9 @@ def main():
             cpu = jax.devices("cpu")[0]
             if cpu != default_dev:
                 nb = max(8, int(os.environ.get("BENCH_CPU_FRAMES", "8")))
+                # a short BENCH_FRAMES run can't supply 8 frames — record
+                # what was actually timed, not the request
+                nb = min(nb, int(arrays[0].shape[0]))
                 cpu_arrays = tuple(a[:nb] for a in arrays)
                 samples = [
                     time_fps(step, variables, cpu_arrays, cpu, 1, jax)

@@ -346,3 +346,57 @@ class TestScanCache:
         # a full pass then rebuilds and finalises it
         list(ds.iter_scan_chunks(**kwargs, cache=True))
         assert scanpack_memmap(pack) is not None
+
+
+class TestScanCacheStaleness:
+    """A capture RE-EXPORTED in place (same frame count, different bytes)
+    must invalidate the scanpack — staleness was previously keyed only on
+    frame count and shapes."""
+
+    def _kwargs(self, root, img_size=160):
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        return dict(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=img_size,
+        )
+
+    def _reexport_first_frame(self, root):
+        import cv2
+
+        rgb_dir = os.path.join(root, "gold_std", "rtabmap_extract", "data_rgb")
+        p = os.path.join(rgb_dir, sorted(os.listdir(rgb_dir))[0])
+        img = cv2.imread(p)
+        cv2.imwrite(p, 255 - img)  # same file name/count, different pixels
+        t = os.path.getmtime(p) + 10
+        os.utime(p, (t, t))  # decouple from mtime granularity
+
+    def test_load_scan_sees_reexported_pixels(self, tmp_path):
+        from tpu3dlm.data import synthetic
+        from tpu3dlm.data.dataset import load_scan as _ls
+
+        synthetic.generate_scan(str(tmp_path), "gold_std", num_frames=3)
+        kwargs = self._kwargs(str(tmp_path))
+        s1 = _ls(**kwargs, cache=True)
+        self._reexport_first_frame(str(tmp_path))
+        s2 = _ls(**kwargs, cache=True)
+        assert not np.array_equal(np.asarray(s1.rgb[0]), np.asarray(s2.rgb[0]))
+        # pack refreshed: a third load returns the new content from cache
+        s3 = _ls(**kwargs, cache=True)
+        np.testing.assert_array_equal(np.asarray(s2.rgb), np.asarray(s3.rgb))
+
+    def test_streaming_sees_reexported_pixels(self, tmp_path):
+        from tpu3dlm.data import synthetic
+        from tpu3dlm.data import dataset as ds
+
+        synthetic.generate_scan(str(tmp_path), "gold_std", num_frames=3)
+        kwargs = self._kwargs(str(tmp_path))
+        kwargs["chunk_frames"] = 2
+        first = [c for c, _ in ds.iter_scan_chunks(**kwargs, cache=True)]
+        self._reexport_first_frame(str(tmp_path))
+        second = [c for c, _ in ds.iter_scan_chunks(**kwargs, cache=True)]
+        assert not np.array_equal(
+            np.asarray(first[0].rgb[0]), np.asarray(second[0].rgb[0])
+        )

@@ -189,3 +189,30 @@ class TestResume:
         p.run(resume=True)
         assert "detect" not in p.stage_times  # reused checkpointed detections
         assert "map" in p.stage_times
+
+    def test_resume_under_streaming_reruns_detect(self, env):
+        """Resume must be IGNORED in streaming mode: the placeholder scan
+        (no frames in memory) cannot re-project checkpointed detections,
+        so detect re-runs instead of silently producing garbage boxes."""
+        root, cfg_path = env
+        from tpu3dlm.pipeline.task import Pipeline
+
+        class _Cfg:
+            pass
+
+        cfg = ConfigLoader(cfg_path, "gold_std")
+        c = _Cfg()
+        for k, v in vars(cfg).items():
+            setattr(c, k, v)
+        c.fused_inference = True
+        c.streaming_chunk = 2
+        c.infer_dtype = "f32"
+        c.pickle_path = os.path.join(root, "stream_resume.pkl")
+
+        out1 = Pipeline("gold_std", c).run()
+        p = Pipeline("gold_std", c)
+        out2 = p.run(resume=True)
+        assert "detect" in p.stage_times  # resume ignored, detect re-ran
+        assert out2["predictions"].keys() == out1["predictions"].keys()
+        n_boxes = sum(len(v) for v in out2["optimised_bboxes"].values())
+        assert n_boxes == sum(len(v) for v in out1["optimised_bboxes"].values())

@@ -140,3 +140,26 @@ class TestCLIWatch:
         assert os.path.exists(
             os.path.join(w.data_root, "scan_cli", DONE_SENTINEL)
         )
+
+
+class TestGoldBootstrapSafety:
+    def test_maintenance_deferred_until_watched_gold_processed(self, watcher):
+        """When the gold baseline must come from a WATCHED gold_std folder
+        that isn't processed yet, maintenance captures defer (no sentinel,
+        retried) instead of bootstrapping from a possibly half-uploaded
+        gold folder; gold runs first once quiescent."""
+        _make_capture(watcher.data_root, "maint")
+        assert watcher.run_once() == []  # maint: first sighting
+        _make_capture(watcher.data_root, "gold_std")  # gold lands later
+        # maint is quiescent now, but gold (just seen) blocks it
+        assert watcher.run_once() == []
+        assert not os.path.exists(
+            os.path.join(watcher.data_root, "maint", DONE_SENTINEL)
+        )
+        # next cycle: gold quiescent → gold first, then maint, same cycle
+        assert watcher.run_once() == ["gold_std", "maint"]
+        assert watcher._calls == ["gold_std", "maint"]
+        for f in ("gold_std", "maint"):
+            assert os.path.exists(
+                os.path.join(watcher.data_root, f, DONE_SENTINEL)
+            )

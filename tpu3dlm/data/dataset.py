@@ -14,6 +14,7 @@ frame axis (shardable over a mesh).
 
 from __future__ import annotations
 
+import json
 import os
 
 import cv2
@@ -34,6 +35,44 @@ def _pair_filenames(image_dir: str, depth_image_dir: str) -> list[tuple[str, str
         if depth_filename in depth_filenames:
             pairs.append((image_filename, depth_filename))
     return pairs
+
+
+def _source_fingerprint(image_dir, depth_image_dir, pairs) -> dict:
+    """Cheap stat fingerprint (count/bytes/max-mtime) over the capture's
+    paired source files. The scanpack cache validates against it so a
+    RE-EXPORTED capture with the same frame count (corrected calibration,
+    re-processed images) invalidates the pack instead of silently serving
+    stale pixels."""
+    count, total, mtime = 0, 0, 0.0
+    for rgb_name, d_name in pairs:
+        for p in (
+            os.path.join(image_dir, rgb_name),
+            os.path.join(depth_image_dir, d_name),
+        ):
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            count += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return {"files": count, "bytes": total, "mtime": round(mtime, 6)}
+
+
+def _fingerprint_matches(pack_path: str, fp: dict) -> bool:
+    try:
+        with open(pack_path + ".src") as f:
+            return json.load(f) == fp
+    except Exception:
+        return False
+
+
+def _write_fingerprint(pack_path: str, fp: dict) -> None:
+    try:
+        with open(pack_path + ".src", "w") as f:
+            json.dump(fp, f)
+    except OSError:
+        pass  # cache remains unvalidatable → treated stale next load
 
 
 def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarray:
@@ -258,11 +297,14 @@ def iter_scan_chunks(
         pack_path = os.path.join(
             os.path.dirname(image_dir.rstrip("/")), f"scan_{img_size}.pack"
         )
+        src_fp = _source_fingerprint(image_dir, depth_image_dir, pairs[:n])
         pack = scanpack_memmap(pack_path)
         if pack is not None and pack["dims"] != (
             n, img_size, img_size, depth_height, depth_width,
         ):
             pack = None  # stale pack for a different frame count / shape
+        if pack is not None and not _fingerprint_matches(pack_path, src_fp):
+            pack = None  # stale pack: source files re-exported in place
         if pack is None:
             try:
                 pack_writer = scanpack_create(
@@ -300,6 +342,7 @@ def iter_scan_chunks(
                         if isinstance(v, np.memmap):
                             v.flush()
                     scanpack_finalize(pack_path)
+                    _write_fingerprint(pack_path, src_fp)
         if valid < chunk_frames:
             pad = chunk_frames - valid
 
@@ -371,9 +414,14 @@ def load_scan(
             rgb, depth, intrinsics, rgb_size, poses7 = cached
             timestamps, poses_now = load_poses(pose_path)
             n = rgb.shape[0]
-            n_now = min(len(_pair_filenames(image_dir, depth_image_dir)),
-                        poses_now.shape[0])
-            if n == n_now:  # stale if the capture gained/lost frames
+            pairs_now = _pair_filenames(image_dir, depth_image_dir)
+            n_now = min(len(pairs_now), poses_now.shape[0])
+            # stale if the capture gained/lost frames OR was re-exported in
+            # place (same count, different source bytes — _source_fingerprint)
+            if n == n_now and _fingerprint_matches(
+                pack_path,
+                _source_fingerprint(image_dir, depth_image_dir, pairs_now[:n]),
+            ):
                 return Scan(
                     rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
                     poses=poses7, timestamps=timestamps[:n],
@@ -394,6 +442,9 @@ def load_scan(
         from tpu3dlm.native import scanpack_write
 
         scanpack_write(pack_path, rgb, depth, intrinsics, rgb_size, poses[:n])
+        _write_fingerprint(
+            pack_path, _source_fingerprint(image_dir, depth_image_dir, pairs[:n])
+        )
 
     return Scan(
         rgb=rgb,

@@ -63,7 +63,13 @@ def auction_assign(
     ``phases``: ε-scaling phase count; benefits are normalized to [0, 1]
     and ε interpolates geometrically from 1/4 down to 1e-3/(N+1), so the
     final assignment is N·ε-optimal = 1e-3·spread-optimal in total cost.
-    ``max_iters`` bounds the bidding rounds of each phase.
+    ``max_iters`` bounds the bidding rounds of each phase. The optimality
+    bound assumes every phase ends complete (see module docstring); a
+    phase exhausting max_iters incomplete would carry stale prices forward
+    silently. Every row always has its private slack to bid on, so with
+    normalized benefits a phase needs O(1/ε) ≈ 4·(N+1)·10³ rounds worst
+    case at the finest ε — far under the 10⁵ default for the box-matching
+    sizes this serves; raise ``max_iters`` alongside any much larger use.
     """
     n, m = cost.shape
     benefit = jnp.where(jnp.isfinite(cost), -cost.astype(jnp.float32), _NEG)

@@ -88,6 +88,7 @@ def distributed_init(
     """
     if jax.distributed.is_initialized():
         return  # distributed runtime already up
+    multi = (num_processes or 1) > 1
     try:
         if coordinator is None and num_processes is None and not kwargs:
             # single-host bring-up: a real coordinator on localhost
@@ -102,4 +103,10 @@ def distributed_init(
                 **kwargs,
             )
     except RuntimeError:
-        pass  # already initialised
+        # Tolerable ONLY for single-process bring-up (backends already up →
+        # a 1-process world is what we have anyway). For an explicit
+        # multi-process init this would silently degrade every collective
+        # to a local reduction — the exact failure the guard above exists
+        # to prevent — so it must propagate.
+        if multi:
+            raise

@@ -225,6 +225,16 @@ class FusedScanRunner:
         concatenated Detections/GlobalBoxes over all real frames.
         ``self.stream_peak_inflight`` records the high-water mark (used by
         the bounded-memory test).
+
+        Crop-budget semantics: ``crop_budget`` applies PER CHUNK here (the
+        whole-scan path selects the global top-k across all frames). The
+        paths are bit-identical whenever the budget does not bind —
+        ≤ crop_budget above-threshold detections per chunk, the normal
+        operating point; a global budget would need every chunk's
+        confidences before classifying anything, forfeiting the
+        decode/compute overlap this mode exists for. When the budget binds,
+        streaming classifies AT LEAST as many crops as whole-scan (k per
+        chunk vs k per scan), erring toward more damage labels.
         """
         from collections import deque
 

@@ -33,26 +33,21 @@ from tpu3dlm.mapper import project_detections, suppress_bboxes
 from tpu3dlm.pipeline.classifier import DamageDetector
 from tpu3dlm.pipeline.detector import ObjectDetector
 
-# Converted, device-resident model weights shared across Pipeline instances.
-# A two-scan run (gold standard + maintenance) uses the same checkpoints;
-# without this every Pipeline re-read the msgpack, re-built the tree, and
-# re-uploaded ~11 MB over the (remote) device link — ~1.5 s per scan of the
-# measured e2e wall-clock. Keyed by (kind, path, mtime, model config) so an
-# updated checkpoint file or different model shape misses. Same pattern and
-# caveats as utils/jitcache (entries live for the process; guarded by a lock).
-_WEIGHT_CACHE: dict = {}
-_WEIGHT_LOCK = __import__("threading").Lock()
-
-
 def _cached_device_weights(key, builder, *args):
-    with _WEIGHT_LOCK:
-        if key not in _WEIGHT_CACHE:
-            import jax
+    """Converted, device-resident model weights shared across Pipeline
+    instances (one utils/jitcache entry per (kind, path, mtime, model
+    config) key, so an updated checkpoint file or different model shape
+    misses). A two-scan run (gold standard + maintenance) uses the same
+    checkpoints; without this every Pipeline re-read the msgpack, re-built
+    the tree, and re-uploaded ~11 MB over the (remote) device link —
+    ~1.5 s per scan of the measured e2e wall-clock. device_put pins the
+    tree once; runners' own device_put of an already-committed array is a
+    no-op."""
+    import jax
 
-            # device_put pins the tree once; runners' own device_put of an
-            # already-committed array is a no-op
-            _WEIGHT_CACHE[key] = jax.device_put(builder(*args))
-        return _WEIGHT_CACHE[key]
+    from tpu3dlm.utils.jitcache import cached
+
+    return cached(("device_weights", key), lambda: jax.device_put(builder(*args)))
 
 
 class Pipeline:
@@ -90,6 +85,15 @@ class Pipeline:
         else:
             scan = self._timed("extract", self._extract_images)
         detections = None
+        if resume and use_stream:
+            # streaming keeps no frames in memory: resumed detections would
+            # have to re-project through the placeholder scan (1×1 zero
+            # depth/intrinsics) and silently produce garbage boxes —
+            # re-running the streamed detect stage is cheap and correct
+            self.logger.info(
+                "resume ignored under streaming ingestion — re-running detect"
+            )
+            resume = False
         if resume and os.path.exists(self.cfg.pickle_path):
             try:
                 with open(self.cfg.pickle_path, "rb") as f:

@@ -121,14 +121,35 @@ class ScanWatcher:
 
     # -- processing --------------------------------------------------------
 
+    def _gold_pending(self) -> bool:
+        """True when the gold baseline must come from a WATCHED gold_std
+        capture folder that hasn't finished processing yet. Bootstrapping
+        from a half-uploaded gold folder would bake a partial capture into
+        the permanent baseline (the quiescence fingerprint protects
+        discovered folders — this extends the same protection to the
+        bootstrap path), so maintenance scans are deferred until the gold
+        folder is claimed through normal quiescent discovery."""
+        if os.path.exists(self.cfg_goldstd.pickle_path):
+            return False
+        gold_path = os.path.join(self.data_root, "gold_std")
+        return os.path.isdir(gold_path) and _is_capture(gold_path) and not (
+            os.path.exists(os.path.join(gold_path, DONE_SENTINEL))
+        )
+
     def _ensure_gold(self):
+        """Bootstrap the gold baseline from the CONFIGURED gold data folder
+        (CLI mode-logic parity, reference task_def.py:218-249) — only
+        reached when gold data is external, i.e. not a watched capture
+        folder (_gold_pending defers those until discovery claims them)."""
         from tpu3dlm.pipeline.task import setup_pipeline
 
         if not os.path.exists(self.cfg_goldstd.pickle_path):
             self.logger.info("gold_std pickle absent — running setup pipeline")
             setup_pipeline("gold_std", self.cfg_goldstd, None)
 
-    def _process(self, folder: str) -> None:
+    def _process(self, folder: str) -> bool:
+        """Run one capture; returns True when processed (sentinel written),
+        False when deferred to a later cycle."""
         from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
 
         path = os.path.join(self.data_root, folder)
@@ -137,6 +158,12 @@ class ScanWatcher:
             if folder == "gold_std":
                 pipeline = setup_pipeline("gold_std", self.cfg_goldstd, None)
             else:
+                if self._gold_pending():
+                    self.logger.info(
+                        "scan %s deferred: gold_std capture not processed yet",
+                        folder,
+                    )
+                    return False
                 self._ensure_gold()
                 goldstd_var = load_gold_std(self.cfg_goldstd.pickle_path)
                 cfg = self._loader(self.config_path, folder)
@@ -147,7 +174,7 @@ class ScanWatcher:
             with open(os.path.join(path, FAILED_SENTINEL), "w") as f:
                 f.write(traceback.format_exc())
             self.logger.exception("scan %s failed — quarantined", folder)
-            return
+            return True
         record = {
             "folder": folder,
             "wall_clock_s": round(time.perf_counter() - t0, 3),
@@ -156,21 +183,32 @@ class ScanWatcher:
             },
             "frames": len(pipeline.data_to_save.get("predictions", {})),
         }
-        with open(os.path.join(path, DONE_SENTINEL), "w") as f:
-            json.dump(record, f, indent=1)
+        try:
+            with open(os.path.join(path, DONE_SENTINEL), "w") as f:
+                json.dump(record, f, indent=1)
+        except OSError:
+            # a failed sentinel write must not wedge the service loop; the
+            # scan will reprocess after restart, which is safe (idempotent)
+            self.logger.exception(
+                "scan %s processed but DONE sentinel write failed", folder
+            )
         self.processed.append(folder)
         self.logger.info(
             "scan %s done in %.2f s", folder, record["wall_clock_s"]
         )
+        return True
 
     # -- loop --------------------------------------------------------------
 
     def run_once(self) -> list[str]:
-        """One poll cycle; returns the folders processed this cycle."""
+        """One poll cycle; returns the folders processed this cycle.
+        gold_std runs first when present — maintenance scans need its
+        baseline."""
         done = []
-        for folder in self._ready_folders():
-            self._process(folder)
-            done.append(folder)
+        ready = sorted(self._ready_folders(), key=lambda f: f != "gold_std")
+        for folder in ready:
+            if self._process(folder):
+                done.append(folder)
             if self.max_scans is not None and len(self.processed) >= self.max_scans:
                 break
         return done
