@@ -222,6 +222,25 @@ class TestBBoxComparison:
         ).match_bboxes()
         assert rows == []
 
+    def test_no_label_overlap_all_missing_and_new(self, tmp_path):
+        """Zero label overlap → every pair forbidden: every gold box must
+        come out missing and every maintenance box new. Regression: the
+        bucket-padded all-inf cost let real rows settle on PADDED columns,
+        and indexing comparison_records with a padded j crashed the
+        pipeline (IndexError) where pre-padding it merely mismatched."""
+        quad_a = [np.array([i * 0.1, 0.0, 3.0], np.float32) for i in range(4)]
+        quad_b = [np.array([i * 0.1, 1.0, 3.0], np.float32) for i in range(4)]
+        # box row = 4 corners + [damage, conf, label]
+        base = {0: [quad_a + [0, 0.9, 0], quad_b + [0, 0.9, 0]]}
+        comp = {0: [quad_a + [0, 0.9, 1]]}  # same spot, different label
+        rows = BBoxComparison(
+            base, comp, None, csv_output_file=str(tmp_path / "nl.csv")
+        ).match_bboxes()
+        statuses = [r["status"] for r in rows]
+        assert statuses.count("missing") == 2
+        assert statuses.count("new") == 1
+        assert not any(s in ("matched", "damaged") for s in statuses)
+
 
 class TestVisualiseAlignment:
     def test_frames_rendered(self, scans, tmp_path):

@@ -298,6 +298,27 @@ class TestAuction:
         assign, matched = auction_assign(jnp.array(cost), unmatch_cost=100.0)
         assert int(assign[0]) == 1 and int(assign[1]) == 0
 
+    def test_all_forbidden(self):
+        """An entirely-inf cost matrix (e.g. zero label overlap between the
+        box sets) must leave every row unmatched. Regression: the empty
+        finite-window max/min gave b_lo=+inf, normalizing the slack to -inf
+        — BELOW the forbidden sentinel — so rows 'preferred' forbidden
+        columns and the caller indexed records with garbage assignments."""
+        cost = np.full((3, 5), np.inf, np.float32)
+        assign, matched = auction_assign(jnp.array(cost), unmatch_cost=10.0)
+        assert not bool(np.asarray(matched).any())
+        assert np.asarray(assign).tolist() == [-1, -1, -1]
+
+    def test_tiny_spread_huge_unmatch(self):
+        """With a near-zero cost spread and a huge unmatch cost the
+        normalized slack used to underflow past the forbidden sentinel
+        (same bug class as all-forbidden): rows must still take their
+        finite pair, never a forbidden one."""
+        cost = np.array([[1.0, np.inf], [np.inf, 1.0]], np.float32)
+        assign, matched = auction_assign(jnp.array(cost), unmatch_cost=1e9)
+        assert np.asarray(assign).tolist() == [0, 1]
+        assert bool(np.asarray(matched).all())
+
     def test_match_report_sets(self):
         cost = np.array(
             [[0.1, 9.0, 9.0], [9.0, 0.2, 9.0]], np.float32

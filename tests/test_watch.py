@@ -28,6 +28,15 @@ class _FakePipeline:
     data_to_save = {"predictions": {0: []}}
 
 
+def _plant_gold_pickle(watcher):
+    """Pre-create the gold pickle so _ensure_gold is a no-op and a stubbed
+    setup_pipeline failure is attributed to the CAPTURE, not the gold
+    bootstrap (gold failures defer instead of quarantining)."""
+    os.makedirs(os.path.dirname(watcher.cfg_goldstd.pickle_path), exist_ok=True)
+    with open(watcher.cfg_goldstd.pickle_path, "wb") as f:
+        f.write(b"x")
+
+
 @pytest.fixture
 def watcher(tmp_path, monkeypatch):
     import tpu3dlm.pipeline.task as task
@@ -87,13 +96,121 @@ class TestScanWatcher:
         def boom(folder, cfg, cfg_goldstd=None, goldstd_var=None):
             raise RuntimeError("corrupt capture")
 
+        _plant_gold_pickle(watcher)
         monkeypatch.setattr(task, "setup_pipeline", boom)
+        watcher.max_attempts = 1  # quarantine on first failure
         path = _make_capture(watcher.data_root, "scan_bad")
         watcher.run_once()
         assert watcher.run_once() == ["scan_bad"]  # claimed, then failed
         assert os.path.exists(os.path.join(path, FAILED_SENTINEL))
         assert "corrupt capture" in open(os.path.join(path, FAILED_SENTINEL)).read()
         assert watcher.run_once() == []  # quarantined, not retried
+
+    def test_transient_failure_retried_before_quarantine(
+        self, watcher, monkeypatch
+    ):
+        """A failing capture is retried with backoff (max_attempts) before
+        the FAILED sentinel is written — a transient outage must not
+        permanently drop a healthy capture."""
+        import time as _time
+
+        import tpu3dlm.pipeline.task as task
+
+        boom_calls = []
+
+        def boom(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            boom_calls.append(folder)
+            raise RuntimeError("tunnel blip")
+
+        _plant_gold_pickle(watcher)
+        monkeypatch.setattr(task, "setup_pipeline", boom)
+        watcher.max_attempts = 2
+        path = _make_capture(watcher.data_root, "scan_flaky")
+        watcher.run_once()  # first sighting
+        assert watcher.run_once() == []  # attempt 1 fails → no sentinel yet
+        assert not os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert watcher.run_once() == []  # inside backoff window → skipped
+        assert boom_calls == ["scan_flaky"]
+        _time.sleep(watcher.poll_interval * 4 + 0.05)  # past the backoff
+        assert watcher.run_once() == ["scan_flaky"]  # attempt 2 → quarantine
+        assert os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert boom_calls == ["scan_flaky", "scan_flaky"]
+
+    def test_transient_failure_recovers(self, watcher, monkeypatch):
+        """A capture whose first attempt fails but whose retry succeeds is
+        processed normally, with the attempt counter cleared."""
+        import time as _time
+
+        import tpu3dlm.pipeline.task as task
+
+        real_setup = task.setup_pipeline
+        state = {"failed": False}
+
+        def flaky(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            if not state["failed"]:
+                state["failed"] = True
+                raise RuntimeError("one-off blip")
+            return real_setup(folder, cfg, cfg_goldstd, goldstd_var=goldstd_var)
+
+        _plant_gold_pickle(watcher)
+        monkeypatch.setattr(task, "setup_pipeline", flaky)
+        path = _make_capture(watcher.data_root, "scan_recover")
+        watcher.run_once()
+        assert watcher.run_once() == []  # attempt 1 fails, backoff set
+        _time.sleep(watcher.poll_interval * 4 + 0.05)
+        assert watcher.run_once() == ["scan_recover"]
+        assert os.path.exists(os.path.join(path, DONE_SENTINEL))
+        assert not os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert "scan_recover" not in watcher._attempts
+
+    def test_gold_failure_defers_maintenance_not_quarantines(
+        self, watcher, monkeypatch
+    ):
+        """A failure loading the SHARED gold baseline must defer the
+        maintenance capture (retry next cycle), never quarantine it — the
+        capture itself is healthy."""
+        import tpu3dlm.pipeline.task as task
+
+        # gold pickle exists, but loading it fails (e.g. truncated write)
+        os.makedirs(
+            os.path.dirname(watcher.cfg_goldstd.pickle_path), exist_ok=True
+        )
+        with open(watcher.cfg_goldstd.pickle_path, "wb") as f:
+            f.write(b"x")
+
+        def bad_load(p):
+            raise RuntimeError("gold pickle unreadable")
+
+        monkeypatch.setattr(task, "load_gold_std", bad_load)
+        path = _make_capture(watcher.data_root, "maint_ok")
+        watcher.run_once()
+        assert watcher.run_once() == []  # deferred — NOT quarantined
+        assert not os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert "maint_ok" not in watcher._attempts
+        # gold heals → the capture processes on the next cycle, unpenalised
+        monkeypatch.setattr(task, "load_gold_std", lambda p: {"stub": True})
+        assert watcher.run_once() == ["maint_ok"]
+        assert os.path.exists(os.path.join(path, DONE_SENTINEL))
+
+    def test_quarantined_gold_warns_once_and_defers(self, watcher, caplog):
+        """When the watched gold_std capture itself is quarantined, the
+        service must say so LOUDLY (not just 'not processed yet') and keep
+        deferring maintenance scans without quarantining them."""
+        import logging
+
+        gold = _make_capture(watcher.data_root, "gold_std")
+        with open(os.path.join(gold, FAILED_SENTINEL), "w") as f:
+            f.write("boom")
+        path = _make_capture(watcher.data_root, "maint_late")
+        watcher.run_once()
+        with caplog.at_level(logging.WARNING, logger="tpu3dlm.pipeline.watch"):
+            assert watcher.run_once() == []  # deferred
+            assert watcher.run_once() == []  # still deferred, no re-warn
+        warnings = [
+            r for r in caplog.records if "QUARANTINED" in r.getMessage()
+        ]
+        assert len(warnings) == 1
+        assert not os.path.exists(os.path.join(path, FAILED_SENTINEL))
 
     def test_max_scans_bounds_run(self, watcher):
         _make_capture(watcher.data_root, "s1")

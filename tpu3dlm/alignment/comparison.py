@@ -78,7 +78,12 @@ class BBoxComparison:
             from tpu3dlm.utils.host import to_host
 
             matched_h, a_h = to_host((matched, a))
-            assign = np.where(matched_h, a_h, -1)[:n]
+            # trim the bucket padding on BOTH axes: drop padded rows (>= n)
+            # and treat an assignment to a padded column (>= m) as unmatched
+            # — the solver guarantees real rows never take forbidden pairs,
+            # but indexing comparison_records with a padded j must be
+            # impossible by construction, not by solver invariant
+            assign = np.where(matched_h & (a_h < m), a_h, -1)[:n]
 
         matched_cols = set(int(j) for j in assign if j >= 0)
         for i, rec in enumerate(self.base_records):

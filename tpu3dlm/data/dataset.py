@@ -356,9 +356,9 @@ def iter_scan_chunks(
                 _pad(rgb), _pad(depth), _pad(intrinsics), _pad(lbox)
             )
             rgb_size = _pad(rgb_size, fill=1)  # avoid 0-division in affines
-            pose_pad = np.zeros((pad, 7), np.float32)
-            pose_pad[:, 6] = 1.0  # identity quaternion
-            chunk_poses = np.concatenate([poses[start:stop], pose_pad])
+            from tpu3dlm.utils.shapes import pad_poses
+
+            chunk_poses = pad_poses(poses[start:stop], chunk_frames)
             chunk_ts = np.concatenate(
                 [timestamps[start:stop], np.zeros(pad, timestamps.dtype)]
             )

@@ -311,13 +311,11 @@ def tsdf_from_scan(
     # (N, 3) host array would cost up to ~240 MB h2d per capture at the
     # 20M-voxel cap. Padded voxels (index ≥ N) sit 1e6 m away → weight 0 →
     # NaN → trimmed; padded frames carry zero depth → weight 0 everywhere.
-    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0, pad_poses
 
     Nb = next_bucket(N, min_bucket=4096, quarter_from=4096)
     Fb = next_bucket(F, min_bucket=4, quarter_from=4)
-    poses_p = pad_axis0(poses, Fb)
-    if Fb != F:  # at Fb == F pad_axis0 returns the caller's array untouched
-        poses_p[F:, 6] = 1.0  # identity quats — zero quats make NaN matrices
+    poses_p = pad_poses(poses, Fb)
     intr_p = pad_axis0(intr_d, Fb, fill=1)
     depth_p = pad_axis0(depth, Fb)
 

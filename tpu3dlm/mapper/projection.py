@@ -199,16 +199,13 @@ def project_detections(
     different lengths reuse one compiled program in a long-lived serving
     process; padded frames carry ``mask=False`` and zero depth (their
     sampled median is invalid), so they contribute nothing."""
-    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0, pad_poses
 
     from tpu3dlm.utils.host import to_host
 
     F = int(np.asarray(det.mask).shape[0])
     Fb = next_bucket(F)
-    poses_p = pad_axis0(scan.poses, Fb)
-    if Fb != F:  # pad_axis0 returns the caller's array untouched at Fb == F
-        # (mutating that would alias — or raise on a read-only device view)
-        poses_p[F:, 6] = 1.0  # identity quats — zero quats normalize to NaN
+    poses_p = pad_poses(scan.poses, Fb)
     corners, mask = project_boxes(
         jnp.asarray(pad_axis0(det.boxes, Fb)),
         jnp.asarray(pad_axis0(det.mask, Fb, fill=False)),

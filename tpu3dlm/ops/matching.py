@@ -83,14 +83,33 @@ def auction_assign(
     # the spread-derived ε underflows price resolution (price + ε == price)
     # and the final phases spin at max_iters making no progress.
     finite = benefit > _NEG / 2
-    b_hi = jnp.max(jnp.where(finite, benefit, -jnp.inf))
-    b_lo = jnp.min(jnp.where(finite, benefit, jnp.inf))
+    # an all-forbidden matrix (e.g. zero label overlap between the two box
+    # sets) has no finite entries: the empty max/min would give b_hi=-inf /
+    # b_lo=+inf and poison the slack values below — use a 0/0 window so the
+    # whole problem degenerates cleanly to "every row takes its slack"
+    any_finite = jnp.any(finite)
+    b_hi = jnp.where(
+        any_finite, jnp.max(jnp.where(finite, benefit, -jnp.inf)), 0.0
+    )
+    b_lo = jnp.where(
+        any_finite, jnp.min(jnp.where(finite, benefit, jnp.inf)), 0.0
+    )
     spread = jnp.maximum(b_hi - b_lo, 1e-6)
     benefit = jnp.where(finite, (benefit - b_lo) / spread, _NEG)
-    # slack objects: row i may always take private column m+i at -unmatch_cost
+    # slack objects: row i may always take private column m+i at -unmatch_cost.
+    # The normalized slack must stay strictly ABOVE the forbidden sentinel
+    # (unmatch is always preferable to a forbidden pair): with a tiny spread
+    # and a large unmatch_cost the raw value can reach/cross _NEG, at which
+    # point rows "prefer" forbidden columns — clamp to -1e12. The clamp only
+    # binds when unmatch_cost > 1e12·spread, where every finite pair beats
+    # unmatching by such a margin that the distortion cannot change the
+    # optimal assignment (order slack-below-finite / slack-above-forbidden
+    # is preserved).
     slack = jnp.full((n, n), _NEG, jnp.float32)
     slack = slack.at[jnp.arange(n), jnp.arange(n)].set(
-        (-jnp.asarray(unmatch_cost, jnp.float32) - b_lo) / spread
+        jnp.maximum(
+            (-jnp.asarray(unmatch_cost, jnp.float32) - b_lo) / spread, -1e12
+        )
     )
     B = jnp.concatenate([benefit, slack], axis=1)  # (n, M) real rows only
 

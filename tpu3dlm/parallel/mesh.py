@@ -88,7 +88,17 @@ def distributed_init(
     """
     if jax.distributed.is_initialized():
         return  # distributed runtime already up
-    multi = (num_processes or 1) > 1
+    # "multi-process intent" is anything whose world size could exceed 1:
+    # an explicit num_processes > 1, or an auto-detected world size
+    # (num_processes=None with a coordinator / process_id / passthrough
+    # kwargs — cluster-detection modes). Swallowing a failed init for any
+    # of those would silently degrade collectives to local reductions.
+    # An explicit num_processes=1 is a known 1-process world → safe.
+    multi = (
+        num_processes > 1
+        if num_processes is not None
+        else (coordinator is not None or process_id is not None or bool(kwargs))
+    )
     try:
         if coordinator is None and num_processes is None and not kwargs:
             # single-host bring-up: a real coordinator on localhost

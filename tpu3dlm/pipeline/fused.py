@@ -34,7 +34,7 @@ def _pad_scan_frames(scan: Scan) -> Scan:
     identity-quaternion poses (zero quats normalize to NaN)."""
     import dataclasses
 
-    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0, pad_poses
 
     F = scan.num_frames
     # fine buckets (quarter-octave from 4): frames are the EXPENSIVE axis
@@ -44,8 +44,7 @@ def _pad_scan_frames(scan: Scan) -> Scan:
     Fb = next_bucket(F, min_bucket=4, quarter_from=4)
     if Fb == F:
         return scan
-    poses = pad_axis0(scan.poses, Fb)
-    poses[F:, 6] = 1.0
+    poses = pad_poses(scan.poses, Fb)
     letterbox = scan.letterbox
     if letterbox is not None:
         letterbox = pad_axis0(letterbox, Fb)

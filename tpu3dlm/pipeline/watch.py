@@ -16,9 +16,15 @@ long-running service:
 - marks completion with a ``.tpu3dlm_done`` sentinel (JSON: wall-clock,
   per-stage times, missing count) so restarts skip processed scans and
   operators get a per-scan record;
-- failures are quarantined with ``.tpu3dlm_failed`` + the traceback
+- failures RETRY with exponential backoff (``max_attempts``, default 3)
+  before being quarantined with ``.tpu3dlm_failed`` + the traceback
   (reference-parity loud-ingest semantics, tests/test_failure_handling)
-  instead of wedging the service loop.
+  instead of wedging the service loop — so a transient outage (device
+  tunnel blip, NFS hiccup) doesn't permanently drop a healthy capture,
+  while a genuinely corrupt one converges to quarantine;
+- failures of the SHARED gold baseline (bootstrap error, gold pickle
+  unreadable) are never blamed on the maintenance capture being
+  processed: the capture is deferred and retried next cycle, unpenalised.
 
 TPU-native payoff: every scan reuses the SAME compiled stage programs and
 device-resident weights (utils/jitcache + task._cached_device_weights) —
@@ -81,6 +87,7 @@ class ScanWatcher:
         config_path: str,
         poll_interval: float = 5.0,
         max_scans: int | None = None,
+        max_attempts: int = 3,
     ):
         from tpu3dlm.utils.config import ConfigLoader, write_default_config
 
@@ -89,6 +96,7 @@ class ScanWatcher:
         self.config_path = config_path
         self.poll_interval = poll_interval
         self.max_scans = max_scans
+        self.max_attempts = max(1, max_attempts)
         self._loader = ConfigLoader
         self.cfg_goldstd = ConfigLoader(config_path, "gold_std")
         self.data_root = os.path.dirname(
@@ -96,6 +104,9 @@ class ScanWatcher:
         )
         self.logger = logging.getLogger(__name__)
         self._pending_fp: dict[str, tuple] = {}
+        self._attempts: dict[str, int] = {}
+        self._retry_after: dict[str, float] = {}
+        self._warned_gold_failed = False
         self.processed: list[str] = []
 
     # -- discovery ---------------------------------------------------------
@@ -113,6 +124,8 @@ class ScanWatcher:
                 os.path.join(path, FAILED_SENTINEL)
             ):
                 continue
+            if time.monotonic() < self._retry_after.get(name, 0.0):
+                continue  # failed recently — backing off before the retry
             fp = _folder_fingerprint(path)
             if self._pending_fp.get(name) == fp:
                 ready.append(name)
@@ -132,9 +145,25 @@ class ScanWatcher:
         if os.path.exists(self.cfg_goldstd.pickle_path):
             return False
         gold_path = os.path.join(self.data_root, "gold_std")
-        return os.path.isdir(gold_path) and _is_capture(gold_path) and not (
+        pending = os.path.isdir(gold_path) and _is_capture(gold_path) and not (
             os.path.exists(os.path.join(gold_path, DONE_SENTINEL))
         )
+        if pending and os.path.exists(os.path.join(gold_path, FAILED_SENTINEL)):
+            # gold itself is quarantined: nothing can proceed until an
+            # operator fixes the capture and clears the sentinel. Without
+            # this warning the service would defer every maintenance scan
+            # forever with only a misleading "not processed yet" message.
+            if not self._warned_gold_failed:
+                self.logger.warning(
+                    "gold_std capture is QUARANTINED (%s) — every "
+                    "maintenance scan is deferred until the sentinel is "
+                    "cleared and gold_std reprocesses",
+                    os.path.join(gold_path, FAILED_SENTINEL),
+                )
+                self._warned_gold_failed = True
+        else:
+            self._warned_gold_failed = False
+        return pending
 
     def _ensure_gold(self):
         """Bootstrap the gold baseline from the CONFIGURED gold data folder
@@ -154,27 +183,38 @@ class ScanWatcher:
 
         path = os.path.join(self.data_root, folder)
         t0 = time.perf_counter()
+        goldstd_var = None
+        if folder != "gold_std":
+            if self._gold_pending():
+                self.logger.info(
+                    "scan %s deferred: gold_std capture not processed yet",
+                    folder,
+                )
+                return False
+            try:
+                self._ensure_gold()
+                goldstd_var = load_gold_std(self.cfg_goldstd.pickle_path)
+            except Exception:
+                # the SHARED baseline failed, not this capture — deferring
+                # (retry next cycle) instead of quarantining keeps a gold
+                # bootstrap error or unreadable pickle from permanently
+                # dropping every healthy maintenance scan
+                self.logger.exception(
+                    "gold baseline unavailable — scan %s deferred", folder
+                )
+                return False
         try:
             if folder == "gold_std":
                 pipeline = setup_pipeline("gold_std", self.cfg_goldstd, None)
             else:
-                if self._gold_pending():
-                    self.logger.info(
-                        "scan %s deferred: gold_std capture not processed yet",
-                        folder,
-                    )
-                    return False
-                self._ensure_gold()
-                goldstd_var = load_gold_std(self.cfg_goldstd.pickle_path)
                 cfg = self._loader(self.config_path, folder)
                 pipeline = setup_pipeline(
                     folder, cfg, self.cfg_goldstd, goldstd_var=goldstd_var
                 )
         except Exception:
-            with open(os.path.join(path, FAILED_SENTINEL), "w") as f:
-                f.write(traceback.format_exc())
-            self.logger.exception("scan %s failed — quarantined", folder)
-            return True
+            return self._record_failure(folder, path)
+        self._attempts.pop(folder, None)
+        self._retry_after.pop(folder, None)
         record = {
             "folder": folder,
             "wall_clock_s": round(time.perf_counter() - t0, 3),
@@ -195,6 +235,43 @@ class ScanWatcher:
         self.processed.append(folder)
         self.logger.info(
             "scan %s done in %.2f s", folder, record["wall_clock_s"]
+        )
+        return True
+
+    def _record_failure(self, folder: str, path: str) -> bool:
+        """Handle a processing failure (called from an except block).
+
+        Retries with exponential backoff up to ``max_attempts`` so a
+        transient environment failure (device tunnel blip, NFS hiccup)
+        doesn't permanently drop a healthy capture; only a capture that
+        keeps failing is quarantined with the FAILED sentinel."""
+        n = self._attempts.get(folder, 0) + 1
+        self._attempts[folder] = n
+        if n < self.max_attempts:
+            delay = self.poll_interval * (2 ** n)
+            self._retry_after[folder] = time.monotonic() + delay
+            self.logger.exception(
+                "scan %s failed (attempt %d/%d) — retrying in %.0f s",
+                folder, n, self.max_attempts, delay,
+            )
+            return False
+        try:
+            with open(os.path.join(path, FAILED_SENTINEL), "w") as f:
+                f.write(traceback.format_exc())
+        except OSError:
+            # the quarantine write itself failing (folder retracted by the
+            # uploader, disk full) must not take down the service loop; the
+            # in-memory backoff entry below still stops a hot retry spin
+            self._retry_after[folder] = time.monotonic() + self.poll_interval * (
+                2 ** n
+            )
+            self.logger.exception(
+                "scan %s failed AND its FAILED sentinel could not be "
+                "written — will re-attempt after backoff", folder,
+            )
+            return False
+        self.logger.exception(
+            "scan %s failed %d times — quarantined", folder, n
         )
         return True
 
@@ -239,8 +316,12 @@ def main(argv=None):
         "--max-scans", type=int, default=None,
         help="Exit after N scans (default: run forever).",
     )
+    ap.add_argument(
+        "--max-attempts", type=int, default=3,
+        help="Failures tolerated per capture (with backoff) before quarantine.",
+    )
     args = ap.parse_args(argv)
-    ScanWatcher(args.config, args.poll, args.max_scans).run()
+    ScanWatcher(args.config, args.poll, args.max_scans, args.max_attempts).run()
 
 
 if __name__ == "__main__":

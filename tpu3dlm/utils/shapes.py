@@ -53,3 +53,24 @@ def pad_axis0(x, size: int, fill=0):
         return x
     pad = np.full((size - x.shape[0],) + x.shape[1:], fill, x.dtype)
     return np.concatenate([x, pad], axis=0)
+
+
+def pad_poses(poses, size: int):
+    """Pad a (F, 7) xyz+quat pose array along axis 0 to ``size`` frames
+    with IDENTITY poses (zero translation, quaternion w = 1).
+
+    All-zero pad rows are a latent NaN bomb: a zero quaternion normalizes
+    to NaN rotation matrices, which then poison any masked reduction that
+    multiplies before masking. Every frame-axis bucketing site must pad
+    poses through this helper so the invariant is un-forgettable.
+
+    Like :func:`pad_axis0`, returns the caller's array untouched when no
+    padding is needed (never mutates caller memory — only the freshly
+    concatenated pad rows are written).
+    """
+    poses = np.asarray(poses)
+    if poses.shape[0] >= size:
+        return poses
+    pad = np.zeros((size - poses.shape[0],) + poses.shape[1:], poses.dtype)
+    pad[:, 6] = 1.0
+    return np.concatenate([poses, pad], axis=0)
