@@ -167,6 +167,13 @@ def main():
     except Exception:
         pass
 
+    # Backend watchdog: the remote TPU backend can go UNAVAILABLE for hours
+    # (init hangs ~4 min then errors — observed 2026-08-17). A hung bench
+    # tells the driver nothing — fail FAST with a diagnostic JSON line.
+    from tpu3dlm.utils.backend import require_backend
+
+    require_backend("rgbd_detect_project_frames_per_sec_per_chip")
+
     # batch sweep on v5e-1 (round 3, after the MXU median-sampling fix):
     # 128 → 3455, 256 → 3658 fps. Before the fix the projection gather
     # bottlenecked the step and 128 was the sweet spot (PERF.md)

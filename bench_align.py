@@ -83,6 +83,10 @@ def main():
     except Exception:
         pass
 
+    from tpu3dlm.utils.backend import require_backend
+
+    require_backend("two_map_align_match_wall_clock", unit="s")
+
     n_target = int(os.environ.get("BENCH_ALIGN_POINTS", "1000000"))
     iters = int(os.environ.get("BENCH_ALIGN_ITERS", "30"))
 

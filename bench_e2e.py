@@ -124,6 +124,10 @@ def main() -> None:
     except Exception:
         pass
 
+    from tpu3dlm.utils.backend import require_backend
+
+    require_backend("e2e_two_scan_pipeline_seconds", unit="s")
+
     fused = os.environ.get("BENCH_E2E_FUSED", "1") != "0"
     # warm-up run pays one-time compiles; the measured run is the serving
     # per-NEW-capture cost: a fresh project in the warm process (traced

@@ -118,6 +118,10 @@ def main():
     except Exception:
         pass
 
+    from tpu3dlm.utils.backend import require_backend
+
+    require_backend("serving_per_capture_s_varied_sizes", unit="s")
+
     # warm every bucket: run each size once (compiles amortise here)
     for nf, ppm2, dropped in SIZES:
         run_capture(nf, ppm2, dropped)

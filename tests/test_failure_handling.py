@@ -115,3 +115,33 @@ class TestCheckpointFailures:
         template = big.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         with pytest.raises(Exception):
             load_flax_checkpoint(p, template)
+
+
+class TestBackendProbe:
+    def test_probe_backend_succeeds_on_cpu(self):
+        """The bench watchdog's tiny-op probe completes on a healthy
+        backend and reports its wall-clock (utils/backend.py — benches
+        fail fast with a JSON diagnostic when the remote TPU is down)."""
+        from tpu3dlm.utils.backend import probe_backend
+
+        took = probe_backend(60.0)
+        assert took is not None and took < 60.0
+
+    def test_probe_backend_timeout_returns_none(self, monkeypatch):
+        """A probe that cannot finish inside the deadline reports None
+        (the caller hard-exits with the diagnostic) instead of hanging."""
+        import threading
+
+        import tpu3dlm.utils.backend as backend_mod
+
+        class _StuckThread:
+            def __init__(self, target=None, daemon=None):
+                pass  # never runs the target — simulates a hung dispatch
+
+            def start(self):
+                pass
+
+        monkeypatch.setattr(
+            backend_mod.threading, "Thread", _StuckThread
+        )
+        assert backend_mod.probe_backend(0.05) is None
