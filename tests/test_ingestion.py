@@ -276,6 +276,42 @@ class TestScanCache:
         np.testing.assert_array_equal(np.asarray(s1.depth), np.asarray(s2.depth))
         np.testing.assert_array_equal(np.asarray(s1.poses), np.asarray(s2.poses))
 
+    def test_cache_hit_serves_live_poses(self, scan_dir):
+        """poses.txt rewritten in place (same frame count — e.g. a re-run
+        pose-graph optimization) must flow through a pack-cache HIT: the
+        source fingerprint covers image bytes only, so the cached return
+        has to serve the live poses, not the pack's stored copy (matching
+        the streaming path)."""
+        root, scene = scan_dir
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        pose_path = os.path.join(root, "gold_std", "poses.txt")
+        kwargs = dict(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=os.path.join(base, "calibration"),
+            pose_path=pose_path,
+            img_size=160,
+        )
+        from tpu3dlm.data.dataset import load_scan as _ls
+
+        s1 = _ls(**kwargs, cache=True)  # builds + writes the pack
+        # rewrite poses in place: shift every translation by +1 in x
+        # (first line is the header — load_poses skiprows=1)
+        lines = open(pose_path).read().strip().splitlines()
+        out = [lines[0]]
+        for ln in lines[1:]:
+            parts = ln.split()
+            parts[1] = str(float(parts[1]) + 1.0)
+            out.append(" ".join(parts))
+        with open(pose_path, "w") as f:
+            f.write("\n".join(out) + "\n")
+        s2 = _ls(**kwargs, cache=True)  # pack cache hit (images unchanged)
+        np.testing.assert_array_equal(np.asarray(s1.rgb), np.asarray(s2.rgb))
+        np.testing.assert_allclose(
+            np.asarray(s2.poses)[:, 0], np.asarray(s1.poses)[:, 0] + 1.0,
+            atol=1e-5,
+        )
+
     def _stream_kwargs(self, root, img_size=160):
         base = os.path.join(root, "gold_std", "rtabmap_extract")
         return dict(

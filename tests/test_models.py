@@ -275,7 +275,13 @@ class TestUltralyticsPackageGolden:
             out_t = dm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
         if isinstance(out_t, tuple):  # some versions return (y, raw)
             out_t = out_t[-1]
-        assert isinstance(out_t, dict) and "one2one" in out_t, type(out_t)
+        # loud contract check: an upstream release changing v10Detect's
+        # training-mode output shape must fail HERE with the version named,
+        # not downstream as a confusing tensor mismatch
+        assert isinstance(out_t, dict) and "one2one" in out_t, (
+            f"ultralytics {getattr(ultralytics, '__version__', '?')} "
+            f"v10Detect training-mode output contract changed: {type(out_t)}"
+        )
 
         out_f = model.apply(variables, jnp.array(img))
         for branch in ("one2many", "one2one"):

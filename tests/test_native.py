@@ -124,6 +124,28 @@ class TestScanpackMemmap:
             fp.truncate(os.path.getsize(p) - 16)
         assert scanpack_memmap(p) is None
 
+    def test_corrupt_dims_rejected(self, tmp_path, rng):
+        """Garbage dims behind a valid magic must read as 'invalid pack'
+        (None → callers rebuild), not crash np.memmap / the caller's
+        allocations: a negative total even defeats the truncation check."""
+        from tpu3dlm.native import scanpack_create, scanpack_finalize, scanpack_memmap
+
+        p = str(tmp_path / "scan.pack")
+        scanpack_create(p, 3, 8, 6, 10, 7)
+        scanpack_finalize(p)
+        for bad in ([-3, 8, 6, 10, 7], [3, 8, 0, 10, 7], [3, 8, 6, 10, 2**40]):
+            with open(p, "r+b") as fp:
+                fp.seek(8)
+                fp.write(np.asarray(bad, np.int64).tobytes())
+            assert scanpack_memmap(p) is None
+            assert scanpack_read(p) is None
+        # restore good dims: the pack reads again (corruption was the only
+        # thing rejecting it)
+        with open(p, "r+b") as fp:
+            fp.seek(8)
+            fp.write(np.asarray([3, 8, 6, 10, 7], np.int64).tobytes())
+        assert scanpack_memmap(p) is not None
+
 
 class TestNativeNormals:
     def test_plane_normals_match_numpy_semantics(self, lib, rng):

@@ -285,8 +285,16 @@ class TestDistributedInit:
         host), not a virtual-device simulation. Both must agree on the
         globally-reduced value."""
         import os
+        import socket
         import subprocess
         import sys
+
+        # ephemeral coordinator port: a hardcoded one collides when two
+        # suite runs share the machine (bind-then-release keeps the race
+        # window tiny)
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
 
         code = (
             "import sys\n"
@@ -295,7 +303,7 @@ class TestDistributedInit:
             "jax.config.update('jax_cpu_collectives_implementation', 'gloo')\n"
             "from tpu3dlm.parallel.mesh import distributed_init\n"
             "pid = int(sys.argv[1])\n"
-            "distributed_init(coordinator='localhost:12961',\n"
+            f"distributed_init(coordinator='localhost:{port}',\n"
             "                 num_processes=2, process_id=pid)\n"
             "assert jax.process_count() == 2\n"
             "import numpy as np\n"
@@ -327,7 +335,12 @@ class TestDistributedInit:
             )
             for i in range(2)
         ]
-        outs = [p.communicate(timeout=300) for p in procs]
+        try:
+            outs = [p.communicate(timeout=300) for p in procs]
+        finally:
+            for p in procs:  # a timeout must not leave the sibling running
+                if p.poll() is None:
+                    p.kill()
         for i, (p, (out, err)) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i} rc={p.returncode}: {err[-800:]}"
             assert f"proc {i} psum-ok" in out, (out, err[-400:])

@@ -422,9 +422,16 @@ def load_scan(
                 pack_path,
                 _source_fingerprint(image_dir, depth_image_dir, pairs_now[:n]),
             ):
+                # serve the LIVE poses, not the pack's stored copy: the
+                # fingerprint covers image bytes only, so a poses.txt
+                # rewritten in place (re-run pose-graph optimization, same
+                # frame count) must not project detections with stale
+                # poses — and the streaming path (iter_scan_chunks) already
+                # serves live poses, so the two paths stay consistent
+                del poses7
                 return Scan(
                     rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
-                    poses=poses7, timestamps=timestamps[:n],
+                    poses=poses_now[:n], timestamps=timestamps[:n],
                 )
 
     pairs = _pair_filenames(image_dir, depth_image_dir)

@@ -153,6 +153,8 @@ def scanpack_read(path: str):
     if rc != 0:
         return None
     f, h, w, hd, wd = (int(x) for x in dims)
+    if min(f, h, w, hd, wd) <= 0 or max(f, h, w, hd, wd) > 10**9:
+        return None  # corrupt dims behind a valid magic (see scanpack.cpp)
     rgb = np.empty((f, h, w, 3), np.uint8)
     depth = np.empty((f, hd, wd), np.float32)
     intr = np.empty((f, 4), np.float32)
@@ -204,6 +206,12 @@ def scanpack_memmap(path: str, mode: str = "r"):
     if len(hdr) != _PACK_HEADER or hdr[:8] != _PACK_MAGIC:
         return None
     f, h, w, hd, wd = (int(x) for x in np.frombuffer(hdr, np.int64, 5, 8))
+    # dims sanity: corrupt header bytes can pass the magic check with
+    # negative/absurd dims — a negative total defeats the truncation check
+    # below and np.memmap then raises instead of honoring the documented
+    # "None if invalid" contract (callers treat None as rebuild-the-pack)
+    if min(f, h, w, hd, wd) <= 0 or max(f, h, w, hd, wd) > 10**9:
+        return None
     offs = _pack_offsets(f, h, w, hd, wd)
     if os.path.getsize(path) < offs["total"]:
         return None  # truncated

@@ -69,6 +69,16 @@ int tpu3dlm_scanpack_read(const char* path, int64_t* dims_out, uint8_t* rgb,
         std::fclose(fp);
         return -3;
     }
+    // corrupt header bytes can carry the magic but garbage dims; negative
+    // or absurd dims must read as "invalid pack" (callers rebuild), not
+    // overflow the size arithmetic below or the caller's allocations
+    const int64_t kDimCap = 1000000000;
+    if (hdr.f <= 0 || hdr.h <= 0 || hdr.w <= 0 || hdr.hd <= 0 ||
+        hdr.wd <= 0 || hdr.f > kDimCap || hdr.h > kDimCap ||
+        hdr.w > kDimCap || hdr.hd > kDimCap || hdr.wd > kDimCap) {
+        std::fclose(fp);
+        return -4;
+    }
     dims_out[0] = hdr.f; dims_out[1] = hdr.h; dims_out[2] = hdr.w;
     dims_out[3] = hdr.hd; dims_out[4] = hdr.wd;
     if (!rgb) {  // probe mode
