@@ -147,9 +147,10 @@ class TestFusedRunner:
         )
         np.testing.assert_array_equal(d_s.damage, np.asarray(d_whole.damage))
 
-        # memory bound: never more than max_inflight+1 chunks pending, and
-        # draining interleaves with production (not all-produce-then-drain)
-        assert fused.stream_peak_inflight <= 2
+        # memory bound: never more than max_inflight chunks pending (the
+        # documented O(chunk_frames · max_inflight) bound), and draining
+        # interleaves with production (not all-produce-then-drain)
+        assert fused.stream_peak_inflight <= 1
         first_drain = events.index(("drain", 2))
         assert ("produce", 1) in events[:first_drain + 1] or events[
             first_drain + 1

@@ -309,6 +309,22 @@ class TestAuction:
         assert not bool(np.asarray(matched).any())
         assert np.asarray(assign).tolist() == [-1, -1, -1]
 
+    def test_max_iters_exhaustion_is_conservative(self, rng):
+        """A bound too small to finish the phases must fail CONSERVATIVELY:
+        whatever comes back is in-range and column-unique, with incomplete
+        rows reading as unmatched (-1) — never fabricated matches. (The
+        default bound is now derived from the problem size, so exhaustion
+        only happens with an explicit caller-supplied bound.)"""
+        cost = rng.uniform(0, 10, size=(8, 8)).astype(np.float32)
+        assign, matched = auction_assign(
+            jnp.array(cost), unmatch_cost=1e6, max_iters=2
+        )
+        a, mk = np.asarray(assign), np.asarray(matched)
+        assert (a[~mk] == -1).all()
+        cols = a[mk]
+        assert ((cols >= 0) & (cols < 8)).all()
+        assert len(set(cols.tolist())) == len(cols)  # no duplicate columns
+
     def test_tiny_spread_huge_unmatch(self):
         """With a near-zero cost spread and a huge unmatch cost the
         normalized slack used to underflow past the forbidden sentinel

@@ -104,6 +104,22 @@ class TestDepthCodec:
             reinterpret_depth(mm), mm.astype(np.float32) / 1000.0
         )
 
+    def test_16bit_4channel_rejected(self, tmp_path):
+        """A 16-bit RGBA PNG passes the CV_8UC4 SHAPE check but its bytes
+        are not a float32 stream — byte-viewing uint16 pairs would produce
+        garbage depth. The decoder must reject on dtype, loudly."""
+        import cv2
+
+        import pytest
+
+        rgba16 = np.full((2, 2, 4), 1234, np.uint16)
+        path = str(tmp_path / "depth16rgba.png")
+        assert cv2.imwrite(path, rgba16)
+        raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        assert raw.dtype == np.uint16 and raw.shape[2] == 4  # premise holds
+        with pytest.raises(ValueError, match="neither CV_8UC4 nor 16UC1"):
+            load_depth_image(path, 2, 2)
+
 
 class TestPoses:
     def test_load_poses(self, scan_dir):

@@ -99,7 +99,10 @@ def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarr
                 depth, (depth_width, depth_height), interpolation=cv2.INTER_NEAREST
             )
         return depth
-    if raw.ndim != 3 or raw.shape[2] != 4:
+    # the CV_8UC4 reinterpret is only meaningful over uint8 bytes: a 16-bit
+    # 4-channel PNG would pass the shape check and view uint16 pairs as
+    # float32 garbage (rtabmap_db.reinterpret_depth makes the same demand)
+    if raw.ndim != 3 or raw.shape[2] != 4 or raw.dtype != np.uint8:
         raise ValueError(
             f"depth PNG {path} is neither CV_8UC4 nor 16UC1 "
             f"(shape {raw.shape}, dtype {raw.dtype})"

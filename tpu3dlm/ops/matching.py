@@ -23,11 +23,14 @@ observed 103 s on a 200×200 uniform instance.
 
 The dummies are *identical* bidders, so naive row-wise bidding serializes:
 every unassigned dummy chases the same cheapest object and they settle one
-per round. They are instead handled as one Bertsekas "similar persons"
-class: each round the class's u unassigned members collectively bid on the
-u cheapest not-class-owned objects, all priced at (the (u+1)-th cheapest
-candidate) + ε — the class-side ε-CS this maintains is exactly the
-single-row condition each identical dummy would enforce. This keeps rounds
+per round. They are instead handled as one Bertsekas-style "similar
+persons" class: each round the class's u unassigned members collectively
+take the u cheapest not-class-owned objects, each priced at ITS OWN price
++ ε (NOT the textbook (u+1)-th-cheapest bid — see the body comment: that
+collective overbid inflates prices far beyond what serial member-by-member
+bidding reaches and pushes real rows off columns they should win; the
+own-price+ε rule adds ≤ (m + #steals)·ε total class-driven inflation,
+which folds into the N·ε optimality bound). This keeps rounds
 proportional to the real rows' price dynamics, not to m.
 
 (Per-round cost note: ``lax.top_k`` lowers to a sort-based kernel that is
@@ -52,7 +55,7 @@ _NEG = -1e15
 def auction_assign(
     cost: jax.Array,  # (n, m) costs; jnp.inf = forbidden pair
     unmatch_cost: float | jax.Array = 1e9,
-    max_iters: int = 100_000,
+    max_iters: int | None = None,
     phases: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
     """Minimum-cost assignment with a per-row unmatch option.
@@ -64,14 +67,22 @@ def auction_assign(
     and ε interpolates geometrically from 1/4 down to 1e-3/(N+1), so the
     final assignment is N·ε-optimal = 1e-3·spread-optimal in total cost.
     ``max_iters`` bounds the bidding rounds of each phase. The optimality
-    bound assumes every phase ends complete (see module docstring); a
-    phase exhausting max_iters incomplete would carry stale prices forward
-    silently. Every row always has its private slack to bid on, so with
-    normalized benefits a phase needs O(1/ε) ≈ 4·(N+1)·10³ rounds worst
-    case at the finest ε — far under the 10⁵ default for the box-matching
-    sizes this serves; raise ``max_iters`` alongside any much larger use.
+    bound assumes every phase ends complete (see module docstring).
+    Every row always has its private slack to bid on, so with normalized
+    benefits a phase needs O(1/ε) ≈ 4·(N+1)·10³ rounds worst case at the
+    finest ε; the default (None) derives exactly that bound from the
+    problem size — a while_loop bound costs nothing unless hit — so
+    exhaustion is unreachable for well-posed inputs at any size. Should a
+    caller-supplied bound still exhaust mid-phase, the failure is
+    CONSERVATIVE, not garbage: objects left unowned give their rows
+    assign = -1 / matched = False (over-reporting "missing", never
+    fabricating a match).
     """
     n, m = cost.shape
+    if max_iters is None:
+        # worst-case bidding rounds of the finest-ε phase (see docstring);
+        # capped so the int32 loop counter cannot wrap on absurd sizes
+        max_iters = min(4 * (n + m + 1) * 1000 + 1000, 2**31 - 2)
     benefit = jnp.where(jnp.isfinite(cost), -cost.astype(jnp.float32), _NEG)
     M = m + n  # objects: real columns + private slacks
     N = n + m  # bidders: real rows + the m-member dummy class

@@ -249,12 +249,17 @@ class FusedScanRunner:
             gbs.append(gb)
 
         for scan, valid in chunks:
+            # drain BEFORE dispatching: appending first would hold
+            # max_inflight+1 chunks of device buffers at once, breaking the
+            # documented O(chunk_frames · max_inflight) bound users size
+            # HBM against (dispatch is async, so draining the oldest chunk
+            # first costs no overlap — the new chunk enqueues right after)
+            while len(pending) >= max_inflight:
+                drain_one()
             pending.append((self._dispatch(scan), valid))
             self.stream_peak_inflight = max(
                 self.stream_peak_inflight, len(pending)
             )
-            while len(pending) > max_inflight:
-                drain_one()
         while pending:
             drain_one()
 
