@@ -167,6 +167,42 @@ class TestGlobalInit:
             align.final_transform, np.linalg.inv(Tw), atol=0.05
         )
 
+    def test_empty_map_fails_loudly(self, scans):
+        """A comparison capture with NO registration geometry must fail
+        with a clear message, not a bare ZeroDivisionError from the
+        subsample tiler."""
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        align = Alignment(
+            gold.poses, np.zeros((0, 7), np.float32), {0: []}, {0: []},
+            base_cloud=gold_cloud, comparison_cloud=np.zeros((0, 3), np.float32),
+            max_points=1024, icp_iterations=2,
+        )
+        with pytest.raises(ValueError, match="empty point set"):
+            align.compare("maintenance")
+
+    def test_empty_base_cloud_keeps_point_to_point(self, scans, monkeypatch):
+        """An EMPTY (but non-None) base_cloud falls back to pose+corner
+        registration geometry, whose 'normals' are meaningless — the
+        point-to-plane path (and its normal estimation) must not run."""
+        import tpu3dlm.ops.pointcloud as pc
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+
+        def boom(*a, **k):
+            raise AssertionError("estimate_normals_grid must not run on the "
+                                 "sparse fallback geometry")
+
+        monkeypatch.setattr(pc, "estimate_normals_grid", boom)
+        base_boxes = _boxes_from_signs(gold.signs)
+        comp_boxes = _boxes_from_signs(maint.signs, T=Tw)
+        align = Alignment(
+            gold.poses, maint.poses, base_boxes, comp_boxes,
+            base_cloud=np.zeros((0, 3), np.float32),
+            comparison_cloud=np.zeros((0, 3), np.float32),
+            max_points=1024, icp_iterations=5,
+        )
+        align.compare("maintenance")  # must not trip the boom
+
     def test_auto_keeps_centroid_when_unrotated(self, scans):
         """auto must not inject a rotation step on an in-basin scan — the
         recorded-transform contract of the default path stays intact."""

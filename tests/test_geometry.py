@@ -82,6 +82,36 @@ class TestSO3LogExp:
         R = G.so3_exp(jnp.array([1e-9, 0.0, 0.0]))
         np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
 
+    def test_log_near_and_at_pi(self):
+        """Regression: the skew-part-only log returned [0,0,0] for a 180°
+        rotation (w = (R−Rᵀ)∨ cancels while the rotation is maximal), so
+        se3_interpolate replays of turned-around scans silently dropped
+        the rotation. The full-range log must recover θ≈π exactly, for
+        axis-aligned AND oblique axes."""
+        for axis in ([1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [0.3, -0.8, 0.52]):
+            u = np.asarray(axis, np.float64)
+            u /= np.linalg.norm(u)
+            for theta in (np.pi, np.deg2rad(179.9), np.deg2rad(173.0)):
+                R = np.asarray(G.so3_exp(jnp.array(u * theta, dtype=jnp.float32)))
+                w = np.asarray(G.so3_log(jnp.array(R)))
+                # f32 arccos conditioning near ±1 bounds angle accuracy to
+                # ~sqrt(eps) ≈ 5e-4 rad (0.03°) — far below the [0,0,0]
+                # failure this guards against
+                assert abs(np.linalg.norm(w) - theta) < 2e-3
+                R2 = np.asarray(G.so3_exp(jnp.array(w)))
+                np.testing.assert_allclose(R2, R, atol=2e-3)
+
+    def test_se3_interpolate_halves_a_180_turn(self):
+        """Half of a 180° turn-in-place must compose back to the full turn
+        (the flipped-scan animation contract: alignment/visualise.py
+        replays the PCA init's big-rotation step through this)."""
+        R = np.asarray(G.so3_exp(jnp.array([0.0, 0.0, np.pi], jnp.float32)))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = [1.0, 2.0, 0.0]
+        H = np.asarray(G.se3_interpolate(jnp.array(T), jnp.float32(0.5)))
+        np.testing.assert_allclose(H @ H, T, atol=1e-4)
+
     def test_se3_interpolate_full_is_identity_transform(self, rng):
         pose = jnp.array([0.3, 0.1, -0.4, *(_random_quat(rng))], dtype=jnp.float32)
         T = G.pose_to_matrix(pose)

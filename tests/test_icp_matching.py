@@ -207,6 +207,41 @@ class TestICP:
             T = np.asarray(res.step_transforms)[i] @ T
         np.testing.assert_allclose(T, np.asarray(res.transform), atol=1e-5)
 
+    def test_zero_inliers_report_inf_rmse(self, rng):
+        """A registration where NOTHING matches within the radius must not
+        report a perfect fit: rmse used to come out 0.0 with all weights
+        zero, outranking every honest solve. It must be inf, with
+        inlier_frac 0 and an identity (finite) transform."""
+        target = rng.uniform(-1, 1, size=(200, 3)).astype(np.float32)
+        source = target + np.array([500.0, 0.0, 0.0], np.float32)  # far away
+        res = icp(jnp.array(source), jnp.array(target), iterations=3,
+                  max_correspondence_dist=0.05)
+        assert np.isinf(float(res.rmse))
+        assert float(res.inlier_frac) == 0.0
+        assert np.isfinite(np.asarray(res.transform)).all()
+
+    def test_final_metrics_describe_returned_transform(self, rng):
+        """rmse/inlier_frac must be measured under the RETURNED transform,
+        not the previous iterate (the in-loop residual is evaluated before
+        the iteration's increment is applied): recompute the residual under
+        res.transform independently and demand agreement after a deliberately
+        unconverged run."""
+        from scipy.spatial import cKDTree
+
+        target = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+        source = target + np.array([0.4, 0.0, 0.0], np.float32)
+        res = icp(jnp.array(source), jnp.array(target), iterations=1,
+                  max_correspondence_dist=0.5)
+        T = np.asarray(res.transform)
+        moved = source @ T[:3, :3].T + T[:3, 3]
+        d, _ = cKDTree(target).query(moved)
+        w = d <= 0.5
+        want_rmse = np.sqrt(np.mean(d[w] ** 2)) if w.any() else np.inf
+        np.testing.assert_allclose(float(res.rmse), want_rmse, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(res.inlier_frac), w.mean(), atol=1e-6
+        )
+
     def test_centroid_align(self, rng):
         a = rng.normal(size=(100, 3)).astype(np.float32)
         b = a + np.array([5.0, -3.0, 2.0], np.float32)

@@ -76,6 +76,13 @@ def _records_to_frame_dict(records: list[dict]) -> dict[int, list[list]]:
 
 
 def _subsample(points: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    if points.shape[0] == 0:
+        # a bare ZeroDivisionError from the tiling below is a terrible
+        # diagnostic for "this capture produced no registration geometry"
+        raise ValueError(
+            "cannot subsample an empty point set — the map has no cloud, "
+            "poses, or boxes to register with"
+        )
     if points.shape[0] <= n:
         reps = -(-n // points.shape[0])
         return np.tile(points, (reps, 1))[:n]
@@ -210,8 +217,13 @@ class Alignment:
         Tc = centroid_align_np(comp_s, base_s)
         cands = pca_init_candidates_np(comp_s, base_s)
         Ts = np.concatenate([Tc[None], cands])
+        from functools import partial
+
         res = np.asarray(
-            jax.vmap(init_residual, in_axes=(None, None, 0))(q, t, jnp.asarray(Ts))
+            jax.vmap(
+                partial(init_residual, use_pallas=self.use_pallas),
+                in_axes=(None, None, 0),
+            )(q, t, jnp.asarray(Ts))
         )
         box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
         if box[0] is not None:
@@ -275,7 +287,12 @@ class Alignment:
         # sparse pose+box fallback geometry has no meaningful normals, so it
         # keeps the point-to-point solve.
         normals_np = None
-        if self.base_cloud is not None and len(base_s) >= 1000:
+        # gate on the ACTUAL registration target being the real cloud: an
+        # empty-but-not-None base_cloud falls back to sparse pose+corner
+        # geometry in _registration_sets, whose "normals" are meaningless —
+        # that case must keep the point-to-point solve
+        base_is_cloud = self.base_cloud is not None and len(self.base_cloud) > 0
+        if base_is_cloud and len(base_s) >= 1000:
             from tpu3dlm.ops.pointcloud import estimate_normals_grid
 
             normals_np = estimate_normals_grid(base_s)

@@ -124,12 +124,14 @@ class VisualiseAlignment:
         """4×4 rigid transform from a matrix or the reference's (R, center)
         rotation tuple (visualise.py:89-96)."""
         if isinstance(transformation, tuple):
+            from tpu3dlm.ops.icp import rotation_about
+
             R, center = transformation
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = np.asarray(R, np.float32)
-            c = np.asarray(center, np.float32)
-            T[:3, 3] = c - T[:3, :3] @ c
-            return T
+            return np.asarray(
+                rotation_about(
+                    jnp.asarray(R, jnp.float32), jnp.asarray(center, jnp.float32)
+                )
+            )
         return np.asarray(transformation, np.float32)
 
     def _apply_incremental_transformation(

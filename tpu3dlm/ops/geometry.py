@@ -122,29 +122,52 @@ def camera_direction(pose: Array, forward: Array | None = None) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _skew(k: Array) -> Array:
+    """Cross-product matrix [k]× of a 3-vector."""
+    return jnp.array(
+        [
+            [0.0, -k[2], k[1]],
+            [k[2], 0.0, -k[0]],
+            [-k[1], k[0], 0.0],
+        ],
+        dtype=k.dtype,
+    )
+
+
 def so3_log(R: Array) -> Array:
-    """Rotation matrix → axis-angle vector (omega, |omega| = angle)."""
+    """Rotation matrix → axis-angle vector (omega, |omega| = angle).
+
+    Covers the FULL angle range including θ → π, where the standard
+    skew-part formula degenerates: w = (R - Rᵀ)∨ → 0 for a 180° rotation
+    while the rotation certainly isn't identity (the old single-branch
+    version returned [0,0,0] there, which silently dropped the rotation
+    in se3_interpolate replays of turned-around scans). Near π the axis
+    is recovered from (R + Rᵀ)/2 − cosθ·I = (1−cosθ)·uuᵀ — EXACTLY
+    proportional to uuᵀ, no skew contamination — with the sign taken
+    from the (small but directional) skew part. Exactly at π both ±axis
+    are valid logarithms; the sign rule picks one deterministically.
+    """
     cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
-    # sin(theta) ~ 0 handling: use first-order expansion for small theta
     w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    scale = jnp.where(theta < 1e-6, 0.5, theta / (2.0 * jnp.sin(jnp.maximum(theta, 1e-12))))
-    return w * scale
+    # generic branch (sin θ well away from 0); first-order for tiny θ
+    scale = jnp.where(
+        theta < 1e-6, 0.5, theta / (2.0 * jnp.sin(jnp.maximum(theta, 1e-12)))
+    )
+    generic = w * scale
+    # near-π branch: N = (1−cosθ)·uuᵀ, dominant column ∝ u
+    N = 0.5 * (R + R.T) - cos_theta * jnp.eye(3, dtype=R.dtype)
+    col = jnp.take(N, jnp.argmax(jnp.linalg.norm(N, axis=0)), axis=1)
+    axis = col / jnp.maximum(jnp.linalg.norm(col), 1e-12)
+    axis = axis * jnp.where(jnp.dot(axis, w) < 0.0, -1.0, 1.0)
+    return jnp.where(theta > 3.0, axis * theta, generic)
 
 
 def so3_exp(omega: Array) -> Array:
     """Axis-angle vector → rotation matrix (Rodrigues)."""
     theta = jnp.linalg.norm(omega)
     safe = jnp.maximum(theta, 1e-12)
-    k = omega / safe
-    K = jnp.array(
-        [
-            [0.0, -k[2], k[1]],
-            [k[2], 0.0, -k[0]],
-            [-k[1], k[0], 0.0],
-        ],
-        dtype=omega.dtype,
-    )
+    K = _skew(omega / safe)
     R = jnp.eye(3, dtype=omega.dtype) + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * (K @ K)
     return jnp.where(theta < 1e-8, jnp.eye(3, dtype=omega.dtype), R)
 
@@ -158,36 +181,22 @@ def se3_interpolate(T: Array, alpha: Array) -> Array:
     R = T[:3, :3]
     t = T[:3, 3]
     omega = so3_log(R)
-    theta = jnp.linalg.norm(omega)
 
-    # V matrix of the SE(3) log: t = V @ rho  =>  rho = V^-1 t; interpolate
-    # rho * alpha. Series fallback keeps small-angle cases stable.
-    safe = jnp.maximum(theta, 1e-12)
-    k = omega / safe
-    K = jnp.array(
-        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]],
-        dtype=T.dtype,
-    )
-    small = theta < 1e-6
-    A = jnp.where(small, 0.5, (1 - jnp.cos(theta)) / safe**2)  # (1-cos)/th^2
-    B = jnp.where(small, 1.0 / 6.0, (theta - jnp.sin(theta)) / safe**3)
-    V = jnp.eye(3, dtype=T.dtype) + A * (K * safe) + B * ((K @ K) * safe**2)
-    rho = jnp.linalg.solve(V, t)
+    def V_of(om):
+        # V matrix of the SE(3) log: t = V @ rho. Series fallback keeps
+        # small-angle cases stable.
+        th = jnp.linalg.norm(om)
+        safe = jnp.maximum(th, 1e-12)
+        K = _skew(om / safe)
+        small = th < 1e-6
+        A = jnp.where(small, 0.5, (1 - jnp.cos(th)) / safe**2)  # (1-cos)/th²
+        B = jnp.where(small, 1.0 / 6.0, (th - jnp.sin(th)) / safe**3)
+        return jnp.eye(3, dtype=T.dtype) + A * (K * safe) + B * ((K @ K) * safe**2)
 
+    rho = jnp.linalg.solve(V_of(omega), t)  # rho = V⁻¹ t; interpolate rho·α
     om_a = omega * alpha
     R_a = so3_exp(om_a)
-    th_a = jnp.linalg.norm(om_a)
-    safe_a = jnp.maximum(th_a, 1e-12)
-    k_a = om_a / safe_a
-    K_a = jnp.array(
-        [[0.0, -k_a[2], k_a[1]], [k_a[2], 0.0, -k_a[0]], [-k_a[1], k_a[0], 0.0]],
-        dtype=T.dtype,
-    )
-    small_a = th_a < 1e-6
-    A_a = jnp.where(small_a, 0.5, (1 - jnp.cos(th_a)) / safe_a**2)
-    B_a = jnp.where(small_a, 1.0 / 6.0, (th_a - jnp.sin(th_a)) / safe_a**3)
-    V_a = jnp.eye(3, dtype=T.dtype) + A_a * (K_a * safe_a) + B_a * ((K_a @ K_a) * safe_a**2)
-    t_a = V_a @ (rho * alpha)
+    t_a = V_of(om_a) @ (rho * alpha)
 
     out = jnp.eye(4, dtype=T.dtype)
     out = out.at[:3, :3].set(R_a)

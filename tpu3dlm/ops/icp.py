@@ -61,6 +61,38 @@ def _increment_magnitude(T_inc: jax.Array) -> jax.Array:
     return jnp.linalg.norm(T_inc[:3, 3]) + jnp.arccos(cos)
 
 
+def _run_icp_loop(live_inc, measure, T0, iterations, early_stop_tol):
+    """Shared driver for both ICP solvers.
+
+    Static-length ``lax.scan`` whose iterations freeze to identity
+    increments once converged (``lax.cond`` skips the dominant NN sweep;
+    identity increments pad the animation record), then ONE measurement
+    pass under the FINAL transform — so ``ICPResult.rmse``/``inlier_frac``
+    describe the transform actually returned, not the previous iterate
+    (the in-loop residuals are evaluated before the iteration's increment
+    is applied). ``measure`` must report rmse = inf when nothing matches:
+    a zero-inlier "perfect 0.0" would make a total registration failure
+    rank above every honest solve.
+    """
+
+    def step(carry, _):
+        T, done = carry
+        T_inc = jax.lax.cond(
+            done, lambda _t: jnp.eye(4, dtype=jnp.float32), live_inc, T
+        )
+        T_new = T_inc @ T
+        done = done | (_increment_magnitude(T_inc) < early_stop_tol)
+        return (T_new, done), T_inc
+
+    (T_final, _), incs = jax.lax.scan(
+        step, (T0, jnp.asarray(False)), None, length=iterations
+    )
+    rmse, frac = measure(T_final)
+    return ICPResult(
+        transform=T_final, step_transforms=incs, rmse=rmse, inlier_frac=frac
+    )
+
+
 @partial(jax.jit, static_argnames=("iterations", "use_pallas", "early_stop_tol"))
 def icp(
     source: jax.Array,  # (N, 3) — cloud to move
@@ -88,38 +120,23 @@ def icp(
     T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform.astype(jnp.float32)
     max_d2 = max_correspondence_dist**2
 
-    def live(carry):
-        T, rmse0, frac0 = carry
+    def live_inc(T):
         moved = src0 @ T[:3, :3].T + T[:3, 3]
         idx, d2 = nn(moved, tgt)
-        matched = tgt[idx]
         w = (d2 <= max_d2).astype(jnp.float32)
-        T_inc = kabsch(moved, matched, w)
-        rmse = jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0))
-        frac = jnp.mean(w)
-        return T_inc, rmse, frac
+        return kabsch(moved, tgt[idx], w)
 
-    def frozen(carry):
-        T, rmse, frac = carry
-        return jnp.eye(4, dtype=jnp.float32), rmse, frac
+    def measure(T):
+        moved = src0 @ T[:3, :3].T + T[:3, 3]
+        _, d2 = nn(moved, tgt)
+        w = (d2 <= max_d2).astype(jnp.float32)
+        sw = jnp.sum(w)
+        rmse = jnp.where(
+            sw > 0, jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(sw, 1.0)), jnp.inf
+        )
+        return rmse, jnp.mean(w)
 
-    def step(carry, _):
-        T, done, rmse, frac = carry
-        T_inc, rmse, frac = jax.lax.cond(done, frozen, live, (T, rmse, frac))
-        T_new = T_inc @ T
-        done = done | (_increment_magnitude(T_inc) < early_stop_tol)
-        return (T_new, done, rmse, frac), (T_inc, rmse, frac)
-
-    init = (T0, jnp.asarray(False), jnp.asarray(jnp.inf), jnp.asarray(0.0))
-    (T_final, _, _, _), (incs, rmses, fracs) = jax.lax.scan(
-        step, init, None, length=iterations
-    )
-    return ICPResult(
-        transform=T_final,
-        step_transforms=incs,
-        rmse=rmses[-1],
-        inlier_frac=fracs[-1],
-    )
+    return _run_icp_loop(live_inc, measure, T0, iterations, early_stop_tol)
 
 
 @partial(jax.jit, static_argnames=("iterations", "use_pallas", "early_stop_tol"))
@@ -162,8 +179,7 @@ def icp_point_to_plane(
     T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform.astype(jnp.float32)
     max_d2 = max_correspondence_dist**2
 
-    def live(carry):
-        T, rmse0, frac0 = carry
+    def live_inc(T):
         moved = src0 @ T[:3, :3].T + T[:3, 3]
         idx, d2 = nn(moved, tgt)
         q = tgt[idx]
@@ -199,33 +215,21 @@ def icp_point_to_plane(
         T_inc = jnp.eye(4, dtype=jnp.float32)
         T_inc = T_inc.at[:3, :3].set(R_inc)
         T_inc = T_inc.at[:3, 3].set(xi[3:])
-        rmse = jnp.sqrt(jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0))
-        frac = jnp.mean(w)
-        return T_inc, rmse, frac
+        return T_inc
 
-    def frozen(carry):
-        T, rmse, frac = carry
-        return jnp.eye(4, dtype=jnp.float32), rmse, frac
+    def measure(T):
+        # rmse in this solver's own residual: the plane distance n·(p−q)
+        moved = src0 @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nn(moved, tgt)
+        r = jnp.sum((moved - tgt[idx]) * nrm[idx], axis=-1)
+        w = (d2 <= max_d2).astype(jnp.float32)
+        sw = jnp.sum(w)
+        rmse = jnp.where(
+            sw > 0, jnp.sqrt(jnp.sum(r * r * w) / jnp.maximum(sw, 1.0)), jnp.inf
+        )
+        return rmse, jnp.mean(w)
 
-    def step(carry, _):
-        # converged → lax.cond skips the NN sweep (dominant cost) while the
-        # scan keeps its static length; identity increments pad the record
-        T, done, rmse, frac = carry
-        T_inc, rmse, frac = jax.lax.cond(done, frozen, live, (T, rmse, frac))
-        T_new = T_inc @ T
-        done = done | (_increment_magnitude(T_inc) < early_stop_tol)
-        return (T_new, done, rmse, frac), (T_inc, rmse, frac)
-
-    init = (T0, jnp.asarray(False), jnp.asarray(jnp.inf), jnp.asarray(0.0))
-    (T_final, _, _, _), (incs, rmses, fracs) = jax.lax.scan(
-        step, init, None, length=iterations
-    )
-    return ICPResult(
-        transform=T_final,
-        step_transforms=incs,
-        rmse=rmses[-1],
-        inlier_frac=fracs[-1],
-    )
+    return _run_icp_loop(live_inc, measure, T0, iterations, early_stop_tol)
 
 
 def centroid_align(source: jax.Array, target: jax.Array) -> jax.Array:
