@@ -50,6 +50,25 @@ class TestMarchingTetrahedra:
         _, counts = np.unique(edges, axis=0, return_counts=True)
         assert (counts == 2).all()
 
+    def test_sphere_winding_coherent(self):
+        """Faces are wound coherently: with normals_toward_positive the
+        right-hand-rule normal of (essentially) every face points toward
+        the field>iso side (sphere interior here → inward), and the signed
+        volume matches the analytic sphere. Regression: complementary tet
+        cases used to emit opposite-facing triangles (54% outward on this
+        exact field), so culling/normals/signed volume were garbage."""
+        field, origin, voxel, c, R = self._sphere_field()
+        verts, faces = marching_tetrahedra(field, 0.0, origin, voxel)
+        p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        n = np.cross(p1 - p0, p2 - p0)
+        toward_center = c - (p0 + p1 + p2) / 3.0  # toward field>0 interior
+        agree = (np.einsum("ij,ij->i", n, toward_center) > 0).mean()
+        assert agree > 0.99, agree
+        # signed volume (divergence theorem); normals point INTO the
+        # enclosed positive region → negative of the enclosed volume
+        vol = np.einsum("ij,ij->i", p0, np.cross(p1, p2)).sum() / 6.0
+        np.testing.assert_allclose(abs(vol), 4 / 3 * np.pi * R**3, rtol=0.05)
+
     def test_empty_when_no_crossing(self):
         field = np.full((4, 4, 4), -1.0, np.float32)
         verts, faces = marching_tetrahedra(field, 0.0, np.zeros(3), 0.1)
@@ -83,10 +102,37 @@ class TestPointCloudMesh:
 
     def test_density_field_mass(self, rng):
         pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
-        field, origin = density_field(pts, voxel=0.1)
+        field, origin, voxel = density_field(pts, voxel=0.1)
         # trilinear splat conserves total mass
         np.testing.assert_allclose(field.sum(), 500.0, rtol=1e-4)
         assert (origin <= pts.min(axis=0)).all()
+        assert voxel == 0.1  # no downsizing at this extent
+
+    def test_density_field_reports_effective_voxel(self, rng):
+        """When max_voxels forces voxel enlargement the EFFECTIVE voxel is
+        returned — meshing the grid with the caller's original voxel put
+        the mesh at the wrong scale (reproduced: 3.27 m mesh from a 4 m
+        cloud)."""
+        pts = rng.uniform(0, 4.0, size=(3000, 3)).astype(np.float32)
+        field, origin, voxel = density_field(pts, voxel=0.04, max_voxels=200_000)
+        assert voxel > 0.04
+        # grid at the effective voxel spans the padded cloud bounds
+        span = (np.asarray(field.shape) - 1) * voxel
+        extent = pts.max(axis=0) - pts.min(axis=0)
+        assert (span >= extent).all()
+        from tpu3dlm.mapper.meshing import marching_tetrahedra
+
+        nz = field[field > 0]
+        iso = float(np.quantile(nz, 0.35))
+        verts, faces = marching_tetrahedra(
+            field, iso, origin, voxel, normals_toward_positive=False
+        )
+        mesh_extent = verts.max(axis=0) - verts.min(axis=0)
+        np.testing.assert_allclose(mesh_extent, extent, rtol=0.12)
+
+    def test_empty_cloud_meshes_empty(self):
+        verts, faces = mesh_point_cloud(np.zeros((0, 3), np.float32))
+        assert len(verts) == 0 and len(faces) == 0
 
 
 class TestMeshIO:

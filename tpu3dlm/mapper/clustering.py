@@ -65,9 +65,11 @@ def dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray:
     )
 
     neighbor_counts = np.zeros(n, np.int64)
-    neighbor_lists: list[list[np.ndarray]] = [[] for _ in range(len(uniq))]
 
-    # count eps-neighbours per point, bucket-pair at a time
+    # pass 1: count eps-neighbours per point, bucket-pair at a time.
+    # Distance masks are NOT cached across buckets — on large fallback
+    # clouds the full set is O(Σ|bi|·|bj|) booleans over 27 offsets
+    # (hundreds of MB); recomputing per pair in pass 2 keeps memory O(pair)
     for bi, cell in enumerate(uniq):
         mi = members[bi]
         pi = pts[mi]
@@ -78,32 +80,38 @@ def dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray:
                 continue
             mj = members[bj]
             d2 = ((pi[:, None, :] - pts[mj][None, :, :]) ** 2).sum(-1)
-            close = d2 <= eps * eps
-            neighbor_counts[mi] += close.sum(1)
-            neighbor_lists[bi].append(close)
+            neighbor_counts[mi] += (d2 <= eps * eps).sum(1)
 
     core = neighbor_counts >= min_points  # self-inclusive, like sklearn/Open3D
 
-    # union core points within eps of each other; attach borders to a core
+    # pass 2: union core points within eps of each other; attach borders to
+    # a core. Only rows with a CORE point on the left can contribute
+    # (core-core unions the clusters; core-border attaches the border), so
+    # non-core left points are dropped before the Python pair loop
     uf = _UnionFind(n)
     border_owner = np.full(n, -1, np.int64)
     for bi, cell in enumerate(uniq):
         mi = members[bi]
-        li = 0
+        ci = core[mi]
+        if not ci.any():
+            continue
+        mi_core = mi[ci]
+        pi = pts[mi_core]
         for off in offsets:
             key = tuple(cell + off)
             bj = bucket_of.get(key)
             if bj is None:
                 continue
-            close = neighbor_lists[bi][li]
-            li += 1
             mj = members[bj]
-            ii, jj = np.nonzero(close)
-            for a, b in zip(mi[ii], mj[jj]):
-                if core[a] and core[b]:
-                    uf.union(a, b)
-                elif core[a] and not core[b] and border_owner[b] < 0:
-                    border_owner[b] = a
+            d2 = ((pi[:, None, :] - pts[mj][None, :, :]) ** 2).sum(-1)
+            ii, jj = np.nonzero(d2 <= eps * eps)
+            a_idx, b_idx = mi_core[ii], mj[jj]
+            b_core = core[b_idx]
+            for a, b in zip(a_idx[b_core], b_idx[b_core]):
+                uf.union(a, b)
+            nb, na = b_idx[~b_core], a_idx[~b_core]
+            unset = border_owner[nb] < 0
+            border_owner[nb[unset]] = na[unset]
 
     labels = np.full(n, -1, np.int32)
     roots: dict[int, int] = {}

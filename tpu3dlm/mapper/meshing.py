@@ -87,11 +87,20 @@ def marching_tetrahedra(
     origin: np.ndarray,  # (3,) world position of voxel (0,0,0)
     voxel: float,
     weld: bool = True,
+    normals_toward_positive: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Iso-surface of `field` at `iso` → ((V, 3) vertices, (F, 3) faces).
 
     Fully vectorised: all cubes × 6 tets classified at once; each non-trivial
     case batch emits its triangles via edge interpolation.
+
+    Faces are wound COHERENTLY: with ``normals_toward_positive`` the
+    right-hand-rule normal of every face points toward the field > iso
+    side (for a TSDF that is free space, i.e. physically outward), False
+    points toward field < iso (outward for a density shell, whose interior
+    is the dense side). Without this, complementary tet cases emit
+    opposite-facing triangles and backface culling / vertex normals /
+    signed volume are garbage.
     """
     field = np.asarray(field, np.float32)
     nx, ny, nz = field.shape
@@ -150,8 +159,22 @@ def marching_tetrahedra(
         rows = np.nonzero(case == c)[0]
         if rows.size == 0:
             continue
+        # reference point on the INSIDE (field > iso) of this case — the
+        # mean of the tet's inside-vertex positions; used to wind each
+        # emitted triangle coherently
+        inside_ids = [v for v in range(4) if c & (1 << v)]
+        ref = tp[rows][:, inside_ids].mean(axis=1)  # (R, 3)
         for e0, e1, e2 in _CASE_TRIS[c]:
-            tris.append(np.stack([epts[rows, e0], epts[rows, e1], epts[rows, e2]], axis=1))
+            p0, p1, p2 = epts[rows, e0], epts[rows, e1], epts[rows, e2]
+            n = np.cross(p1 - p0, p2 - p0)
+            # s > 0 ⟺ normal points toward the inside (positive) side:
+            # ref sits strictly inside, the centroid on the surface, so
+            # ref − centroid is the surface→inside direction
+            s = np.einsum("ij,ij->i", n, ref - (p0 + p1 + p2) / 3.0)
+            flip = (s < 0) if normals_toward_positive else (s > 0)
+            q1 = np.where(flip[:, None], p2, p1)
+            q2 = np.where(flip[:, None], p1, p2)
+            tris.append(np.stack([p0, q1, q2], axis=1))
     if not tris:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     tri_pts = np.concatenate(tris)  # (M, 3, 3) in grid units
@@ -180,14 +203,21 @@ def density_field(
     voxel: float = 0.04,
     pad: int = 2,
     max_voxels: int = 40_000_000,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Trilinear point-splat density grid → (field (Nx,Ny,Nz), origin (3,)).
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Trilinear point-splat density grid → (field (Nx,Ny,Nz), origin (3,),
+    effective_voxel).
 
     Each point distributes unit mass to its 8 surrounding voxel corners;
     the iso-surface of the result at ~0.5·median(nonzero) is a tight shell
-    around the cloud.
+    around the cloud. The EFFECTIVE voxel is returned because the
+    max_voxels guard may enlarge it — meshing the grid with the caller's
+    original voxel produced a mesh at the wrong scale/position.
     """
     pts = np.asarray(points, np.float32)
+    if pts.shape[0] == 0:
+        # empty cloud → empty field (callers' no-surface guards handle it);
+        # pts.min would raise an opaque zero-size reduction error
+        return np.zeros((2, 2, 2), np.float32), np.zeros(3, np.float32), voxel
     lo = pts.min(axis=0) - pad * voxel
     hi = pts.max(axis=0) + pad * voxel
     dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
@@ -213,7 +243,7 @@ def density_field(
             + np.clip(g0[:, 2] + dz, 0, nz - 1)
         )
         np.add.at(flat, idx, w)
-    return flat.reshape(nx, ny, nz), lo
+    return flat.reshape(nx, ny, nz), lo, voxel
 
 
 def mesh_point_cloud(
@@ -226,12 +256,16 @@ def mesh_point_cloud(
     The dependency-free stand-in for the reference's Poisson pipeline
     (mapping.py:121-137): density splat + marching tetrahedra.
     """
-    field, origin = density_field(points, voxel)
+    field, origin, voxel = density_field(points, voxel)
     nz = field[field > 0]
     if nz.size == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     iso = float(np.quantile(nz, iso_quantile))
-    return marching_tetrahedra(field, iso, origin, voxel)
+    # density interior is the field > iso side → outward normals point
+    # toward the NEGATIVE side
+    return marching_tetrahedra(
+        field, iso, origin, voxel, normals_toward_positive=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -261,16 +295,22 @@ def tsdf_from_scan(
 
     from tpu3dlm.ops import geometry as G
 
-    trunc = trunc if trunc is not None else 4 * voxel
+    trunc_explicit = trunc is not None
+    trunc = trunc if trunc_explicit else 4 * voxel
     depth = np.asarray(scan.depth, np.float32)  # (F, Hd, Wd) mm
     F, Hd, Wd = depth.shape
     intr = np.asarray(scan.intrinsics, np.float32)
     wh = np.asarray(scan.rgb_size, np.float32)
     poses = np.asarray(scan.poses, np.float32)
 
-    # intrinsics at depth resolution (reference pose_processor.py:133-137)
-    s = wh[:, 0] / Wd
-    intr_d = intr / s[:, None]
+    # intrinsics at depth resolution (reference pose_processor.py:133-137);
+    # G.scale_intrinsics applied column-wise over all frames at once
+    intr_d = np.stack(
+        G.scale_intrinsics(
+            intr[:, 0], intr[:, 1], intr[:, 2], intr[:, 3], wh[:, 0], Wd
+        ),
+        axis=1,
+    )
 
     if bounds is None:
         # estimate bounds from a sparse unprojection of every frame
@@ -299,7 +339,8 @@ def tsdf_from_scan(
     dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
     while int(dims.prod()) > max_voxels:
         voxel *= 1.26
-        trunc = 4 * voxel
+        if not trunc_explicit:  # scale only the DERIVED default — an
+            trunc = 4 * voxel   # explicit caller trunc must be honored
         dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
     nx, ny, nz = (int(d) for d in dims)
 

@@ -159,19 +159,33 @@ def suppress_bboxes(
     import numpy as np
 
     from tpu3dlm.utils.host import to_host
-    from tpu3dlm.utils.shapes import next_bucket, pad_axis0
+    from tpu3dlm.utils.shapes import next_bucket, pad_axis0, pad_poses
 
     # inputs arrive as host arrays from both producers (fused _finalize and
     # project_detections both end their stage with one batched readback),
     # so the padding below is free numpy; if a caller hands device arrays,
-    # the np.asarray inside pad_axis0 still does the right thing
-    n_candidates = int(np.asarray(gboxes.mask).sum())
-    if n_candidates > top_k:
-        logging.getLogger(__name__).warning(
-            "3D NMS: %d candidate boxes exceed the top-%d confidence cap — "
-            "the lowest-confidence %d are dropped before suppression",
-            n_candidates, top_k, n_candidates - top_k,
+    # the np.asarray inside pad_axis0 still does the right thing.
+    # The cap warning counts candidates AFTER the kernel's quality gates
+    # (area / camera-distance, numpy twins of _quad_area + the d_cam check)
+    # — counting raw masked boxes can claim drops when nothing is capped
+    mask_np = np.asarray(gboxes.mask)
+    if int(mask_np.sum()) > top_k:
+        c = np.asarray(gboxes.corners, np.float32)  # (F, B, 4, 3)
+        areas = 0.5 * np.linalg.norm(
+            np.cross(c[..., 2, :] - c[..., 0, :], c[..., 3, :] - c[..., 1, :]),
+            axis=-1,
         )
+        d_cam = np.linalg.norm(
+            c - np.asarray(poses, np.float32)[:, None, None, :3], axis=-1
+        )
+        gated = mask_np & (areas >= area_min) & ~(d_cam < cam_dist_min).any(-1)
+        n_candidates = int(gated.sum())
+        if n_candidates > top_k:
+            logging.getLogger(__name__).warning(
+                "3D NMS: %d candidate boxes exceed the top-%d confidence cap "
+                "— the lowest-confidence %d are dropped before suppression",
+                n_candidates, top_k, n_candidates - top_k,
+            )
     # frame axis padded to a bucket (mask=False) so a serving process sees
     # one compiled program per bucket, not one per capture length — padded
     # frames are gated out of the quality checks and can never suppress
@@ -182,7 +196,7 @@ def suppress_bboxes(
         jnp.asarray(pad_axis0(gboxes.corners, Fb)),
         jnp.asarray(pad_axis0(gboxes.conf, Fb)),
         jnp.asarray(pad_axis0(gboxes.mask, Fb, fill=False)),
-        jnp.asarray(pad_axis0(poses, Fb))[:, :3],
+        jnp.asarray(pad_poses(poses, Fb)[:, :3]),
         iou_threshold=iou_threshold,
         depth_buffer=depth_buffer,
         area_min=area_min,

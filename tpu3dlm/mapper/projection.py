@@ -49,8 +49,8 @@ def frame_view_geometry(
     projection (pose_processor.py:144-171 RGBD cloud + :219-238 box line
     sets and camera-frustum overlay):
 
-      * ``cloud_points`` (N, 3) world-frame points of this frame's depth map
-        (+ ``cloud_colors`` when the stored RGB matches the depth aspect);
+      * ``cloud_points`` (N, 3) world-frame points of this frame's depth
+        map (geometry only — colorize via Visualiser.gen_point_cloud);
       * ``boxes``: list of (8, 3) extruded box corners for the frame's
         valid detections;
       * ``frustum``: {points (5, 3), lines} camera frustum for the pose.
@@ -64,8 +64,9 @@ def frame_view_geometry(
     depth = jnp.asarray(scan.depth)[frame_index]
     wh = np.asarray(scan.rgb_size, np.float32)[frame_index]
     fx, fy, cx, cy = np.asarray(scan.intrinsics, np.float32)[frame_index]
-    s = wh[0] / depth.shape[1]
-    fx_d, fy_d, cx_d, cy_d = fx / s, fy / s, cx / s, cy / s
+    fx_d, fy_d, cx_d, cy_d = G.scale_intrinsics(
+        fx, fy, cx, cy, wh[0], depth.shape[1]
+    )
     pose = np.asarray(scan.poses, np.float32)[frame_index]
 
     pts, valid = depth_to_points(depth, fx_d, fy_d, cx_d, cy_d, pose=jnp.asarray(pose))
@@ -140,12 +141,9 @@ def _project_one_box(
     hd, wd = depth.shape
     depth_wh = jnp.array([wd, hd], dtype=bbox.dtype)
 
-    s = rgb_size[0] / depth_wh[0]
-    fx, fy, cx, cy = (
-        intrinsics[0] / s,
-        intrinsics[1] / s,
-        intrinsics[2] / s,
-        intrinsics[3] / s,
+    fx, fy, cx, cy = G.scale_intrinsics(
+        intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3],
+        rgb_size[0], depth_wh[0],
     )
 
     scaled = G.scale_bbox(bbox, rgb_size, depth_wh)
