@@ -53,6 +53,18 @@ class TestNormals:
         np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
         np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
 
+    def test_degenerate_inputs(self):
+        """Empty and 1-2-point clouds must not crash the numpy fallback
+        (zero-size reduction / NaN covariance → eigh non-convergence) —
+        they return unit normals of matching length."""
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        assert estimate_normals_grid(np.zeros((0, 3), np.float32)).shape == (0, 3)
+        for k in (1, 2):
+            n = estimate_normals_grid(np.ones((k, 3), np.float32))
+            assert n.shape == (k, 3)
+            np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
     def test_viewpoint_orientation(self, rng):
         from tpu3dlm.ops.pointcloud import estimate_normals_grid
 

@@ -14,6 +14,15 @@ class TestLookAt:
         cam = np.zeros(3) @ view[:3, :3].T + view[:3, 3]
         np.testing.assert_allclose(cam, [0, 0, 5], atol=1e-6)
 
+    def test_top_down_view_not_degenerate(self):
+        """Regression: view direction parallel to the default up vector
+        made right = f×u = 0 and the view matrix rank-1 — a top-down orbit
+        frame must still be a proper rotation."""
+        view = look_at(np.array([0.0, -5.0, 0.0]), np.zeros(3))
+        R = view[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-4
+
     def test_rigid(self):
         view = look_at(np.array([1.0, 2.0, -3.0]), np.array([0.5, -0.2, 4.0]))
         R = view[:3, :3]
@@ -51,6 +60,44 @@ class TestRenderMesh:
         )
         c = img[32, 32]
         assert c[0] > c[1], f"centre pixel {c} should be red (near tri wins)"
+
+    def test_occlusion_across_splat_offsets(self):
+        """Regression: per-(dy,dx) splat passes let a FAR sample's offset
+        overwrite a NEAR sample's pixel from an earlier pass — every
+        overlapping pixel must keep the near triangle's color."""
+        near_v, near_f = self._tri(z=-1.0, scale=0.8)
+        far_v, far_f = self._tri(z=1.0, scale=2.0)
+        view = look_at(np.array([0, 0, -5.0]), np.zeros(3))
+        img = render_scene(
+            [(far_v, far_f, (0.0, 1.0, 0.0)), (near_v, near_f, (1.0, 0.0, 0.0))],
+            view, (65, 65), lattice_level=24, splat=3,
+        )
+        # inspect the interior of the near triangle's projection: NO pixel
+        # there may be green (far triangle showing through)
+        patch = img[28:37, 28:37].reshape(-1, 3)
+        drawn = patch[(patch != 255).any(axis=1)]
+        assert len(drawn) > 0
+        assert (drawn[:, 0] > drawn[:, 1]).all(), "far color bled through splat"
+
+    def test_vertex_behind_camera_keeps_frame(self):
+        """Regression: one vertex at/behind the camera plane collapsed the
+        auto-focal to ~0 (everything projected to a dot). The in-front
+        geometry must still be framed and drawn."""
+        verts = np.array(
+            [[-1, -1, 2.0], [1, -1, 2.0], [0, 1, 2.0],  # in front
+             [0, 0, -1.0], [0.5, 0, -1.0], [0, 0.5, -1.0]],  # behind
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        view = np.eye(4, dtype=np.float32)  # camera at origin looking +z
+        img = render_mesh(
+            verts, faces, np.array([[1.0, 0, 0], [0, 1.0, 0]]), view, (64, 64)
+        )
+        drawn = (img != 255).any(axis=-1)
+        # the in-front triangle spans a real extent of the image, not a dot
+        ys, xs = np.nonzero(drawn)
+        assert drawn.sum() > 20
+        assert np.ptp(xs) > 10 and np.ptp(ys) > 10
 
     def test_empty_mesh(self):
         img = render_mesh(

@@ -65,6 +65,10 @@ def estimate_normals_grid(
 
     pts = np.asarray(points, np.float64)
     n = pts.shape[0]
+    if n == 0:
+        # cells.min below would raise a zero-size reduction error; the
+        # later n-guards never get the chance to run
+        return np.zeros((0, 3), np.float32)
     cells = np.floor(pts / voxel).astype(np.int64)
     cells -= cells.min(axis=0)
     dims = cells.max(axis=0) + 1
@@ -97,8 +101,14 @@ def estimate_normals_grid(
     # degenerate cells (too few points) → global dominant-plane normal
     bad = counts < 3
     if bad.any():
-        _, gv = np.linalg.eigh(np.cov(pts.T) + 1e-12 * np.eye(3))
-        normals_v[bad] = gv[:, 0]
+        if n >= 3:
+            _, gv = np.linalg.eigh(np.cov(pts.T) + 1e-12 * np.eye(3))
+            normals_v[bad] = gv[:, 0]
+        else:
+            # 1-2 points define no plane anywhere — np.cov of a single
+            # point divides by N-1=0 (NaN → eigh fails to converge); any
+            # unit vector is as good as another
+            normals_v[bad] = np.array([0.0, 0.0, 1.0])
 
     # eigh eigenvectors are already unit — no renormalisation needed
     normals = normals_v[inv].astype(np.float32)
@@ -119,10 +129,13 @@ def scan_to_pointcloud(
 ) -> tuple[jax.Array, jax.Array]:
     """Whole scan → ((F, H·W, 3) world points, (F, H·W) valid)."""
     def one(d, intr, wh, pose):
-        s = wh[0] / d.shape[1]
+        from tpu3dlm.ops.geometry import scale_intrinsics
+
+        fx, fy, cx, cy = scale_intrinsics(
+            intr[0], intr[1], intr[2], intr[3], wh[0], d.shape[1]
+        )
         return depth_to_points(
-            d, intr[0] / s, intr[1] / s, intr[2] / s, intr[3] / s,
-            pose=pose, scale_depth=scale_depth,
+            d, fx, fy, cx, cy, pose=pose, scale_depth=scale_depth,
         )
 
     return jax.vmap(one)(depth, intrinsics.astype(jnp.float32),

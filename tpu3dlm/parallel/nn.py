@@ -30,8 +30,8 @@ from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_pallas, nearest_neighb
 
 def shard_queries(mesh: Mesh, a, b):
     """Place (query, target) for query-sharded NN/ICP: query rows shard over
-    the mesh's batch axis, target replicates. Query length must divide the
-    mesh size (parallel/mesh.pad_to_devices pads)."""
+    the mesh's batch axis, target replicates. The mesh size must divide the
+    query length (parallel/mesh.pad_to_devices pads it up)."""
     axis = mesh.axis_names[0]
     qs = jax.device_put(a, NamedSharding(mesh, P(axis)))
     tr = jax.device_put(b, NamedSharding(mesh, P()))
@@ -41,7 +41,7 @@ def shard_queries(mesh: Mesh, a, b):
 def target_sharded_nn(mesh: Mesh, use_pallas: bool = False):
     """Returns nn(a, b) with the TARGET sharded over the mesh.
 
-    b's length must divide the mesh size; a replicates. Output equals the
+    The mesh size must divide b's length; a replicates. Output equals the
     single-device `nearest_neighbors_*` exactly (global indices).
     """
     axis = mesh.axis_names[0]

@@ -27,6 +27,16 @@ def look_at(eye: np.ndarray, center: np.ndarray, up=(0.0, -1.0, 0.0)) -> np.ndar
     f = f / (np.linalg.norm(f) + 1e-12)
     u = np.asarray(up, np.float32)
     r = np.cross(f, u)
+    if np.linalg.norm(r) < 1e-6:
+        # view direction parallel to up (e.g. orbit elevation ±90°): the
+        # cross product vanishes and the view matrix would be rank-1 —
+        # fall back to any axis not parallel to the view direction
+        u = (
+            np.array([1.0, 0.0, 0.0], np.float32)
+            if abs(f[0]) < 0.9
+            else np.array([0.0, 0.0, 1.0], np.float32)
+        )
+        r = np.cross(f, u)
     r = r / (np.linalg.norm(r) + 1e-12)
     d = np.cross(f, r)  # camera "down" completing the right-handed frame
     R = np.stack([r, d, f])  # rows: right, down, forward
@@ -79,9 +89,19 @@ def render_mesh(
     shade = (0.35 + 0.65 * lam)[:, None] * np.asarray(base_colors, np.float32)
 
     if focal is None:
-        z = np.clip(tri[..., 2], 1e-3, None)
-        r = np.abs(tri[..., :2]).max() + 1e-6
-        focal = 0.45 * min(h, w) * float(z.min()) / float(r)
+        # frame the scene by ANGULAR extent of the in-front vertices:
+        # max(|xy|/z) is the widest ray the image must contain. The old
+        # z.min()/max(|xy|) heuristic collapsed to ~0 focal when any
+        # vertex sat at/behind the camera plane (clipped z = 1e-3),
+        # rendering whole animation frames as a dot
+        zf = tri[..., 2].reshape(-1)
+        xy = np.abs(tri[..., :2]).reshape(-1, 2).max(axis=1)
+        front = zf > 1e-3
+        if front.any():
+            ratio = float((xy[front] / zf[front]).max()) + 1e-6
+            focal = 0.45 * min(h, w) / ratio
+        else:
+            focal = float(min(h, w))
 
     bw = _bary_lattice(lattice_level)  # (K, 3)
     samples = np.einsum("kj,fjc->fkc", bw, tri).reshape(-1, 3)  # (F*K, 3)
@@ -98,9 +118,17 @@ def render_mesh(
     order = np.argsort(-z)  # back-to-front
     u, v = u[order], v[order]
     c8 = np.clip(colors[order] * 255.0, 0, 255).astype(np.uint8)
-    for dy in range(splat):
-        for dx in range(splat):
-            canvas[v + dy, u + dx] = c8
+    # ONE assignment with every sample's splat offsets adjacent in the
+    # back-to-front order: a per-(dy,dx) pass loop let a FAR sample's
+    # later-pass offset overwrite a NEAR sample from an earlier pass
+    # (wrong-occlusion speckles along silhouettes)
+    offs = np.array(
+        [(dy, dx) for dy in range(splat) for dx in range(splat)], np.int32
+    )
+    K = len(offs)
+    vv = np.repeat(v, K) + np.tile(offs[:, 0], len(v))
+    uu = np.repeat(u, K) + np.tile(offs[:, 1], len(u))
+    canvas[vv, uu] = np.repeat(c8, K, axis=0)
     return canvas
 
 
