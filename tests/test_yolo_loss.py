@@ -146,3 +146,80 @@ class TestLoss:
             params, stats, opt_state, loss = step(params, stats, opt_state)
             losses.append(float(loss))
         assert losses[-1] < 0.6 * losses[0], losses
+
+
+class TestSelftrainHelpers:
+    def _tiny_scan(self, frames=2, size=32):
+        from tpu3dlm.data.scan import Scan
+
+        return Scan(
+            rgb=np.full((frames, size, size, 3), 128, np.uint8),
+            depth=np.zeros((frames, 8, 8), np.float32),
+            intrinsics=np.tile(np.array([[30.0, 30.0, 16.0, 16.0]], np.float32), (frames, 1)),
+            rgb_size=np.full((frames, 2), size, np.float32),
+            poses=np.tile(np.array([[0, 0, 0, 0, 0, 0, 1]], np.float32), (frames, 1)),
+            timestamps=np.arange(frames, dtype=np.float64),
+        )
+
+    def test_crops_skip_out_of_range_frames(self):
+        """gt on a frame the scan truncated (RTAB-Map exports can be off by
+        a trailing frame) must be skipped, not IndexError."""
+        from tpu3dlm.pipeline.selftrain import beit_training_crops
+
+        scan = self._tiny_scan(frames=2)
+        gt = {0: [[2.0, 2.0, 20.0, 20.0, 0.9, 0]],
+              5: [[2.0, 2.0, 20.0, 20.0, 0.9, 0]]}  # frame 5 > num_frames
+        crops, labels = beit_training_crops(gt, {0: [1]}, scan, size=16)
+        assert crops.shape[0] == 1 and labels.tolist() == [1]
+
+    def test_finetune_beit_empty_crops_fails_loudly(self):
+        """Zero crops used to run the training loop on an empty batch and
+        silently write a NaN checkpoint."""
+        import pytest
+
+        from tpu3dlm.models.beit import BeitConfig
+        from tpu3dlm.pipeline.selftrain import finetune_beit
+
+        cfg = BeitConfig(image_size=16, hidden_size=16, num_layers=1,
+                         num_heads=2, intermediate_size=32, num_labels=2)
+        with pytest.raises(ValueError, match="no labelled crops"):
+            finetune_beit(
+                np.zeros((0, 16, 16, 3), np.uint8),
+                np.zeros((0,), np.int32), cfg, steps=1,
+            )
+
+    def test_finetune_beit_pads_on_distribution(self, rng):
+        """Device-multiple padding must CYCLE real crops: the old
+        repeat-then-zero-pad appended black crops labelled class 0 whenever
+        the repeated length wasn't a device multiple (8 virtual devices
+        here), biasing the classifier."""
+        from tpu3dlm.models.beit import BeitConfig
+        from tpu3dlm.parallel import finetune as ft
+        from tpu3dlm.pipeline import selftrain
+
+        seen = {}
+        orig = ft.make_beit_train_step
+
+        def spy_factory(beit, tx, mesh):
+            real = orig(beit, tx, mesh)
+
+            def step(params, opt_state, c, y):
+                seen["crops"] = np.asarray(c)
+                seen["labels"] = np.asarray(y)
+                return real(params, opt_state, c, y)
+
+            return step
+
+        cfg = BeitConfig(image_size=16, hidden_size=16, num_layers=1,
+                         num_heads=2, intermediate_size=32, num_labels=2)
+        crops = rng.integers(1, 255, size=(3, 16, 16, 3)).astype(np.uint8)
+        labels = np.array([1, 1, 1], np.int32)
+        ft.make_beit_train_step = spy_factory
+        try:
+            selftrain.finetune_beit(crops, labels, cfg, steps=1)
+        finally:
+            ft.make_beit_train_step = orig
+        # padded batch is a device multiple, every slot a REAL crop/label
+        assert seen["crops"].shape[0] % 8 == 0
+        assert (seen["labels"] == 1).all()
+        assert (seen["crops"].reshape(seen["crops"].shape[0], -1) > 0).any(axis=1).all()

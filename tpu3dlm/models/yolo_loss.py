@@ -4,7 +4,10 @@ The reference consumes a *finetuned* YOLOv10 (src/detector/detector.py:36)
 but has no training code; this module provides the finetuning capability
 natively. It implements the consistent-dual-assignment recipe of the
 YOLOv10 paper: the one-to-many head trains with TAL top-k=10, the one-to-one
-head (used NMS-free at inference) with top-k=1, sharing backbone gradients.
+head (used NMS-free at inference) with top-k=1 on DETACHED backbone
+features (models/yolov10.py stop-gradients the one-to-one branch's input
+during training, matching the official recipe — only the one-to-many loss
+shapes the backbone).
 
 Everything is fixed-shape: ground-truth boxes are padded to a static G per
 image with a validity mask, the (B, G, A) assignment tensors stay on device,
@@ -151,7 +154,6 @@ def detection_loss_one_head(
     from tpu3dlm.models.yolov10 import decode_raw
 
     B = raw[0].shape[0]
-    nc = raw[0].shape[-1] - 4 * REG_MAX
     pred_boxes, cls_logits = decode_raw(raw, img_size)  # (B,A,4), (B,A,nc)
     pred_scores = jax.nn.sigmoid(cls_logits)
     anchors, strides = make_anchors(img_size)
@@ -166,8 +168,10 @@ def detection_loss_one_head(
     denom = jnp.maximum(t_scores.sum(), 1.0)
 
     # classification: BCE against soft targets, all anchors
+    import optax
+
     cls_loss = (
-        optax_sigmoid_bce(cls_logits, t_scores).sum() / denom
+        optax.sigmoid_binary_cross_entropy(cls_logits, t_scores).sum() / denom
     )
 
     # box: CIoU on fg anchors, weighted by target score
@@ -182,13 +186,7 @@ def detection_loss_one_head(
     target_ltrb = jnp.concatenate([lt, rb], axis=-1)
     dfl = (_dfl_loss(box_logits, target_ltrb) * w).sum() / denom
 
-    del nc
     return w_box * box_loss + w_cls * cls_loss + w_dfl * dfl
-
-
-def optax_sigmoid_bce(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Elementwise sigmoid BCE (stable form)."""
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 def yolov10_loss(

@@ -130,7 +130,13 @@ def verify(cfg_path: str, gold_scene, dropped=(2,), tol: float = 0.1) -> dict:
     drop_labels = sorted(gold_scene.signs[i].label for i in dropped)
     assert sorted(r["label"] for r in missing) == drop_labels, missing
 
-    id2dmg = {0: "undamaged", 1: "damaged"}
+    # the same mapping the pipeline's row strings are built from
+    # (task.py damage_labels) — re-stating {0: "undamaged", ...} here
+    # would spuriously fail any project that overrides damage_labels
+    labels = getattr(
+        cfg_maint, "damage_labels", "undamaged,damaged"
+    ).split(",")
+    id2dmg = {i: name.strip() for i, name in enumerate(labels)}
     matched = [r for r in rows if r["status"] in ("matched", "damaged")]
     kept = [s for i, s in enumerate(gold_scene.signs) if i not in set(dropped)]
     assert len(matched) >= len(kept), rows

@@ -28,12 +28,12 @@ def scale_boxes_to_frame(boxes_px: np.ndarray, scan, frame_idx) -> np.ndarray:
     """(N, 4) original-pixel boxes of given frames → stored-frame pixels
     (handles both square-resize and letterbox scans)."""
     out = np.asarray(boxes_px, np.float32).copy()
-    wh = np.asarray(scan.rgb_size)[frame_idx]
     if scan.letterbox is not None:
         lb = np.asarray(scan.letterbox)[frame_idx]
         out[:, [0, 2]] = out[:, [0, 2]] * lb[:, 0:1] + lb[:, 1:2]
         out[:, [1, 3]] = out[:, [1, 3]] * lb[:, 0:1] + lb[:, 2:3]
     else:
+        wh = np.asarray(scan.rgb_size)[frame_idx]
         S = float(np.shape(scan.rgb)[1])
         out[:, [0, 2]] *= (S / wh[:, 0:1])
         out[:, [1, 3]] *= (S / wh[:, 1:2])
@@ -77,6 +77,12 @@ def beit_training_crops(
 
     frames, flat_boxes, labels = [], [], []
     for f, recs in gt_boxes_2d.items():
+        if not (0 <= f < scan.num_frames):
+            # load_scan truncates to min(paired frames, pose rows) — gt on
+            # a trailing frame the scan dropped must not IndexError here
+            # (the yolo path iterates range(scan.num_frames) for the same
+            # reason)
+            continue
         dmg = gt_damage_2d.get(f, [0] * len(recs))
         for rec, d in zip(recs, dmg):
             frames.append(f)
@@ -89,9 +95,12 @@ def beit_training_crops(
         )
     frame_idx = np.asarray(frames)
     boxes = scale_boxes_to_frame(np.asarray(flat_boxes, np.float32), scan, frame_idx)
-    rgb = np.asarray(scan.rgb).astype(np.float32) / 255.0
+    # index the uint8 scan FIRST, then convert: converting the whole scan
+    # to float32 materialises ~4x the scan bytes (GBs at 500+ frames) for
+    # what is usually a handful of gt frames
+    rgb_sel = np.asarray(scan.rgb)[frame_idx].astype(np.float32) / 255.0
     crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
-        jnp.asarray(rgb[frame_idx]), jnp.asarray(boxes), (size, size)
+        jnp.asarray(rgb_sel), jnp.asarray(boxes), (size, size)
     )
     crops_u8 = np.clip(np.asarray(crops) * 255.0, 0, 255).astype(np.uint8)
     return crops_u8, np.asarray(labels, np.int32)
@@ -136,6 +145,8 @@ def finetune_yolo(
     from tpu3dlm.parallel.finetune import make_yolo_train_step
     from tpu3dlm.parallel.mesh import make_mesh
 
+    # default is a SINGLE-device mesh (the e2e accuracy loop runs on one
+    # chip); pass mesh=make_mesh() explicitly for data-parallel training
     mesh = mesh or make_mesh(1)
     n_dev = mesh.devices.size
     images_u8, gt_boxes, gt_labels, gt_mask = _pad_batch(
@@ -181,13 +192,25 @@ def finetune_beit(
     from tpu3dlm.parallel.finetune import init_finetune, make_beit_train_step
     from tpu3dlm.parallel.mesh import make_mesh
 
+    if len(labels) == 0:
+        # training on an empty batch makes loss.mean() NaN and silently
+        # writes a NaN checkpoint — fail loudly instead
+        raise ValueError(
+            "finetune_beit: no labelled crops (ground truth has no 2D "
+            "boxes on any in-range frame)"
+        )
+    # default is a SINGLE-device mesh (the e2e accuracy loop runs on one
+    # chip); pass mesh=make_mesh() explicitly for data-parallel training
     mesh = mesh or make_mesh(1)
     n_dev = mesh.devices.size
-    # pad by repeating (keeps the padded slots on-distribution)
-    reps = int(np.ceil(max(n_dev, len(labels)) / max(len(labels), 1)))
-    crops_u8 = np.concatenate([crops_u8] * reps)
-    labels = np.concatenate([labels] * reps)
-    crops_u8, labels = _pad_batch([crops_u8, labels], n_dev)
+    # pad by CYCLING the real crops up to a device multiple (keeps every
+    # padded slot on-distribution; repeat-then-zero-pad used to append
+    # black crops labelled class 0 whenever the repeated length wasn't a
+    # device multiple, teaching the classifier that black == undamaged)
+    target = -(-max(len(labels), n_dev) // n_dev) * n_dev
+    idx = np.arange(target) % len(labels)
+    crops_u8 = np.asarray(crops_u8)[idx]
+    labels = np.asarray(labels)[idx]
 
     beit = BeitClassifier(config)
     params, tx, opt_state = init_finetune(beit, jax.random.PRNGKey(seed), lr=lr)
