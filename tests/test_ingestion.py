@@ -168,6 +168,42 @@ class TestExtractor:
         assert depths[0].dtype == np.float32
         assert rgbs[0].shape == (640, 480, 3)
 
+    def test_null_blobs_skipped_in_sync(self, scan_dir, tmp_path):
+        """Real RTAB-Map exports carry RGB-only / depth-only nodes (NULL
+        blobs). Regression: a NULL image used to append depth WITHOUT its
+        rgb, silently pairing every later rgb with the wrong depth; a NULL
+        depth crashed np.frombuffer."""
+        import shutil
+        import sqlite3
+
+        root, scene = scan_dir
+        db = str(tmp_path / "holey.db")
+        shutil.copy(os.path.join(root, "gold_std", "data.db"), db)
+        conn = sqlite3.connect(db)
+        # node 2 loses its image, node 3 loses its depth
+        conn.execute("UPDATE Data SET image = NULL WHERE id = 2")
+        conn.execute("UPDATE Data SET depth = NULL WHERE id = 3")
+        conn.commit()
+        conn.close()
+
+        ex = ImageExtractor(db, str(tmp_path / "d"), str(tmp_path / "r"))
+        rgbs, depths = ex.fetch_arrays()
+        assert len(rgbs) == len(depths) == 2  # nodes 1 and 4 survive
+        # pairing stays aligned: frame 4's depth goes with frame 4's rgb
+        ref = ImageExtractor(
+            os.path.join(root, "gold_std", "data.db"), "/tmp/_ignore_depth2"
+        )
+        all_rgbs, all_depths = ref.fetch_arrays()
+        ref.close()
+        np.testing.assert_array_equal(rgbs[1], all_rgbs[3])
+        np.testing.assert_array_equal(depths[1], all_depths[3])
+        # file path: NULL depth skipped (no crash), numbering contiguous
+        n = ex.fetch_data()
+        ex.close()
+        assert n == 3  # node 3 (no depth) skipped; 1, 2, 4 written
+        assert os.path.exists(os.path.join(str(tmp_path / "d"), "3.png"))
+        assert not os.path.exists(os.path.join(str(tmp_path / "d"), "4.png"))
+
 
 class TestPLY:
     def test_binary_roundtrip(self, tmp_path, rng):
@@ -193,6 +229,61 @@ class TestPLY:
         plyio.save_ply(p, pts)
         pts2, _ = plyio.load_ply(p)
         assert pts2.shape == (2, 3)
+
+    def test_truncated_mesh_header_raises(self, tmp_path):
+        """Regression: load_ply_mesh spun forever on EOF mid-header
+        (readline at EOF returns b'' forever with no guard)."""
+        p = str(tmp_path / "trunc.ply")
+        with open(p, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 3\n")
+        with pytest.raises(ValueError, match="unexpected EOF"):
+            plyio.load_ply_mesh(p)
+
+    def test_ascii_zero_vertices(self, tmp_path):
+        """A legitimate 0-vertex ascii cloud loads as (0, 3) (used to
+        IndexError on the 1-D empty array)."""
+        p = str(tmp_path / "empty.ply")
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat ascii 1.0\nelement vertex 0\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"end_header\n"
+            )
+        pts, cols = plyio.load_ply(p)
+        assert pts.shape == (0, 3) and cols is None
+
+    def test_ascii_truncated_vertices_raise(self, tmp_path):
+        p = str(tmp_path / "shorty.ply")
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat ascii 1.0\nelement vertex 2\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"end_header\n0 0 0\n"
+            )
+        with pytest.raises(ValueError, match="truncated ascii PLY"):
+            plyio.load_ply(p)
+
+    def test_uchar_near_black_colors_scaled(self, tmp_path):
+        """Regression: uchar colors all <= 1 dodged the max()>1 value
+        heuristic and loaded as FULL intensity — scaling must follow the
+        declared property dtype."""
+        p = str(tmp_path / "dark.ply")
+        header = (
+            b"ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            b"end_header\n"
+        )
+        rec = np.zeros(2, dtype=np.dtype(
+            [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+             ("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        ))
+        rec["red"] = [1, 0]
+        with open(p, "wb") as f:
+            f.write(header)
+            f.write(rec.tobytes())
+        pts, cols = plyio.load_ply(p)
+        np.testing.assert_allclose(cols[0], [1 / 255.0, 0, 0], atol=1e-6)
 
     def test_generated_cloud_loads(self, scan_dir):
         root, scene = scan_dir

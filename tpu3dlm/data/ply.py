@@ -66,9 +66,17 @@ def load_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
         names = [name for _, name in props]
         if fmt == "ascii":
             rows = []
-            for _ in range(n_vertices):
-                rows.append(f.readline().split())
-            arr = np.array(rows, dtype=np.float64)
+            for k in range(n_vertices):
+                tok = f.readline().split()
+                if len(tok) != len(props):
+                    raise ValueError(
+                        f"truncated ascii PLY: vertex {k} has {len(tok)} "
+                        f"values, expected {len(props)}"
+                    )
+                rows.append(tok)
+            # explicit 2-D shape: np.array([]) is 1-D and the column
+            # indexing below would IndexError on a legitimate 0-vertex file
+            arr = np.array(rows, dtype=np.float64).reshape(n_vertices, len(props))
             data = {name: arr[:, i] for i, (_, name) in enumerate(props)}
         elif fmt == "binary_little_endian":
             dtype = np.dtype([(name, "<" + dt) for dt, name in props])
@@ -87,7 +95,13 @@ def load_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
         colors = np.stack([data["red"], data["green"], data["blue"]], axis=1).astype(
             np.float32
         )
-        if colors.max(initial=0.0) > 1.0:
+        # scale by the DECLARED property type: a value heuristic
+        # (max > 1) leaves a near-black uchar cloud (all 0/1 values)
+        # saturated instead of ~1/255
+        dtype_of = {name: dt for dt, name in props}
+        if dtype_of.get("red") == "u1":
+            colors = colors / 255.0
+        elif colors.max(initial=0.0) > 1.0:  # float colors stored 0-255
             colors = colors / 255.0
     finite = np.isfinite(pts).all(axis=1)
     pts = pts[finite]
@@ -153,7 +167,10 @@ def load_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
         vprops: list[tuple[str, str]] = []
         in_vertex = False
         while True:
-            tokens = f.readline().decode("ascii", "replace").strip().split()
+            line = f.readline()
+            if not line:  # readline at EOF returns b"" forever → guard or spin
+                raise ValueError("unexpected EOF in PLY header")
+            tokens = line.decode("ascii", "replace").strip().split()
             if not tokens:
                 continue
             if tokens[0] == "element":

@@ -16,7 +16,13 @@ import sqlite3
 import cv2
 import numpy as np
 
-_QUERY = "SELECT Data.image, Data.depth FROM Data JOIN Node ON Data.id = Node.id"
+# ORDER BY pins the frame numbering to node id: without it SQLite's row
+# order is an implementation detail of the query plan, and a plan change
+# would silently re-pair every frame with the wrong pose row
+_QUERY = (
+    "SELECT Data.image, Data.depth FROM Data JOIN Node ON Data.id = Node.id "
+    "ORDER BY Data.id"
+)
 
 
 class ImageExtractor:
@@ -32,20 +38,41 @@ class ImageExtractor:
         self.conn = sqlite3.connect(db_path)
 
     def fetch_data(self) -> int:
-        """Write depth PNGs (and RGB JPEGs when image_dir given). Returns frame count."""
+        """Write depth PNGs (and RGB JPEGs when image_dir given). Returns frame count.
+
+        Rows with a NULL/undecodable depth blob (RGB-only odometry nodes
+        exist in real exports) are SKIPPED with a warning — numbering stays
+        contiguous so filename pairing keeps working, but note the export's
+        poses.txt must cover the same usable nodes (loud log if any skip).
+        The cursor streams row by row: fetchall would hold every compressed
+        blob of the capture in memory at once.
+        """
+        import logging
+
         cursor = self.conn.cursor()
         cursor.execute(_QUERY)
-        count = 0
-        for i, (image_blob, depth_blob) in enumerate(cursor.fetchall()):
-            idx = i + 1  # 1-based filenames, matching the reference extractor
-            depth = cv2.imdecode(
-                np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
-            )
+        count, skipped = 0, 0
+        for image_blob, depth_blob in cursor:
+            depth = None
+            if depth_blob is not None:
+                depth = cv2.imdecode(
+                    np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+                )
+            if depth is None:
+                skipped += 1
+                continue
+            idx = count + 1  # 1-based filenames, matching the reference extractor
             cv2.imwrite(os.path.join(self.depth_dir, f"{idx}.png"), depth)
             if self.image_dir and image_blob is not None:
                 with open(os.path.join(self.image_dir, f"{idx}.jpg"), "wb") as f:
                     f.write(image_blob)
             count += 1
+        if skipped:
+            logging.getLogger(__name__).warning(
+                "%d database node(s) had no decodable depth and were "
+                "skipped — verify poses.txt covers the remaining %d frames",
+                skipped, count,
+            )
         return count
 
     def fetch_arrays(self) -> tuple[list[np.ndarray], list[np.ndarray]]:
@@ -56,19 +83,36 @@ class ImageExtractor:
         src/detector/dataset.py:72-77); we do the byte-level reinterpret here
         and return float32 metre images.
         """
+        import logging
+
         cursor = self.conn.cursor()
         cursor.execute(_QUERY)
         rgbs, depths = [], []
-        for image_blob, depth_blob in cursor.fetchall():
-            depth_u8 = cv2.imdecode(
-                np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
-            )
-            depths.append(reinterpret_depth(depth_u8))
+        skipped = 0
+        for image_blob, depth_blob in cursor:
+            # rgb and depth are appended TOGETHER or not at all: appending
+            # depth for an RGB-less row desynchronized every later pair
+            # (rgbs[i] belonged to depths[i+1]) with no error
+            depth_u8 = None
+            if depth_blob is not None:
+                depth_u8 = cv2.imdecode(
+                    np.frombuffer(depth_blob, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+                )
+            rgb = None
             if image_blob is not None:
                 rgb = cv2.imdecode(
                     np.frombuffer(image_blob, dtype=np.uint8), cv2.IMREAD_COLOR
                 )
-                rgbs.append(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
+            if depth_u8 is None or rgb is None:
+                skipped += 1
+                continue
+            depths.append(reinterpret_depth(depth_u8))
+            rgbs.append(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
+        if skipped:
+            logging.getLogger(__name__).warning(
+                "%d database node(s) missing an RGB or depth blob were "
+                "skipped from the in-memory path", skipped,
+            )
         return rgbs, depths
 
     def close(self):

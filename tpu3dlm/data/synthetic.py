@@ -104,8 +104,14 @@ def _render_frame(
     fy: float,
     cx: float,
     cy: float,
+    want_rgb: bool = True,
+    want_depth: bool = True,
 ):
-    """Analytic render → (rgb (H,W,3) uint8, depth (H,W) float32 metres)."""
+    """Analytic render → (rgb (H,W,3) uint8, depth (H,W) float32 metres).
+
+    ``want_rgb``/``want_depth`` skip the unused buffer's work: the scan
+    generator renders RGB at camera resolution and depth at depth
+    resolution, so each call only ever keeps one of the two outputs."""
     us = np.arange(width, dtype=np.float32)
     vs = np.arange(height, dtype=np.float32)
     uu, vv = np.meshgrid(us, vs)
@@ -118,9 +124,13 @@ def _render_frame(
         pt = cam_t[None, None, :] + t[..., None] * d_world
         return t, pt  # camera-frame depth is t (d_cam z-component is 1)
 
-    depth_t, _ = plane_hit(wall_z)
-    depth = np.where(depth_t > 0, depth_t, 0.0).astype(np.float32)
-    rgb = np.full((height, width, 3), 180, np.uint8)  # wall grey
+    depth = None
+    if want_depth:
+        depth_t, _ = plane_hit(wall_z)
+        depth = np.where(depth_t > 0, depth_t, 0.0).astype(np.float32)
+    rgb = (
+        np.full((height, width, 3), 180, np.uint8) if want_rgb else None
+    )  # wall grey
 
     for sign in signs:
         t_s, pt_s = plane_hit(sign.z)
@@ -131,8 +141,10 @@ def _render_frame(
             & (pt_s[..., 1] <= sign.y1)
             & (t_s > 0)
         )
-        depth = np.where(inside, t_s.astype(np.float32), depth)
-        rgb[inside] = sign.color
+        if want_depth:
+            depth = np.where(inside, t_s.astype(np.float32), depth)
+        if want_rgb:
+            rgb[inside] = sign.color
 
     return rgb, depth
 
@@ -230,9 +242,13 @@ def generate_scan(
         cam_t = poses[f, :3].copy()
         R = _rotmat_z(float(yaws[f]))
 
-        rgb, _ = _render_frame(cam_t, R, signs, wall_z, rgb_w, rgb_h, fx, fy, cx, cy)
+        rgb, _ = _render_frame(
+            cam_t, R, signs, wall_z, rgb_w, rgb_h, fx, fy, cx, cy,
+            want_depth=False,
+        )
         _, depth_m = _render_frame(
-            cam_t, R, signs, wall_z, depth_w, depth_h, dfx, dfy, dcx, dcy
+            cam_t, R, signs, wall_z, depth_w, depth_h, dfx, dfy, dcx, dcy,
+            want_rgb=False,
         )
 
         idx = f + 1
