@@ -35,6 +35,8 @@ run bench_align   1800 python bench_align.py
 run bench_e2e     1800 python bench_e2e.py
 run bench_serving 1800 python scripts/bench_serving.py
 run bench         1200 python bench.py
+BENCH_VARIANT=s run bench_s 1800 python bench.py
+BENCH_VARIANT=m run bench_m 1800 python bench.py
 run probe_chanpad 1800 python scripts/probe_channel_pad.py
 run nn_variants   1800 python scripts/bench_nn_variants.py
 

@@ -238,6 +238,33 @@ class TestUltralyticsPackageGolden:
     package's own forward. Skipped when ultralytics is not installed
     (CI installs it; the baked local image does not)."""
 
+    @pytest.mark.parametrize("variant", ["s", "m", "b", "l", "x"])
+    def test_genuine_package_tree_structure(self, variant, tmp_path):
+        """STRUCTURAL golden for every variant against the real package:
+        builds YOLO('yolov10{v}.yaml'), converts its state dict, and
+        asserts the converted tree matches our Flax init tree exactly —
+        the arbiter for the per-variant CIB override table
+        (models/yolov10.py _CIB_OVERRIDES). Forward equivalence runs for n
+        below; a structural mismatch here means the wrong architecture."""
+        ultralytics = pytest.importorskip("ultralytics")
+        torch = pytest.importorskip("torch")
+        from tpu3dlm.models.weights import load_torch_state_dict
+
+        dm = ultralytics.YOLO(f"yolov10{variant}.yaml").model.float().eval()
+        nc = int(dm.yaml.get("nc", 80))
+        ckpt_path = str(tmp_path / "best.pt")
+        torch.save({"model": dm, "epoch": 0}, ckpt_path)
+        variables = convert_yolov10_state_dict(load_torch_state_dict(ckpt_path))
+        model = YOLOv10(nc=nc, variant=variant)
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        problems = assert_tree_matches(
+            variables["params"], jax.tree.map(np.asarray, ref["params"])
+        )
+        problems += assert_tree_matches(
+            variables["batch_stats"], jax.tree.map(np.asarray, ref["batch_stats"])
+        )
+        assert not problems, problems[:20]
+
     def test_genuine_checkpoint_forward_equivalence(self, tmp_path):
         ultralytics = pytest.importorskip("ultralytics")
         torch = pytest.importorskip("torch")

@@ -23,7 +23,7 @@ import torch.nn as nn
 
 from tpu3dlm.models.yolov10 import (
     _DETECT_FROM,
-    _SPEC_V10,
+    spec_for_variant,
     REG_MAX,
     yolov10_variant,
 )
@@ -228,6 +228,7 @@ class TorchYOLOv10(nn.Module):
 
     def __init__(self, nc=80, variant="n"):
         super().__init__()
+        self._spec = spec_for_variant(variant)
         v = yolov10_variant(variant)
         ch = lambda c: scale_channels(c, v.width, v.max_channels)  # noqa: E731
         dp = lambda n: scale_depth(n, v.depth)  # noqa: E731
@@ -235,7 +236,7 @@ class TorchYOLOv10(nn.Module):
         mods: list[nn.Module] = []
         out_ch: list[int] = []  # channel bookkeeping per spec index
         cur = 3
-        for i, (frm, n, mod, args) in enumerate(_SPEC_V10):
+        for i, (frm, n, mod, args) in enumerate(self._spec):
             if mod == "concat":
                 mods.append(nn.Identity())
                 out_ch.append(sum(out_ch[j] for j in frm))
@@ -248,16 +249,10 @@ class TorchYOLOv10(nn.Module):
                 mods.append(Conv(cin, ch(args[0]), args[1], args[2]))
                 out_ch.append(ch(args[0]))
             elif mod == "C2f":
-                if i == 8 and v.backbone8_cib:
-                    mods.append(
-                        C2fCIB(cin, ch(args[0]), dp(n), shortcut=True,
-                               lk=variant == "s")
-                    )
-                else:
-                    mods.append(
-                        C2f(cin, ch(args[0]), dp(n),
-                            shortcut=bool(args[1]) if len(args) > 1 else False)
-                    )
+                mods.append(
+                    C2f(cin, ch(args[0]), dp(n),
+                        shortcut=bool(args[1]) if len(args) > 1 else False)
+                )
                 out_ch.append(ch(args[0]))
             elif mod == "SCDown":
                 mods.append(SCDown(cin, ch(args[0]), args[1], args[2]))
@@ -277,18 +272,19 @@ class TorchYOLOv10(nn.Module):
             else:
                 raise ValueError(mod)
         mods.append(v10Detect(nc, tuple(out_ch[j] for j in _DETECT_FROM)))
+        self._n_layers = len(self._spec)
         self.model = nn.ModuleList(mods)
 
     def forward(self, x):
         outputs: list[torch.Tensor] = []
-        for i, (frm, n, mod, args) in enumerate(_SPEC_V10):
+        for i, (frm, n, mod, args) in enumerate(self._spec):
             if mod == "concat":
                 outputs.append(torch.cat([outputs[j] for j in frm], dim=1))
                 continue
             inp = outputs[frm] if outputs else x
             outputs.append(self.model[i](inp))
         feats = [outputs[j] for j in _DETECT_FROM]
-        return self.model[len(_SPEC_V10)](feats)
+        return self.model[self._n_layers](feats)
 
 
 def randomize_(model: nn.Module, seed: int = 0) -> None:

@@ -206,8 +206,21 @@ def convert_yolov10_state_dict(
 
 
 def convert_beit_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
-    """HF BeitForImageClassification state-dict → flax {"params": ...}."""
+    """HF BeitForImageClassification state-dict → flax {"params": ...}.
+
+    Raises on any weight tensor the mapping doesn't cover (other than the
+    known inference-irrelevant buffers): silently dropping keys converted
+    structurally-incompatible checkpoints (absolute position embeddings,
+    shared relative-position bias) "successfully" with weights missing —
+    every classification then wrong with no error.
+    """
+    # buffers/params with no inference-time counterpart in the Flax model
+    _IGNORED = (
+        re.compile(r"relative_position_index$"),  # constant index buffer
+        re.compile(r"beit\.embeddings\.mask_token$"),  # MIM-pretrain only
+    )
     p: dict = {}
+    unconverted: list[str] = []
     for key, val in sd.items():
         v = np.asarray(val)
         if key == "beit.embeddings.cls_token":
@@ -231,6 +244,8 @@ def convert_beit_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
         else:
             m = re.match(r"beit\.encoder\.layer\.(\d+)\.(.+)", key)
             if not m:
+                if not any(rx.search(key) for rx in _IGNORED):
+                    unconverted.append(key)
                 continue
             layer, rest = f"layer{m.group(1)}", m.group(2)
             mapping = {
@@ -259,6 +274,14 @@ def convert_beit_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
             if rest in mapping:
                 path, op = mapping[rest]
                 _set(p, [layer] + path, v.T if op == "T" else v)
+            elif not any(rx.search(key) for rx in _IGNORED):
+                unconverted.append(key)
+    if unconverted:
+        raise ValueError(
+            "BEiT checkpoint carries weights this converter has no mapping "
+            f"for (structurally incompatible config?): {unconverted[:8]}"
+            + (" ..." if len(unconverted) > 8 else "")
+        )
     return {"params": p}
 
 

@@ -60,14 +60,39 @@ _SPEC_V10 = [
 ]
 _DETECT_FROM = (16, 19, 22)
 
-# scale: (depth_multiple, width_multiple, max_channels, backbone8_cib)
+# scale: (depth_multiple, width_multiple, max_channels)
 _VARIANTS = {
-    "n": (1 / 3, 0.25, 1024, False),
-    "s": (1 / 3, 0.50, 1024, True),
-    "m": (2 / 3, 0.75, 768, True),
-    "b": (2 / 3, 1.0, 512, True),
-    "l": (1.0, 1.0, 512, True),
-    "x": (1.0, 1.25, 512, True),
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "b": (2 / 3, 1.0, 512),
+    "l": (1.0, 1.0, 512),
+    "x": (1.0, 1.25, 512),
+}
+
+# Per-variant module overrides (layer index → (module, args)) following the
+# ultralytics yolov10{n..x} yamls' rank-guided CIB placement: the base spec
+# above is the n layout; s swaps backbone layer 8 to a LONG-KERNEL C2fCIB;
+# m/b/l use C2fCIB (no long kernel — the paper reserves large-kernel
+# depthwise convs for the small scales) at layers 8, 19 and 22; x
+# additionally at backbone 6 and head 13. The CI golden against the real
+# ultralytics package (tests/test_models.py) arbitrates this table.
+_M_OVERRIDES = {
+    8: ("C2fCIB", (1024, True)),
+    19: ("C2fCIB", (512, True)),
+    22: ("C2fCIB", (1024, True)),
+}
+_CIB_OVERRIDES: dict[str, dict[int, tuple[str, tuple]]] = {
+    "n": {},
+    "s": {8: ("C2fCIB", (1024, True, True))},
+    "m": dict(_M_OVERRIDES),
+    "b": dict(_M_OVERRIDES),
+    "l": dict(_M_OVERRIDES),
+    "x": {
+        **_M_OVERRIDES,
+        6: ("C2fCIB", (512, True)),
+        13: ("C2fCIB", (512, True)),
+    },
 }
 
 
@@ -76,11 +101,20 @@ class YoloVariant:
     depth: float
     width: float
     max_channels: int
-    backbone8_cib: bool
 
 
 def yolov10_variant(name: str) -> YoloVariant:
     return YoloVariant(*_VARIANTS[name])
+
+
+def spec_for_variant(name: str) -> list:
+    """The layer spec with the variant's CIB overrides applied — the single
+    source of truth for both the Flax model and the torch test reference."""
+    spec = list(_SPEC_V10)
+    for idx, (mod, args) in _CIB_OVERRIDES[name].items():
+        frm, n, _, _ = spec[idx]
+        spec[idx] = (frm, n, mod, args)
+    return spec
 
 
 class DetectBranch(nn.Module):
@@ -152,7 +186,7 @@ class YOLOv10(nn.Module):
         dt = self.dtype
 
         outputs: list[jax.Array] = []
-        for i, (frm, n, mod, args) in enumerate(_SPEC_V10):
+        for i, (frm, n, mod, args) in enumerate(spec_for_variant(self.variant)):
             if mod == "concat":
                 inp = jnp.concatenate([outputs[j] for j in frm], axis=-1)
                 outputs.append(inp)
@@ -169,16 +203,10 @@ class YOLOv10(nn.Module):
                 else:
                     y = L.ConvBN(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
             elif mod == "C2f":
-                if i == 8 and v.backbone8_cib:
-                    y = L.C2fCIB(
-                        ch(args[0]), dp(n), shortcut=True, long_kernel=self.variant == "s",
-                        dtype=dt, name=name,
-                    )(inp, train)
-                else:
-                    y = L.C2f(
-                        ch(args[0]), dp(n), shortcut=bool(args[1]) if len(args) > 1 else False,
-                        dtype=dt, name=name,
-                    )(inp, train)
+                y = L.C2f(
+                    ch(args[0]), dp(n), shortcut=bool(args[1]) if len(args) > 1 else False,
+                    dtype=dt, name=name,
+                )(inp, train)
             elif mod == "SCDown":
                 y = L.SCDown(ch(args[0]), args[1], args[2], dtype=dt, name=name)(inp, train)
             elif mod == "SPPF":
@@ -214,6 +242,11 @@ def make_anchors(img_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Returns (anchors (A, 2) in feature-cell units scaled later, strides (A,)).
     """
+    if img_size % 32:
+        # strided convs produce ceil(H/2) feature maps while this grid uses
+        # floor division — a non-multiple would surface as a cryptic
+        # broadcast error deep inside jit instead of here
+        raise ValueError(f"img_size must be a multiple of 32, got {img_size}")
     pts, strs = [], []
     for s in STRIDES:
         h = w = img_size // s
@@ -231,7 +264,6 @@ def decode_raw(raw: Sequence[jax.Array], img_size: int) -> tuple[jax.Array, jax.
     stride units; box = anchor ∓ offsets, scaled by stride.
     """
     B = raw[0].shape[0]
-    nc = raw[0].shape[-1] - 4 * REG_MAX
     flat = jnp.concatenate([r.reshape(B, -1, r.shape[-1]) for r in raw], axis=1)
     box_logits = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
     cls_logits = flat[..., 4 * REG_MAX :]
@@ -245,7 +277,6 @@ def decode_raw(raw: Sequence[jax.Array], img_size: int) -> tuple[jax.Array, jax.
     x1y1 = (anchors[None] - dist[..., :2]) * strides[None, :, None]
     x2y2 = (anchors[None] + dist[..., 2:]) * strides[None, :, None]
     boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
-    del nc
     return boxes, cls_logits
 
 

@@ -83,7 +83,13 @@ class DamageDetector:
                 crops = jax.vmap(_rectify_one_mxu, in_axes=(0, 0, None))(
                     x, boxes, (size, size)
                 )
-                crops_u8 = jnp.clip(crops * 255.0, 0, 255).astype(jnp.uint8)
+                # ROUND, don't truncate: a source pixel of 181 comes back
+                # from the /255 -> *255 float round trip as 180.99998, and
+                # astype truncation would bias every crop dark by up to
+                # 1/255 vs the reference's PNG path
+                crops_u8 = jnp.clip(
+                    jnp.round(crops * 255.0), 0, 255
+                ).astype(jnp.uint8)
                 logits = model.apply(variables, preprocess_crops(crops_u8))
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -100,16 +106,11 @@ class DamageDetector:
 
     def classify_crops(self, crops: np.ndarray) -> np.ndarray:
         """(N, S, S, 3) uint8 crops → (N,) int32 class ids, chunked on device."""
+        from tpu3dlm.utils.shapes import padded_batches
+
         N = crops.shape[0]
-        bs = self.batch_size
         out = np.zeros(N, np.int32)
-        for start in range(0, N, bs):
-            chunk = crops[start : start + bs]
-            n_valid = chunk.shape[0]
-            if n_valid < bs:  # pad to keep one compile shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros_like(chunk[:1]).repeat(bs - n_valid, 0)]
-                )
+        for (chunk,), start, n_valid in padded_batches([crops], self.batch_size):
             ids = np.asarray(self._classify_batch(self.variables, jnp.asarray(chunk)))
             out[start : start + n_valid] = ids[:n_valid]
         return out
@@ -145,23 +146,22 @@ class DamageDetector:
         if valid_idx.size:
             frame_idx = valid_idx // mask.shape[1]
             boxes_sel = boxes.reshape(-1, 4)[valid_idx]
-            bs = self.batch_size
-            for start in range(0, valid_idx.size, bs):
-                idx = valid_idx[start : start + bs]
-                fi = frame_idx[start : start + bs]
-                bsel = boxes_sel[start : start + bs]
-                n_valid = idx.size
-                if n_valid < bs:  # pad to keep one compile shape
-                    fi = np.concatenate([fi, np.zeros(bs - n_valid, fi.dtype)])
-                    bsel = np.concatenate(
-                        [bsel, np.zeros((bs - n_valid, 4), bsel.dtype)]
-                    )
+            from tpu3dlm.utils.shapes import padded_batches
+
+            # note: rgb_np[fi] re-uploads a frame once per box it contains.
+            # Gathering on device would need the full (F, ...) scan resident
+            # per call — a per-capture-length shape that retraces in
+            # serving; the fused path (parallel/inference.py) is the
+            # duplicate-free route for throughput-critical use
+            for (idx, fi, bsel), _start, n_valid in padded_batches(
+                [valid_idx, frame_idx, boxes_sel], self.batch_size
+            ):
                 ids = np.asarray(
                     self._rectify_classify_batch(
                         self.variables, jnp.asarray(rgb_np[fi]), jnp.asarray(bsel)
                     )
                 )
-                damage_flat[idx] = ids[:n_valid]
+                damage_flat[idx[:n_valid]] = ids[:n_valid]
         damage = damage_flat.reshape(F, -1)
         import dataclasses
 

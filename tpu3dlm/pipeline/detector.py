@@ -96,15 +96,20 @@ class ObjectDetector:
         """Scan → Detections with boxes in ORIGINAL image pixels."""
         rgb = np.asarray(scan.rgb)
         F = rgb.shape[0]
-        bs = self.batch_size
+        if F == 0:
+            # np.concatenate([]) below would raise; an empty scan is a
+            # legitimate (if degenerate) input — return empty Detections
+            return Detections(
+                boxes=np.zeros((0, self.max_det, 4), np.float32),
+                conf=np.zeros((0, self.max_det), np.float32),
+                label=np.zeros((0, self.max_det), np.int32),
+                damage=np.full((0, self.max_det), -1, np.int32),
+                mask=np.zeros((0, self.max_det), bool),
+            )
+        from tpu3dlm.utils.shapes import padded_batches
+
         outs = []
-        for start in range(0, F, bs):
-            chunk = rgb[start : start + bs]
-            n_valid = chunk.shape[0]
-            if n_valid < bs:  # pad to keep one compile shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros_like(chunk[:1]).repeat(bs - n_valid, 0)]
-                )
+        for (chunk,), _start, n_valid in padded_batches([rgb], self.batch_size):
             res = self._detect_batch(self.variables, jnp.asarray(chunk))
             from tpu3dlm.utils.host import to_host
 

@@ -55,6 +55,28 @@ def pad_axis0(x, size: int, fill=0):
     return np.concatenate([x, pad], axis=0)
 
 
+def padded_batches(arrays, batch: int):
+    """Iterate axis-0 of ``arrays`` in fixed ``batch``-size chunks, zero-
+    padding the ragged tail so every dispatch hits ONE compile shape.
+
+    Yields ``(chunk_list, start, n_valid)``; callers slice results back to
+    ``n_valid``. Yields nothing when the arrays are empty — callers handle
+    the empty case explicitly (their output shapes differ).
+    """
+    n = arrays[0].shape[0]
+    for start in range(0, n, batch):
+        chunk = [np.asarray(a[start : start + batch]) for a in arrays]
+        n_valid = chunk[0].shape[0]
+        if n_valid < batch:
+            chunk = [
+                np.concatenate(
+                    [c, np.zeros((batch - n_valid,) + c.shape[1:], c.dtype)]
+                )
+                for c in chunk
+            ]
+        yield chunk, start, n_valid
+
+
 def pad_poses(poses, size: int):
     """Pad a (F, 7) xyz+quat pose array along axis 0 to ``size`` frames
     with IDENTITY poses (zero translation, quaternion w = 1).
