@@ -543,3 +543,37 @@ class TestScanCacheStaleness:
         assert not np.array_equal(
             np.asarray(first[0].rgb[0]), np.asarray(second[0].rgb[0])
         )
+
+    def test_calibration_change_invalidates_cache(self, scan_dir):
+        """A calibration-only re-export (same images, corrected intrinsics)
+        must MISS the pack cache: the pack stores parsed intrinsics, and
+        the fingerprint used to cover only image/depth bytes."""
+        import time as _time
+
+        root, scene = scan_dir
+        base = os.path.join(root, "gold_std", "rtabmap_extract")
+        calib_dir = os.path.join(base, "calibration")
+        kwargs = dict(
+            image_dir=os.path.join(base, "data_rgb"),
+            depth_image_dir=os.path.join(base, "data_depth"),
+            calibration_dir=calib_dir,
+            pose_path=os.path.join(root, "gold_std", "poses.txt"),
+            img_size=160,
+        )
+        from tpu3dlm.data.dataset import load_scan as _ls
+
+        s1 = _ls(**kwargs, cache=True)
+        # rewrite one calibration yaml with a different fx
+        name = natsorted(os.listdir(calib_dir))[0]
+        path = os.path.join(calib_dir, name)
+        txt = open(path).read()
+        # double fx (the first camera_matrix data entry, 432.0)
+        new = txt.replace("432.0", "864.0", 1)
+        assert new != txt
+        _time.sleep(0.01)
+        with open(path, "w") as f:
+            f.write(new)
+        s2 = _ls(**kwargs, cache=True)  # must re-decode, not serve the pack
+        assert not np.allclose(
+            np.asarray(s1.intrinsics)[0], np.asarray(s2.intrinsics)[0]
+        )

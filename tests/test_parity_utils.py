@@ -147,3 +147,53 @@ class TestToHost:
         np.testing.assert_array_equal(out["np"], tree["np"])
         np.testing.assert_array_equal(out["nested"][0], np.zeros(3))
         assert float(out["nested"][1]) == 4.5
+
+
+class TestConfigLoaderRobustness:
+    def _write(self, tmp_path, body):
+        p = str(tmp_path / "variables.cfg")
+        with open(p, "w") as f:
+            f.write(body)
+        return p
+
+    def test_percent_in_value(self, tmp_path):
+        """'%' is legitimate in paths (URL-encoding, '5%_sample' dirs) —
+        BasicInterpolation used to raise InterpolationSyntaxError."""
+        from tpu3dlm.utils.config import ConfigLoader
+
+        p = self._write(
+            tmp_path,
+            "[default]\nimage_dir = /data/5%_sample/rgb\n",
+        )
+        cfg = ConfigLoader(p, "gold_std")
+        assert cfg.image_dir == "/data/5%_sample/rgb"
+
+    def test_on_off_booleans(self, tmp_path):
+        from tpu3dlm.utils.config import ConfigLoader
+
+        p = self._write(tmp_path, "[default]\nvisualise = on\nview_img = off\n")
+        cfg = ConfigLoader(p, "gold_std")
+        assert cfg.visualise is True and cfg.view_img is False
+
+    def test_bad_boolean_names_the_key(self, tmp_path):
+        import pytest
+
+        from tpu3dlm.utils.config import ConfigLoader
+
+        p = self._write(tmp_path, "[default]\nvisualise = maybe\n")
+        with pytest.raises(ValueError, match="visualise"):
+            ConfigLoader(p, "gold_std")
+
+
+class TestGoldStdLoad:
+    def test_truncated_pickle_returns_none(self, tmp_path):
+        """The documented contract is None on missing/corrupt; a truncated
+        pickle raises EOFError which used to escape."""
+        import pickle
+
+        from tpu3dlm.pipeline.task import load_gold_std
+
+        p = str(tmp_path / "variables.pkl")
+        with open(p, "wb") as f:
+            f.write(pickle.dumps({"predictions": {0: []}})[:10])  # truncate
+        assert load_gold_std(p) is None

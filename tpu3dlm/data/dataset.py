@@ -37,18 +37,26 @@ def _pair_filenames(image_dir: str, depth_image_dir: str) -> list[tuple[str, str
     return pairs
 
 
-def _source_fingerprint(image_dir, depth_image_dir, pairs) -> dict:
+def _source_fingerprint(image_dir, depth_image_dir, pairs, calibration_dir=None) -> dict:
     """Cheap stat fingerprint (count/bytes/max-mtime) over the capture's
-    paired source files. The scanpack cache validates against it so a
-    RE-EXPORTED capture with the same frame count (corrected calibration,
-    re-processed images) invalidates the pack instead of silently serving
-    stale pixels."""
+    paired source files AND their calibration YAMLs. The scanpack cache
+    validates against it so a RE-EXPORTED capture with the same frame
+    count (corrected calibration, re-processed images) invalidates the
+    pack instead of silently serving stale pixels — the pack stores the
+    parsed intrinsics, so calibration files MUST be part of the print."""
     count, total, mtime = 0, 0, 0.0
     for rgb_name, d_name in pairs:
-        for p in (
+        paths = [
             os.path.join(image_dir, rgb_name),
             os.path.join(depth_image_dir, d_name),
-        ):
+        ]
+        if calibration_dir is not None:
+            paths.append(
+                os.path.join(
+                    calibration_dir, os.path.splitext(rgb_name)[0] + ".yaml"
+                )
+            )
+        for p in paths:
             try:
                 st = os.stat(p)
             except OSError:
@@ -300,7 +308,9 @@ def iter_scan_chunks(
         pack_path = os.path.join(
             os.path.dirname(image_dir.rstrip("/")), f"scan_{img_size}.pack"
         )
-        src_fp = _source_fingerprint(image_dir, depth_image_dir, pairs[:n])
+        src_fp = _source_fingerprint(
+            image_dir, depth_image_dir, pairs[:n], calibration_dir
+        )
         pack = scanpack_memmap(pack_path)
         if pack is not None and pack["dims"] != (
             n, img_size, img_size, depth_height, depth_width,
@@ -333,19 +343,32 @@ def iter_scan_chunks(
                 img_size, depth_width, depth_height, resize_mode, workers,
             )
             if pack_writer is not None:
-                pack_writer["rgb"][start:stop] = rgb
-                pack_writer["depth"][start:stop] = depth
-                pack_writer["intr"][start:stop] = intrinsics
-                pack_writer["rgb_size"][start:stop] = rgb_size
-                pack_writer["poses"][start:stop] = poses[start:stop]
-                if stop == n:
-                    from tpu3dlm.native import scanpack_finalize
+                # the cache is purely an optimisation: a write failure
+                # (disk full, dir gone read-only) must not abort a run
+                # whose decode+compute succeeded — drop the writer and
+                # keep streaming (the unfinalized pack stays invalid)
+                try:
+                    pack_writer["rgb"][start:stop] = rgb
+                    pack_writer["depth"][start:stop] = depth
+                    pack_writer["intr"][start:stop] = intrinsics
+                    pack_writer["rgb_size"][start:stop] = rgb_size
+                    pack_writer["poses"][start:stop] = poses[start:stop]
+                    if stop == n:
+                        from tpu3dlm.native import scanpack_finalize
 
-                    for v in pack_writer.values():
-                        if isinstance(v, np.memmap):
-                            v.flush()
-                    scanpack_finalize(pack_path)
-                    _write_fingerprint(pack_path, src_fp)
+                        for v in pack_writer.values():
+                            if isinstance(v, np.memmap):
+                                v.flush()
+                        scanpack_finalize(pack_path)
+                        _write_fingerprint(pack_path, src_fp)
+                except OSError as e:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "scan cache write failed (%s) — continuing uncached",
+                        e,
+                    )
+                    pack_writer = None
         if valid < chunk_frames:
             pad = chunk_frames - valid
 
@@ -423,7 +446,9 @@ def load_scan(
             # place (same count, different source bytes — _source_fingerprint)
             if n == n_now and _fingerprint_matches(
                 pack_path,
-                _source_fingerprint(image_dir, depth_image_dir, pairs_now[:n]),
+                _source_fingerprint(
+                    image_dir, depth_image_dir, pairs_now[:n], calibration_dir
+                ),
             ):
                 # serve the LIVE poses, not the pack's stored copy: the
                 # fingerprint covers image bytes only, so a poses.txt
@@ -451,10 +476,21 @@ def load_scan(
     if cache and resize_mode == "square":
         from tpu3dlm.native import scanpack_write
 
-        scanpack_write(pack_path, rgb, depth, intrinsics, rgb_size, poses[:n])
-        _write_fingerprint(
-            pack_path, _source_fingerprint(image_dir, depth_image_dir, pairs[:n])
-        )
+        try:
+            scanpack_write(pack_path, rgb, depth, intrinsics, rgb_size, poses[:n])
+        except OSError as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scan cache write failed (%s) — continuing uncached", e
+            )
+        else:
+            _write_fingerprint(
+                pack_path,
+                _source_fingerprint(
+                    image_dir, depth_image_dir, pairs[:n], calibration_dir
+                ),
+            )
 
     return Scan(
         rgb=rgb,

@@ -34,15 +34,25 @@ def _build() -> str | None:
     so_path = os.path.join(_HERE, f"libtpu3dlm_native_{_source_digest()}.so")
     if os.path.exists(so_path):
         return so_path
+    # compile to a temp path and rename: a build killed mid-link (timeout,
+    # Ctrl-C, disk full) must not leave a partial .so at the final path —
+    # the exists-check above would keep returning it and every later
+    # process would crash loading a truncated ELF instead of falling back
+    tmp_path = so_path + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        *_SRC, "-o", so_path,
+        *_SRC, "-o", tmp_path,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.rename(tmp_path, so_path)  # atomic on the same filesystem
         return so_path
     except Exception as e:  # toolchain absent / compile failure → fallback
         _logger.warning("native build failed (%s); using Python fallbacks", e)
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
 
 
@@ -53,7 +63,17 @@ def get_lib() -> ctypes.CDLL | None:
         _TRIED = True
         so = _build()
         if so:
-            lib = ctypes.CDLL(so)
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError as e:
+                # e.g. a corrupt .so from an older interrupted build —
+                # degrade to the Python fallbacks instead of crashing
+                # every native entry point
+                _logger.warning(
+                    "native library failed to load (%s); using Python "
+                    "fallbacks", e,
+                )
+                return None
             lib.tpu3dlm_dbscan.restype = ctypes.c_int
             lib.tpu3dlm_dbscan.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
@@ -121,6 +141,13 @@ def scanpack_write(path: str, rgb, depth, intr, rgb_size, poses) -> bool:
     if lib is None:
         np.savez(path + ".npz", rgb=rgb, depth=depth, intr=intr,
                  rgb_size=rgb_size, poses=poses)
+        # the binary pack and the .npz fallback share ONE .src fingerprint:
+        # writing one must remove a stale sibling, or a later run with the
+        # other toolchain state would serve old pixels behind a fresh print
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
         return True
     f, h, w, _ = rgb.shape
     hd, wd = depth.shape[1], depth.shape[2]
@@ -133,6 +160,11 @@ def scanpack_write(path: str, rgb, depth, intr, rgb_size, poses) -> bool:
         ctypes.c_int64(f), ctypes.c_int64(h), ctypes.c_int64(w),
         ctypes.c_int64(hd), ctypes.c_int64(wd),
     )
+    if rc == 0:
+        try:
+            os.unlink(path + ".npz")  # remove a stale fallback sibling
+        except OSError:
+            pass
     return rc == 0
 
 

@@ -79,11 +79,20 @@ int tpu3dlm_scanpack_read(const char* path, int64_t* dims_out, uint8_t* rgb,
         std::fclose(fp);
         return -4;
     }
-    dims_out[0] = hdr.f; dims_out[1] = hdr.h; dims_out[2] = hdr.w;
-    dims_out[3] = hdr.hd; dims_out[4] = hdr.wd;
-    if (!rgb) {  // probe mode
+    if (!rgb) {  // probe mode: report dims
+        dims_out[0] = hdr.f; dims_out[1] = hdr.h; dims_out[2] = hdr.w;
+        dims_out[3] = hdr.hd; dims_out[4] = hdr.wd;
         std::fclose(fp);
         return 0;
+    }
+    // data mode: the caller sized its buffers from a prior probe — a pack
+    // rewritten in between (concurrent process re-caching the capture)
+    // must not overflow them; dims_out carries the EXPECTED dims in
+    if (dims_out[0] != hdr.f || dims_out[1] != hdr.h ||
+        dims_out[2] != hdr.w || dims_out[3] != hdr.hd ||
+        dims_out[4] != hdr.wd) {
+        std::fclose(fp);
+        return -5;
     }
     bool ok = read_all(fp, rgb, static_cast<size_t>(hdr.f) * hdr.h * hdr.w * 3) &&
               read_all(fp, depth, sizeof(float) * hdr.f * hdr.hd * hdr.wd) &&

@@ -78,6 +78,15 @@ class Pipeline:
         repeat it."""
         stream_n = getattr(self.cfg, "streaming_chunk", 0)
         use_stream = stream_n > 0 and getattr(self.cfg, "fused_inference", False)
+        if stream_n > 0 and not use_stream:
+            # the bounded-memory promise of streaming_chunk is void without
+            # the fused path — silently materialising the whole capture is
+            # exactly what the knob was set to prevent
+            self.logger.warning(
+                "streaming_chunk = %d ignored: streaming requires "
+                "fused_inference = true — the full capture will be "
+                "materialised in host memory", stream_n,
+            )
         if use_stream:
             # streaming ingestion: never materialise the whole capture —
             # frames decode chunk-by-chunk inside the fused detect stage
@@ -132,8 +141,12 @@ class Pipeline:
         }
         try:
             os.makedirs(os.path.dirname(self.cfg.pickle_path) or ".", exist_ok=True)
-            with open(self.cfg.pickle_path, "wb") as f:
+            # atomic write: a crash mid-dump must not leave a truncated
+            # pickle at the real path (load_gold_std would see corrupt)
+            tmp = self.cfg.pickle_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
                 pickle.dump(self.data_to_save, f)
+            os.replace(tmp, self.cfg.pickle_path)
             self.logger.info("Variables stored to pickle file.")
         except Exception as e:
             self.logger.info(f"Failed to write to file: {e}")
@@ -307,8 +320,12 @@ class Pipeline:
 
     def _map_detected_objects(self, scan: Scan, detections: Detections, fused_gboxes=None):
         self.logger.info("Extracting Pose Information...")
-        ts, poses = load_poses(self.cfg.pose_path)
-        pose_df = poses_to_dataframe(ts[: scan.num_frames], poses[: scan.num_frames])
+        # the Scan already carries the parsed poses/timestamps — re-reading
+        # poses.txt here would add a second source of truth that could
+        # diverge from scan.poses if the file changes mid-run
+        pose_df = poses_to_dataframe(
+            np.asarray(scan.timestamps), np.asarray(scan.poses)
+        )
         self.logger.info("Pose Information Extracted.")
 
         self.logger.info("Processing Pose...")
@@ -518,8 +535,10 @@ def load_gold_std(pickle_path: str):
     except FileNotFoundError:
         logging.error(f"The file {pickle_path} was not found.")
         return None
-    except pickle.UnpicklingError:
-        logging.error(f"Failed to unpickle the file {pickle_path}.")
+    except (pickle.UnpicklingError, EOFError, AttributeError) as e:
+        # EOFError: truncated file; AttributeError: pickle references a
+        # class that moved — both are "corrupt" per the documented contract
+        logging.error(f"Failed to unpickle the file {pickle_path}: {e}")
         return None
 
 

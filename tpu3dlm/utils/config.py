@@ -15,7 +15,10 @@ from __future__ import annotations
 import configparser
 import os
 
-_BOOL = {"true": True, "1": True, "yes": True, "false": False, "0": False, "no": False}
+_BOOL = {
+    "true": True, "1": True, "yes": True, "on": True,
+    "false": False, "0": False, "no": False, "off": False,
+}
 
 # attribute → type coercion ("" stays str); every name the reference reads
 _SCHEMA: dict[str, str] = {
@@ -79,7 +82,11 @@ class ConfigLoader:
     def __init__(self, config_path: str, data_folder: str, data_root: str | None = None):
         self.config_path = config_path
         self.data_folder = data_folder
-        parser = configparser.ConfigParser()
+        # interpolation=None: this file's own templating is {data}/{root},
+        # and BasicInterpolation would reject legitimate '%' in values
+        # (e.g. /data/5%_sample) — inconsistently, since [DEFAULT] values
+        # read via parser.defaults() bypass interpolation anyway
+        parser = configparser.ConfigParser(interpolation=None)
         read = parser.read(config_path)
         if not read:
             raise FileNotFoundError(config_path)
@@ -99,7 +106,14 @@ class ConfigLoader:
             elif kind == "float":
                 parsed = float(val)
             elif kind == "bool":
-                parsed = _BOOL[val.strip().lower()]
+                try:
+                    parsed = _BOOL[val.strip().lower()]
+                except KeyError:
+                    raise ValueError(
+                        f"config option '{key}' in {config_path}: expected "
+                        f"a boolean (true/false/1/0/yes/no/on/off), got "
+                        f"{val!r}"
+                    ) from None
             else:
                 parsed = val
             setattr(self, key, parsed)
