@@ -37,6 +37,10 @@ def test_pipeline_reproduces_ground_truth(tmp_path):
     report = verify(cfg_path, gold, dropped=(2,), tol=0.1)
     assert report["missing_flagged"] == 1
     assert max(report["placement_errors_m"].values()) <= 0.1
+    # detector quality surface (pipeline/metrics.py): the finetuned fixture
+    # must at least find half the gt signs cleanly at IoU .5
+    assert report["detection"]["map50"] >= 0.5
+    assert report["detection"]["recall"] >= 0.5
 
 
 @pytest.mark.skipif(

@@ -145,8 +145,17 @@ def verify(cfg_path: str, gold_scene, dropped=(2,), tol: float = 0.1) -> dict:
         want = {id2dmg[s.damage] for s in kept if s.label == r["label"]}
         assert r["base_damage"] in want and r["comparison_damage"] in want, r
 
+    # 2D detector quality on the gold scan (pipeline/metrics.py): both the
+    # prediction records and the synthetic gt are in original-capture pixels
+    from tpu3dlm.pipeline.metrics import evaluate_detections
+
+    det = evaluate_detections(
+        p1.data_to_save["predictions"], gold_scene.gt_boxes_2d
+    )
+
     return {
         "placement_errors_m": errors,
         "missing_flagged": len(missing),
         "rows": len(rows),
+        "detection": det.to_dict(),
     }
