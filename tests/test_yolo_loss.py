@@ -220,9 +220,14 @@ class TestSelftrainHelpers:
                          num_heads=2, intermediate_size=32, num_labels=2)
         crops = rng.integers(1, 255, size=(3, 16, 16, 3)).astype(np.uint8)
         labels = np.array([1, 1, 1], np.int32)
+        from tpu3dlm.parallel.mesh import make_mesh
+
         ft.make_beit_train_step = spy_factory
         try:
-            selftrain.finetune_beit(crops, labels, cfg, steps=1)
+            # the FULL 8-device CPU mesh (finetune_beit's default is a
+            # deliberate single-device mesh, which never needs padding)
+            selftrain.finetune_beit(crops, labels, cfg, steps=1,
+                                    mesh=make_mesh())
         finally:
             ft.make_beit_train_step = orig
         # padded batch is a device multiple, every slot a REAL crop/label

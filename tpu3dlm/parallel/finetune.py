@@ -66,6 +66,7 @@ def make_yolo_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     img_size: int,
+    augment: dict | None = None,
 ):
     """Detection finetune step (YOLOv10 dual-assignment loss), data-parallel.
 
@@ -73,6 +74,12 @@ def make_yolo_train_step(
     → (variables, opt_state, loss). Images shard over the batch axis; params
     replicate; gradients pmean over ICI. BatchNorm runs in train mode and the
     updated batch_stats are averaged across shards.
+
+    With ``augment`` (kwargs for ops/augment.augment_detection_batch, ``{}``
+    for defaults) the step takes a leading PRNG ``key`` argument and applies
+    flip/jitter/crop-zoom INSIDE the jitted program, per shard (the key is
+    folded with the shard's axis index so shards draw independent noise):
+    train_step(variables, opt_state, key, images, gt_boxes, gt_labels, gt_mask).
     """
     from tpu3dlm.models.yolo_loss import yolov10_loss
 
@@ -88,7 +95,7 @@ def make_yolo_train_step(
         loss = yolov10_loss(outputs, gt_boxes, gt_labels, gt_mask, img_size)
         return loss, mutated["batch_stats"]
 
-    def per_shard(variables, opt_state, images, gt_boxes, gt_labels, gt_mask):
+    def _update(variables, opt_state, images, gt_boxes, gt_labels, gt_mask):
         params = variables["params"]
         stats = variables["batch_stats"]
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -102,11 +109,45 @@ def make_yolo_train_step(
         return {"params": params, "batch_stats": new_stats}, opt_state, loss
 
     b = P(axis)
+    if augment is None:
+        mapped = shard_map(
+            _update,
+            mesh=mesh,
+            in_specs=(P(), P(), b, b, b, b),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    from tpu3dlm.ops.augment import augment_detection_batch
+
+    def per_shard(variables, opt_state, key, images, gt_boxes, gt_labels, gt_mask):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        images, gt_boxes, gt_mask = augment_detection_batch(
+            key, images, gt_boxes, gt_mask, **augment
+        )
+        return _update(variables, opt_state, images, gt_boxes, gt_labels, gt_mask)
+
     mapped = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(), b, b, b, b),
+        in_specs=(P(), P(), P(), b, b, b, b),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def ema_update(ema_params, params, decay: float):
+    """One exponential-moving-average step over a param pytree (jitted;
+    ``decay`` is traced so one program serves every decay value)."""
+    return _ema_update_jit(ema_params, params, jnp.float32(decay))
+
+
+@jax.jit
+def _ema_update_jit(ema_params, params, decay):
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        params,
+    )

@@ -118,6 +118,49 @@ def _pad_batch(arrays, n: int):
     return out
 
 
+def evaluate_yolo_map(
+    yolo,
+    variables,
+    images_f32,
+    gt_boxes: np.ndarray,
+    gt_labels: np.ndarray,
+    gt_mask: np.ndarray,
+    img_size: int,
+    conf_thresh: float = 0.25,
+    max_det: int = 32,
+) -> dict:
+    """Detection-quality snapshot of a training checkpoint: eval-mode
+    forward + NMS-free postprocess → pipeline/metrics mAP vs the padded gt
+    arrays. Returns the DetectionMetrics dict."""
+    import jax
+
+    from tpu3dlm.models.yolov10 import postprocess
+    from tpu3dlm.pipeline.metrics import evaluate_detections
+
+    @jax.jit
+    def _detect(variables, images):
+        raw = yolo.apply(variables, images)["one2one"]
+        return postprocess(raw, img_size=img_size, max_det=max_det)
+
+    out = jax.device_get(_detect(variables, images_f32))
+    preds: dict[int, list] = {}
+    gts: dict[int, list] = {}
+    F = np.shape(images_f32)[0]
+    for f in range(F):
+        keep = out["conf"][f] >= conf_thresh
+        preds[f] = [
+            [*out["boxes"][f, i].tolist(), float(out["conf"][f, i]),
+             int(out["label"][f, i])]
+            for i in np.where(keep)[0]
+        ]
+        gts[f] = [
+            [*np.asarray(gt_boxes[f, b], float).tolist(), 1.0,
+             int(gt_labels[f, b])]
+            for b in np.where(np.asarray(gt_mask[f]))[0]
+        ]
+    return evaluate_detections(preds, gts).to_dict()
+
+
 def finetune_yolo(
     images_u8: np.ndarray,
     gt_boxes: np.ndarray,
@@ -131,18 +174,38 @@ def finetune_yolo(
     mesh=None,
     seed: int = 0,
     log_every: int = 50,
+    augment: dict | bool | None = None,
+    ema_decay: float | None = None,
+    schedule: str = "const",
+    warmup_frac: float = 0.1,
+    val_every: int = 0,
+    val_history: list | None = None,
 ):
     """Overfit/adapt YOLOv10 on (images, gt) — returns trained variables.
 
     Data-parallel over the mesh's batch axis (frames padded to a device
     multiple; padded frames have empty gt, i.e. pure-background signal).
+
+    Training options (all off by default — the committed fixture
+    checkpoints were trained with the plain recipe):
+
+    * ``augment`` — ``True``/kwarg-dict enables in-jit flip + color jitter
+      + MXU crop-zoom (ops/augment.py), the ultralytics-DataLoader
+      analogue run on device;
+    * ``ema_decay`` — keep an exponential moving average of the params and
+      return it as the checkpoint (ultralytics' ModelEMA analogue);
+    * ``schedule="cosine"`` — warmup + cosine decay to 5% of ``lr``
+      (``warmup_frac`` of the steps), instead of constant lr;
+    * ``val_every=N`` — every N steps score eval-mode mAP50/mAP50-95 on
+      the training arrays via pipeline/metrics and log it; entries are
+      appended to ``val_history`` when given.
     """
     import jax
     import jax.numpy as jnp
     import optax
 
     from tpu3dlm.models.yolov10 import YOLOv10
-    from tpu3dlm.parallel.finetune import make_yolo_train_step
+    from tpu3dlm.parallel.finetune import ema_update, make_yolo_train_step
     from tpu3dlm.parallel.mesh import make_mesh
 
     # default is a SINGLE-device mesh (the e2e accuracy loop runs on one
@@ -159,16 +222,54 @@ def finetune_yolo(
     variables = yolo.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     )
-    tx = optax.adamw(lr)
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=max(int(steps * warmup_frac), 1),
+            decay_steps=max(steps, 2),
+            end_value=lr * 0.05,
+        )
+        tx = optax.adamw(sched)
+    elif schedule == "const":
+        tx = optax.adamw(lr)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r} (const|cosine)")
     opt_state = tx.init(variables["params"])
-    step = make_yolo_train_step(yolo, tx, mesh, img_size)
+    aug_kw = {} if augment is True else (augment or None)
+    step = make_yolo_train_step(yolo, tx, mesh, img_size, augment=aug_kw)
 
     imgs = jnp.asarray(images_u8.astype(np.float32) / 255.0)
     gb, gl, gm = jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_mask)
+    ema_params = variables["params"] if ema_decay else None
+    base_key = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
-        variables, opt_state, loss = step(variables, opt_state, imgs, gb, gl, gm)
+        if aug_kw is None:
+            variables, opt_state, loss = step(variables, opt_state, imgs, gb, gl, gm)
+        else:
+            key = jax.random.fold_in(base_key, i)
+            variables, opt_state, loss = step(
+                variables, opt_state, key, imgs, gb, gl, gm
+            )
+        if ema_decay:
+            ema_params = ema_update(ema_params, variables["params"], ema_decay)
         if log_every and (i % log_every == 0 or i == steps - 1):
             logger.info("yolo finetune step %d: loss=%.4f", i, float(loss))
+        if val_every and (i % val_every == 0 or i == steps - 1):
+            eval_vars = variables if ema_params is None else {
+                "params": ema_params, "batch_stats": variables["batch_stats"]
+            }
+            m = evaluate_yolo_map(
+                yolo, eval_vars, imgs, gt_boxes, gt_labels, gt_mask, img_size
+            )
+            logger.info(
+                "yolo finetune step %d: mAP50=%.3f mAP50-95=%.3f", i,
+                m["map50"], m["map50_95"],
+            )
+            if val_history is not None:
+                val_history.append({"step": i, **m})
+    if ema_params is not None:
+        variables = {"params": ema_params, "batch_stats": variables["batch_stats"]}
     from tpu3dlm.utils.host import to_host
 
     return to_host(variables)
