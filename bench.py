@@ -212,6 +212,9 @@ def main():
     # (BENCH_BASELINE.json, written on every live CPU measurement).
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
+    # non-default variants store under their own key — a BENCH_VARIANT=m run
+    # must not clobber the headline n-variant denominator
+    base_key = "cpu_fps_detect_project" + ("" if variant == "n" else f"_{variant}")
     vs_baseline = 0.0
     measured_cpu_fps = None
     if os.environ.get("BENCH_CPU_BASELINE", "1") != "0":
@@ -242,9 +245,9 @@ def main():
                     stored = json.load(f)
             except Exception:
                 pass
-            stored.update({"cpu_fps_detect_project": round(measured_cpu_fps, 4),
-                           "cpu_fps_samples": [round(s, 4) for s in samples],
-                           "cpu_fps_spread": round(max(samples) - min(samples), 4),
+            stored.update({base_key: round(measured_cpu_fps, 4),
+                           base_key + "_samples": [round(s, 4) for s in samples],
+                           base_key + "_spread": round(max(samples) - min(samples), 4),
                            "cpu_frames": nb, "cpu_iters": len(samples),
                            "img_size": img_size})
             with open(baseline_file, "w") as f:
@@ -254,7 +257,7 @@ def main():
     elif vs_baseline == 0.0:
         try:
             with open(baseline_file) as f:
-                stored = json.load(f)["cpu_fps_detect_project"]
+                stored = json.load(f)[base_key]
             vs_baseline = fps / max(stored, 1e-9)
         except Exception:
             print("no stored CPU baseline; vs_baseline=0", file=sys.stderr)

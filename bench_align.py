@@ -124,24 +124,53 @@ def main():
     if err > 0.15 or n_missing != 1:
         print(f"bench sanity: transform_err={err:.3f} missing={n_missing}", file=sys.stderr)
 
-    # CPU baseline: one 16384 × n_target NN query × the query count
+    # CPU baseline: one 16384 × n_target NN query × the query count. The
+    # live leg takes minutes and swings >2× with host load (observed 109 s
+    # vs 248 s on the same box), so it is stored in BENCH_BASELINE.json
+    # like bench.py's denominator; BENCH_CPU_BASELINE=0 reuses the stored
+    # measurement.
+    baseline_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    nn_key = "cpu_seconds_one_nn_16k_x_1M"
     vs_baseline = 0.0
-    try:
-        import jax.numpy as jnp
+    one_nn_cpu = None
+    n_queries = 3 * iters  # 3 coarse-to-fine stages (alignment/align.py)
+    if os.environ.get("BENCH_CPU_BASELINE", "1") != "0":
+        try:
+            import jax.numpy as jnp
 
-        from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
+            from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_xla
 
-        cpu = jax.devices("cpu")[0]
-        q = jax.device_put(jnp.asarray(base[:16384]), cpu)
-        t = jax.device_put(jnp.asarray(base), cpu)
-        np.asarray(nearest_neighbors_xla(q, t)[0])  # compile
-        t0 = time.perf_counter()
-        np.asarray(nearest_neighbors_xla(q, t)[0])
-        one_nn_cpu = time.perf_counter() - t0
-        n_queries = 3 * iters  # 3 coarse-to-fine stages (alignment/align.py)
+            cpu = jax.devices("cpu")[0]
+            q = jax.device_put(jnp.asarray(base[:16384]), cpu)
+            t = jax.device_put(jnp.asarray(base), cpu)
+            np.asarray(nearest_neighbors_xla(q, t)[0])  # compile
+            t0 = time.perf_counter()
+            np.asarray(nearest_neighbors_xla(q, t)[0])
+            one_nn_cpu = time.perf_counter() - t0
+            try:
+                stored = {}
+                try:
+                    with open(baseline_file) as f:
+                        stored = json.load(f)
+                except Exception:
+                    pass
+                stored[nn_key] = round(one_nn_cpu, 3)
+                with open(baseline_file, "w") as f:
+                    json.dump(stored, f)
+            except OSError:
+                pass
+        except Exception as e:
+            print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+    else:
+        try:
+            with open(baseline_file) as f:
+                one_nn_cpu = float(json.load(f)[nn_key])
+        except Exception:
+            print("no stored CPU NN baseline; vs_baseline=0", file=sys.stderr)
+    if one_nn_cpu is not None:
         vs_baseline = (one_nn_cpu * n_queries) / max(wall, 1e-9)
-    except Exception as e:
-        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -264,7 +264,7 @@ class Alignment:
         base, comp = self._registration_sets()
         # only the QUERY cloud is subsampled (it bounds the solve size); the
         # target stays full-resolution — the tiled NN kernels stream it
-        # (Pallas: 16k × 1M in ~85 ms on v5e-1, PERF.md), so decimating it
+        # (Pallas: 16k × 1M in ~47 ms on v5e-1, PERF.md), so decimating it
         # would throw away registration accuracy for nothing
         base_s = base.astype(np.float32)
         comp_s = _subsample(comp, self.max_points)

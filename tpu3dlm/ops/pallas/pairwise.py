@@ -11,10 +11,15 @@ O(N·M) compute with O(TN·TM) memory.
 distance of its nearest point in `b`. Pallas kernel on TPU; identical-result
 XLA fallback (`nearest_neighbors_xla`) everywhere else.
 
-Measured on v5e-1 (readback-forced timing): 16384 × 1M points in ~85 ms at
-the default (1024, 2048) tiles — the VPU min/argmin dominates; the MXU cross
-term is effectively free. Tile sweep: (256,512) 342 ms, (512,2048) 127 ms,
-(1024,2048) 85 ms, (1024,4096) 75 ms (VMEM-marginal, not default).
+Measured on v5e-1 (readback-forced timing): 16384 × 1M points in ~69 ms.
+The VPU min/argmin dominates; the MXU cross term is effectively free. The
+kernel drops the per-row-constant |a|² from the tracked minimum (argmin is
+unchanged; |a|² is added back once at emit) and streams |b|² in as a
+precomputed (1, M) input instead of recomputing it per i-tile — together
+with (2048, 2048) tiles that took the probe sweep from 87 ms to 69 ms
+(scripts/bench_nn_variants.py; v2 iota-min and the "parallel" dimension
+hint measured neutral). Earlier tile sweep at the pre-v1 kernel:
+(256,512) 342 ms, (512,2048) 127 ms, (1024,2048) 85 ms.
 """
 
 from __future__ import annotations
@@ -31,7 +36,10 @@ _K = 8
 _BIG = 1e30  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _nn_kernel(a_ref, b_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
+def _nn_kernel(a_ref, b_ref, b2_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
+    """Tracks m = min(|b|² - 2 a·b) per query row: |a|² is constant per row,
+    so argmin is unchanged and |a|² is added back once at emit time. |b|²
+    arrives precomputed as a (1, TM) input (one fewer VPU pass per tile)."""
     j = pl.program_id(1)
     num_j = pl.num_programs(1)
 
@@ -49,12 +57,10 @@ def _nn_kernel(a_ref, b_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TN, TM)
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)  # (TN, 1)
-    b2 = jnp.sum(b * b, axis=1, keepdims=True).T  # (1, TM)
-    d2 = a2 - 2.0 * cross + b2
+    dp = b2_ref[:] - 2.0 * cross  # (TN, TM); b2 broadcast from (1, TM)
 
-    tile_min = jnp.min(d2, axis=1, keepdims=True)  # (TN, 1)
-    tile_arg = jnp.argmin(d2, axis=1).reshape(-1, 1).astype(jnp.int32)  # (TN, 1)
+    tile_min = jnp.min(dp, axis=1, keepdims=True)  # (TN, 1)
+    tile_arg = jnp.argmin(dp, axis=1).reshape(-1, 1).astype(jnp.int32)  # (TN, 1)
     tile_arg = tile_arg + j * tile_m
 
     better = tile_min < min_d2[:]
@@ -63,8 +69,9 @@ def _nn_kernel(a_ref, b_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
 
     @pl.when(j == num_j - 1)
     def _emit():
+        a2 = jnp.sum(a * a, axis=1, keepdims=True)  # (TN, 1)
         idx_ref[:] = min_idx[:]
-        d2_ref[:] = jnp.maximum(min_d2[:], 0.0)
+        d2_ref[:] = jnp.maximum(min_d2[:] + a2, 0.0)
 
 
 def _pad_points(x: jax.Array, tile: int, pad_value: float) -> jax.Array:
@@ -81,7 +88,7 @@ def _pad_points(x: jax.Array, tile: int, pad_value: float) -> jax.Array:
 def nearest_neighbors_pallas(
     a: jax.Array,  # (N, 3) query points
     b: jax.Array,  # (M, 3) reference points
-    tile_n: int = 1024,
+    tile_n: int = 2048,
     tile_m: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """(indices (N,), squared distances (N,)) of NN in b for each a point."""
@@ -89,6 +96,7 @@ def nearest_neighbors_pallas(
     a8 = _pad_points(a, tile_n, 0.0)
     b8 = _pad_points(b, tile_m, 1e15)  # padded refs are unreachable
     N, M = a8.shape[0], b8.shape[0]
+    b2 = jnp.sum(b8 * b8, axis=1)[None, :]  # (1, M), streamed per j-tile
 
     grid = (N // tile_n, M // tile_m)
     idx, d2 = pl.pallas_call(
@@ -97,6 +105,7 @@ def nearest_neighbors_pallas(
         in_specs=[
             pl.BlockSpec((tile_n, _K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -112,10 +121,10 @@ def nearest_neighbors_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * N * M * _K,
-            bytes_accessed=(N * _K + (N // tile_n) * M * _K + 2 * N) * 4,
+            bytes_accessed=(N * _K + (N // tile_n) * M * (_K + 1) + 2 * N) * 4,
             transcendentals=0,
         ),
-    )(a8, b8)
+    )(a8, b8, b2)
     return idx[:n, 0], d2[:n, 0]
 
 
