@@ -110,6 +110,7 @@ class Alignment:
         coarse_query_cap: int = 4096,
         coarse_target_cap: int = 262_144,
         global_init: str = "auto",  # "centroid" | "pca" | "auto"
+        ann: str = "auto",  # "auto" | "on" | "off" — anchor-bucketed NN
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -128,6 +129,9 @@ class Alignment:
         if global_init not in ("centroid", "pca", "auto"):
             raise ValueError(f"unknown global_init {global_init!r}")
         self.global_init = global_init
+        if ann not in ("auto", "on", "off"):
+            raise ValueError(f"unknown ann {ann!r}")
+        self.ann = ann
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -350,6 +354,29 @@ class Alignment:
         # correspondence, so the solve is unchanged — ops/icp)
         full = place(comp_s, *pad_target_bucket(base_s, normals_np))
 
+        # anchor-bucketed NN (ops/ann.py): one index build per distinct
+        # stage target, amortised over every ICP iteration — the fine stage
+        # drops from ~47 ms to single-digit ms per sweep at 1M-pt targets.
+        # "auto" engages it only where the exact sweep is expensive; the
+        # measurement pass inside the solvers stays exact either way, so
+        # reported rmse/inliers are exact for the returned transform.
+        def _index_for(tj):
+            if self.ann == "off":
+                return None
+            m = int(tj.shape[0])
+            if self.ann == "auto" and m < 131_072:
+                return None
+            from tpu3dlm.ops.ann import build_anchor_index, default_index_shape
+
+            c, b = default_index_shape(m)
+            if c > m:
+                return None
+            return build_anchor_index(
+                tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
+            )
+
+        indices = {}  # id(target placement) → AnchorIndex | None
+
         self.transformations = list(init_steps)
         T = jnp.asarray(T_init)
         res = None
@@ -357,6 +384,10 @@ class Alignment:
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None
             qj, tj, nj = full if final else coarse
+            key = id(tj)
+            if key not in indices:
+                indices[key] = _index_for(tj)
+            t_index = indices[key]
             if nj is not None:
                 res = icp_point_to_plane(
                     qj, tj, nj,
@@ -364,6 +395,7 @@ class Alignment:
                     max_correspondence_dist=float(d),
                     iterations=self.icp_iterations,
                     use_pallas=self.use_pallas,
+                    target_index=t_index,
                 )
             else:
                 res = icp(
@@ -372,6 +404,7 @@ class Alignment:
                     max_correspondence_dist=float(d),
                     iterations=self.icp_iterations,
                     use_pallas=self.use_pallas,
+                    target_index=t_index,
                 )
             stage_steps.append(res.step_transforms)
             T = res.transform  # chains to the next stage ON DEVICE

@@ -399,7 +399,8 @@ def _fuse_tsdf(n_bucket, n_real, strides, lo, voxel, trunc, poses, intr, depth):
         pose, fxfycxcy, dframe = frame
         T = G.pose_to_matrix(pose)
         E = G.invert_se3(T)
-        cam = centers @ E[:3, :3].T + E[:3, 3]
+        cam = jnp.matmul(centers, E[:3, :3].T,
+                         precision=jax.lax.Precision.HIGHEST) + E[:3, 3]
         z = cam[:, 2]
         fx, fy, cx, cy = fxfycxcy[0], fxfycxcy[1], fxfycxcy[2], fxfycxcy[3]
         u = cam[:, 0] / jnp.maximum(z, 1e-6) * fx + cx

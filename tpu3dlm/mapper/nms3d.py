@@ -74,9 +74,11 @@ def _pairwise_oriented_iou(
     """
     R, c, h = jax.vmap(_box_frame, in_axes=(0, None))(corners, depth_buffer)
     # M[i,j] = R_i · R_jᵀ ; extents of box j in box i's frame
-    M = jnp.einsum("ikl,jml->ijkm", R, R)
-    ext = jnp.einsum("ijkm,jm->ijk", jnp.abs(M), h)  # (K, K, 3)
-    ctr = jnp.einsum("ikl,ijl->ijk", R, c[None, :, :] - c[:, None, :])  # (K, K, 3)
+    hp = jax.lax.Precision.HIGHEST  # box frames are coordinates (geometry.PRECISE)
+    M = jnp.einsum("ikl,jml->ijkm", R, R, precision=hp)
+    ext = jnp.einsum("ijkm,jm->ijk", jnp.abs(M), h, precision=hp)  # (K, K, 3)
+    ctr = jnp.einsum("ikl,ijl->ijk", R, c[None, :, :] - c[:, None, :],
+                     precision=hp)  # (K, K, 3)
     lo = jnp.maximum(-h[:, None, :], ctr - ext)
     hi = jnp.minimum(h[:, None, :], ctr + ext)
     inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)

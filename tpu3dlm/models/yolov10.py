@@ -270,7 +270,8 @@ def decode_raw(raw: Sequence[jax.Array], img_size: int) -> tuple[jax.Array, jax.
 
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
     dist = jnp.einsum(
-        "band,d->ban", jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1), bins
+        "band,d->ban", jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1), bins,
+        precision=jax.lax.Precision.HIGHEST,  # sub-pixel box decode, not model math
     )  # (B, A, 4) — l, t, r, b
 
     anchors, strides = make_anchors(img_size)

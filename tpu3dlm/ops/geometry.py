@@ -24,6 +24,19 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# On TPU an f32 matmul/einsum defaults to ONE bf16 MXU pass (~3 decimal
+# digits): at scan scale (metres, coordinates up to ~10) that is
+# centimetre-level noise on every transformed point — measured 0.03 m per
+# pose transform and 45% wrong nearest-neighbour picks at 4k-point targets
+# on v5e (tests/test_precision.py pins both). Every matmul whose operands
+# are COORDINATES or DEPTHS must therefore pass ``precision=PRECISE``
+# (multi-pass, f32-exact). Model matmuls (YOLO/BEiT) stay single-pass by
+# their explicit bfloat16 dtype choice; image-INTENSITY matmuls (the
+# ops/image.py crop-resample weights) deliberately stay at default
+# precision — their values live in [0, 1] where one bf16 pass is ~1-2 u8
+# LSBs, and they are on the fused hot path.
+PRECISE = jax.lax.Precision.HIGHEST
+
 # ---------------------------------------------------------------------------
 # Quaternions / SE(3)
 # ---------------------------------------------------------------------------
@@ -96,13 +109,13 @@ def invert_se3(T: Array) -> Array:
     t = T[:3, 3]
     Ti = jnp.eye(4, dtype=T.dtype)
     Ti = Ti.at[:3, :3].set(R.T)
-    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    Ti = Ti.at[:3, 3].set(-jnp.matmul(R.T, t, precision=PRECISE))
     return Ti
 
 
 def transform_points(T: Array, pts: Array) -> Array:
     """Apply 4×4 transform to (..., 3) points."""
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return jnp.matmul(pts, T[:3, :3].T, precision=PRECISE) + T[:3, 3]
 
 
 def camera_direction(pose: Array, forward: Array | None = None) -> Array:
@@ -113,7 +126,7 @@ def camera_direction(pose: Array, forward: Array | None = None) -> Array:
     """
     if forward is None:
         forward = jnp.array([0.0, 0.0, 1.0], dtype=pose.dtype)
-    return quat_to_rotmat(pose[3:7]) @ forward
+    return jnp.matmul(quat_to_rotmat(pose[3:7]), forward, precision=PRECISE)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +181,7 @@ def so3_exp(omega: Array) -> Array:
     theta = jnp.linalg.norm(omega)
     safe = jnp.maximum(theta, 1e-12)
     K = _skew(omega / safe)
-    R = jnp.eye(3, dtype=omega.dtype) + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * (K @ K)
+    R = jnp.eye(3, dtype=omega.dtype) + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * jnp.matmul(K, K, precision=PRECISE)
     return jnp.where(theta < 1e-8, jnp.eye(3, dtype=omega.dtype), R)
 
 
@@ -191,12 +204,12 @@ def se3_interpolate(T: Array, alpha: Array) -> Array:
         small = th < 1e-6
         A = jnp.where(small, 0.5, (1 - jnp.cos(th)) / safe**2)  # (1-cos)/th²
         B = jnp.where(small, 1.0 / 6.0, (th - jnp.sin(th)) / safe**3)
-        return jnp.eye(3, dtype=T.dtype) + A * (K * safe) + B * ((K @ K) * safe**2)
+        return jnp.eye(3, dtype=T.dtype) + A * (K * safe) + B * (jnp.matmul(K, K, precision=PRECISE) * safe**2)
 
     rho = jnp.linalg.solve(V_of(omega), t)  # rho = V⁻¹ t; interpolate rho·α
     om_a = omega * alpha
     R_a = so3_exp(om_a)
-    t_a = V_of(om_a) @ (rho * alpha)
+    t_a = jnp.matmul(V_of(om_a), rho * alpha, precision=PRECISE)
 
     out = jnp.eye(4, dtype=T.dtype)
     out = out.at[:3, :3].set(R_a)

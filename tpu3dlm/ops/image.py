@@ -81,7 +81,10 @@ def warp_homography(
     vs = jnp.arange(h, dtype=jnp.float32)
     vv, uu = jnp.meshgrid(vs, us, indexing="ij")
     ones = jnp.ones_like(uu)
-    pts = jnp.stack([uu, vv, ones], axis=-1) @ Hinv.T
+    # pixel COORDINATES (~hundreds): one bf16 MXU pass would round the
+    # warp grid by ~2 px (ops/geometry.PRECISE rationale)
+    pts = jnp.matmul(jnp.stack([uu, vv, ones], axis=-1), Hinv.T,
+                     precision=jax.lax.Precision.HIGHEST)
     xs = pts[..., 0] / pts[..., 2]
     ys = pts[..., 1] / pts[..., 2]
     return bilinear_sample(image, xs, ys)

@@ -56,6 +56,11 @@ def _nn_kernel(a_ref, b_ref, b2_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # full-f32 multi-pass: the TPU default single bf16 pass rounds the
+        # cross term to ~0.1 m^2 at scan scale, which flips ~half the argmin
+        # picks (tests/test_precision.py); the kernel is VPU-min-bound, so
+        # the extra MXU passes are hidden
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TN, TM)
     dp = b2_ref[:] - 2.0 * cross  # (TN, TM); b2 broadcast from (1, TM)
 
@@ -157,7 +162,9 @@ def nearest_neighbors_xla(
         def fold(carry, tile):
             best_d2, best_idx = carry
             bc, off = tile
-            d2 = a2 - 2.0 * a_chunk @ bc.T + jnp.sum(bc * bc, axis=1)[None, :]
+            d2 = (a2 - 2.0 * jnp.matmul(a_chunk, bc.T,
+                                        precision=jax.lax.Precision.HIGHEST)
+                  + jnp.sum(bc * bc, axis=1)[None, :])
             tile_min = jnp.min(d2, axis=1)
             tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + off
             better = tile_min < best_d2

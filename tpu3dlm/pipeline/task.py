@@ -405,6 +405,7 @@ class Pipeline:
             icp_iterations=getattr(self.cfg, "icp_iterations", 30),
             mesh=self._alignment_mesh(),
             global_init=getattr(self.cfg, "icp_global_init", "auto"),
+            ann=getattr(self.cfg, "icp_ann", "auto"),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder

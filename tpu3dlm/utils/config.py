@@ -71,6 +71,7 @@ _SCHEMA: dict[str, str] = {
     "icp_max_points": "int",
     "icp_iterations": "int",
     "icp_global_init": "str",
+    "icp_ann": "str",
     "mesh_source": "str",
     "mesh_voxel": "float",
     "infer_dtype": "str",
@@ -198,6 +199,8 @@ comparison_vis = false
 icp_max_points = 16384
 icp_iterations = 30
 icp_global_init = auto
+# anchor-bucketed NN for ICP iterations: auto | on | off (ops/ann.py)
+icp_ann = auto
 
 # TPU runtime
 mesh_devices = 1
