@@ -11,15 +11,22 @@ O(N·M) compute with O(TN·TM) memory.
 distance of its nearest point in `b`. Pallas kernel on TPU; identical-result
 XLA fallback (`nearest_neighbors_xla`) everywhere else.
 
-Measured on v5e-1 (readback-forced timing): 16384 × 1M points in ~69 ms.
-The VPU min/argmin dominates; the MXU cross term is effectively free. The
-kernel drops the per-row-constant |a|² from the tracked minimum (argmin is
-unchanged; |a|² is added back once at emit) and streams |b|² in as a
-precomputed (1, M) input instead of recomputing it per i-tile — together
-with (2048, 2048) tiles that took the probe sweep from 87 ms to 69 ms
-(scripts/bench_nn_variants.py; v2 iota-min and the "parallel" dimension
-hint measured neutral). Earlier tile sweep at the pre-v1 kernel:
-(256,512) 342 ms, (512,2048) 127 ms, (1024,2048) 85 ms.
+Measured on v5e-1 (readback-forced timing): 16384 × 1M points in ~55 ms,
+f32-exact. The VPU min/argmin dominates; the MXU cross term is effectively
+free. Three tricks get there:
+
+* drop the per-row-constant |a|² from the tracked minimum (argmin is
+  unchanged; |a|² is added back once at emit), and stream |b|² in as a
+  precomputed (1, M) input instead of recomputing it per i-tile;
+* (2048, 2048) tiles (probe sweep in scripts/bench_nn_variants.py; the
+  iota-min variant and the "parallel" dimension hint measured neutral);
+* an f32-EXACT cross term at bf16 single-pass speed: the default bf16 MXU
+  pass flips ~99% of picks on scan geometry (mean 8 cm excess) and
+  ``precision=HIGHEST`` fixes that at 3× the cost (Mosaic lowers the
+  6-pass decomposition poorly: 167 ms vs 53 ms at 1M targets), so the
+  kernel performs the SAME decomposition explicitly — truncated bf16
+  limbs, the six significant limb pairs concatenated along K, ONE native
+  bf16 dot (see _nn_kernel).
 """
 
 from __future__ import annotations
@@ -36,10 +43,63 @@ _K = 8
 _BIG = 1e30  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _nn_kernel(a_ref, b_ref, b2_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
+def _trunc_top_limb(x: jax.Array) -> jax.Array:
+    """Top bf16 limb of an f32 array by MANTISSA TRUNCATION (zero the low 16
+    bits). The result is exactly representable in bf16, so the f32→bf16
+    convert that follows cannot round — and, crucially, cannot be elided:
+    this environment compiles with ``--xla_allow_excess_precision=true``,
+    under which a plain ``x.astype(bf16).astype(f32)`` round-trip is folded
+    to ``x`` and the residual limbs silently become zero (measured: the
+    "exact" kernel degraded to single-bf16-pass picks)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _split3_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """f32 → three bf16 limbs, x ≈ x0 + x1 + x2 with |x2 residual| ≤ 2⁻²⁴|x|."""
+    h0 = _trunc_top_limb(x)
+    r1 = x - h0
+    h1 = _trunc_top_limb(r1)
+    r2 = r1 - h1
+    return (
+        h0.astype(jnp.bfloat16),
+        h1.astype(jnp.bfloat16),
+        r2.astype(jnp.bfloat16),
+    )
+
+
+# limb-pair layout along the contraction axis: column block k of the A
+# concat pairs with column block k of the B concat, so ONE bf16 MXU dot
+# accumulates a0·b0 + a0·b1 + a1·b0 + a0·b2 + a1·b1 + a2·b0 in f32 —
+# all products of relative magnitude ≥ 2⁻¹⁶; dropped third-order terms are
+# ≤ ~2⁻²⁴·|a||b|, the same order as the f32 accumulation round-off itself.
+def _limb_concat_a(a: jax.Array) -> jax.Array:
+    a0, a1, a2 = _split3_bf16(a)
+    return jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=1)  # (N, 6K) bf16
+
+
+def _limb_concat_b(b: jax.Array) -> jax.Array:
+    b0, b1, b2 = _split3_bf16(b)
+    return jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=1)  # (M, 6K) bf16
+
+
+def _nn_kernel(a_ref, bl_ref, b2_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m: int):
     """Tracks m = min(|b|² - 2 a·b) per query row: |a|² is constant per row,
     so argmin is unchanged and |a|² is added back once at emit time. |b|²
-    arrives precomputed as a (1, TM) input (one fewer VPU pass per tile)."""
+    arrives precomputed as a (1, TM) input (one fewer VPU pass per tile).
+
+    The cross term must be f32-exact — the TPU default single bf16 pass
+    rounds it to ~0.1 m² at scan scale, which flips ~99% of picks on real
+    scan geometry with a mean 8 cm true-distance excess (measured; see
+    tests/test_precision.py). ``precision=HIGHEST`` is exact but Mosaic
+    lowers it ~3× slower at 1M targets (167 vs 53 ms), so the kernel does
+    the same bf16 limb decomposition EXPLICITLY: operands are pre-split
+    into three truncated bf16 limbs and the six significant limb-pair
+    products ride ONE native bf16 MXU dot with K=6·_K, accumulating in
+    f32 (b limbs are split once outside; a limbs per i-tile in-kernel).
+    Result: exact to f32-cancellation level (d² matches HIGHEST within
+    ~1e-4 m²; residual pick disagreements are genuine sub-density
+    near-ties, ≤ ~5 mm true excess) at single-pass speed."""
     j = pl.program_id(1)
     num_j = pl.num_programs(1)
 
@@ -48,19 +108,14 @@ def _nn_kernel(a_ref, b_ref, b2_ref, idx_ref, d2_ref, min_d2, min_idx, *, tile_m
         min_d2[:] = jnp.full_like(min_d2, _BIG)
         min_idx[:] = jnp.zeros_like(min_idx)
 
-    a = a_ref[:]  # (TN, K)
-    b = b_ref[:]  # (TM, K)
-    # |a - b|^2 = |a|^2 - 2 a·b + |b|^2 ; cross term on the MXU
+    a = a_ref[:]  # (TN, K) f32
+    al = _limb_concat_a(a)  # (TN, 6K) bf16
+    # |a - b|^2 = |a|^2 - 2 a·b + |b|^2 ; limb-exact cross term on the MXU
     cross = jax.lax.dot_general(
-        a,
-        b,
+        al,
+        bl_ref[:],  # (TM, 6K) bf16
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # full-f32 multi-pass: the TPU default single bf16 pass rounds the
-        # cross term to ~0.1 m^2 at scan scale, which flips ~half the argmin
-        # picks (tests/test_precision.py); the kernel is VPU-min-bound, so
-        # the extra MXU passes are hidden
-        precision=jax.lax.Precision.HIGHEST,
     )  # (TN, TM)
     dp = b2_ref[:] - 2.0 * cross  # (TN, TM); b2 broadcast from (1, TM)
 
@@ -101,6 +156,7 @@ def nearest_neighbors_pallas(
     a8 = _pad_points(a, tile_n, 0.0)
     b8 = _pad_points(b, tile_m, 1e15)  # padded refs are unreachable
     N, M = a8.shape[0], b8.shape[0]
+    bl = _limb_concat_b(b8)  # (M, 6K) bf16 limbs, split once per target
     b2 = jnp.sum(b8 * b8, axis=1)[None, :]  # (1, M), streamed per j-tile
 
     grid = (N // tile_n, M // tile_m)
@@ -109,7 +165,7 @@ def nearest_neighbors_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, _K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 6 * _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -125,11 +181,13 @@ def nearest_neighbors_pallas(
             pltpu.VMEM((tile_n, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * M * _K,
-            bytes_accessed=(N * _K + (N // tile_n) * M * (_K + 1) + 2 * N) * 4,
+            flops=2 * N * M * 6 * _K,
+            bytes_accessed=(N * _K * 4
+                            + (N // tile_n) * M * (6 * _K * 2 + 4)
+                            + 2 * N * 4),
             transcendentals=0,
         ),
-    )(a8, b8, b2)
+    )(a8, bl, b2)
     return idx[:n, 0], d2[:n, 0]
 
 
