@@ -53,6 +53,44 @@ class TestGeometry:
         np.testing.assert_allclose(eye, np.asarray(T), atol=1e-5)
 
 
+class TestLimbSplit:
+    """The pallas NN kernel's exactness rests on the bf16 limb split
+    (ops/pallas/pairwise._split3_bf16). Two invariants, each of which has
+    silently failed once:
+
+    * limbs must be produced by mantissa-mask truncation — the plain
+      ``astype(bf16).astype(f32)`` round-trip is FOLDED AWAY under
+      ``--xla_allow_excess_precision=true`` (this environment's compile
+      flag), leaving zero residual limbs and bf16-quality picks;
+    * the three limbs must reconstruct the f32 value to ~2⁻²⁴ relative.
+    """
+
+    def test_limbs_reconstruct_and_survive_jit(self, rng):
+        from tpu3dlm.ops.pallas.pairwise import _split3_bf16
+
+        x = (rng.uniform(-10, 10, (4096,)).astype(np.float32)
+             + rng.normal(0, 1e-3, 4096).astype(np.float32))
+        h0, h1, h2 = jax.jit(_split3_bf16)(jnp.asarray(x))
+        h0, h1, h2 = (np.asarray(h, np.float64) for h in (h0, h1, h2))
+        recon = h0 + h1 + h2
+        np.testing.assert_allclose(recon, x.astype(np.float64),
+                                   rtol=2.0 ** -22, atol=1e-12)
+        # a folded-away round-trip leaves h1/h2 all-zero for generic values
+        assert np.count_nonzero(h1) > 3500
+        assert np.count_nonzero(h2) > 3000
+
+    def test_top_limb_is_exact_bf16(self, rng):
+        from tpu3dlm.ops.pallas.pairwise import _trunc_top_limb
+
+        x = rng.uniform(-10, 10, (1024,)).astype(np.float32)
+        h0 = np.asarray(jax.jit(_trunc_top_limb)(jnp.asarray(x)))
+        # low 16 mantissa bits zero → exactly representable in bf16
+        assert (h0.view(np.uint32) & 0xFFFF).max() == 0
+        # truncation error bounded by one bf16 ulp (7 explicit mantissa bits)
+        err = np.abs(x - h0)
+        assert (err <= np.maximum(np.abs(x), 1e-30) * 2.0 ** -7).all()
+
+
 class TestNearestNeighbour:
     def _clouds(self, rng, m=4096, n=512):
         tgt = rng.uniform(0, SCALE, (m, 3)).astype(np.float32)
