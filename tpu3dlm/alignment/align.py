@@ -37,6 +37,27 @@ from tpu3dlm.ops.icp import (
 )
 
 
+# AnchorIndex cache across Alignment instances (ops/ann.py): keyed by
+# target-cloud CONTENT, because serving re-registers every capture against
+# the same gold cloud through a fresh Alignment each time. Device-resident
+# entries (~67 MB at 1M points), so the LRU stays small.
+from collections import OrderedDict
+
+_ANN_INDEX_CACHE: OrderedDict = OrderedDict()
+_ANN_CACHE_MAX = 4
+
+
+def _target_fingerprint(x: np.ndarray) -> tuple:
+    """Cheap content key for a host point cloud: shape + blake2b over a
+    strided ≤4096-row sample (≤96 KB hashed). Two distinct clouds colliding
+    would need identical size AND identical bytes at every sampled row."""
+    import hashlib
+
+    n = x.shape[0]
+    sample = np.ascontiguousarray(x[:: max(1, n // 4096)])
+    return (n, hashlib.blake2b(sample.tobytes(), digest_size=16).digest())
+
+
 def _poses_to_array(pose_df) -> np.ndarray:
     """Accept a pandas DataFrame (reference shape) or an (F, 7) array."""
     if hasattr(pose_df, "columns"):
@@ -360,7 +381,16 @@ class Alignment:
         # "auto" engages it only where the exact sweep is expensive; the
         # measurement pass inside the solvers stays exact either way, so
         # reported rmse/inliers are exact for the returned transform.
-        def _index_for(tj):
+        # Indexes are cached ACROSS compare calls keyed by target content:
+        # in serving, every capture registers against the same gold cloud,
+        # so the ~150 ms of per-capture index builds amortises to zero.
+        mesh_key = (
+            None
+            if self.mesh is None
+            else tuple(int(d.id) for d in self.mesh.devices.flat)
+        )
+
+        def _index_for(tj, host_tgt):
             if self.ann == "off":
                 return None
             m = int(tj.shape[0])
@@ -371,9 +401,19 @@ class Alignment:
             c, b = default_index_shape(m)
             if c > m:
                 return None
-            return build_anchor_index(
+            key = (_target_fingerprint(host_tgt), m, c, b,
+                   self.use_pallas, mesh_key)
+            cached = _ANN_INDEX_CACHE.get(key)
+            if cached is not None:
+                _ANN_INDEX_CACHE.move_to_end(key)
+                return cached
+            index = build_anchor_index(
                 tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
             )
+            _ANN_INDEX_CACHE[key] = index
+            while len(_ANN_INDEX_CACHE) > _ANN_CACHE_MAX:
+                _ANN_INDEX_CACHE.popitem(last=False)
+            return index
 
         indices = {}  # id(target placement) → AnchorIndex | None
 
@@ -384,9 +424,10 @@ class Alignment:
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None
             qj, tj, nj = full if final else coarse
+            host_tgt = base_s if final else t_c
             key = id(tj)
             if key not in indices:
-                indices[key] = _index_for(tj)
+                indices[key] = _index_for(tj, host_tgt)
             t_index = indices[key]
             if nj is not None:
                 res = icp_point_to_plane(

@@ -154,7 +154,18 @@ def _query_chunk(q: jax.Array, index: AnchorIndex, top_p: int):
                        precision=jax.lax.Precision.HIGHEST)  # (chunk, C) — MXU
     a2 = jnp.sum(anchors * anchors, axis=1)[None, :]
     rank_d2 = a2 - 2.0 * cross
-    _, top = jax.lax.top_k(-rank_d2, top_p)  # (chunk, P)
+    # top-P by P unrolled argmin+mask passes: `lax.top_k` sorts the whole
+    # (chunk, C) rank matrix (~18 ms at 16k×8192 on v5e-1, the single
+    # biggest cost of a query sweep; `approx_max_k` measured slower);
+    # P simple min-reductions are ~4× cheaper and return the same SET of
+    # anchors (tie order may differ — routing only consumes the set)
+    cols = []
+    for _ in range(top_p):
+        j = jnp.argmin(rank_d2, axis=1)
+        cols.append(j)
+        hit = jax.nn.one_hot(j, rank_d2.shape[1], dtype=jnp.bool_)
+        rank_d2 = jnp.where(hit, jnp.inf, rank_d2)
+    top = jnp.stack(cols, axis=1)  # (chunk, P)
 
     cand = index.buckets[top]  # (chunk, P, B, 3)
     diff = q[:, None, None, :] - cand

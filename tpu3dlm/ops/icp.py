@@ -331,16 +331,38 @@ def init_residual(
     return jnp.mean(jnp.minimum(jnp.sqrt(d2), 0.05 * diag))
 
 
-def centroid_align_np(source, target):
-    """Host-numpy twin of ``centroid_align`` — moment math on full clouds
-    is ~ms on the host but forces a per-cloud-size retrace + remote compile
-    on device (every capture has a different point count), so the serving
-    path computes inits on the host. Cross-checked vs the JAX version in
-    tests/test_icp_matching.py."""
+# above this size the host moment math (f64 means/covariances) stops being
+# "~ms" — 0.23 s of a 1.25 s compare leg at 1M points on the 1-core host —
+# so moments run on a fixed-seed with-replacement subsample instead. The
+# statistical error on a 256k sample of a scan-scale cloud is sub-mm on the
+# centroid and negligible on the PCA axes; both feed ICP *inits*, which the
+# solve refines. Below the cap the math is exact, so the device twins and
+# their cross-check tests see identical values.
+_MOMENT_SAMPLE_CAP = 262144
+
+
+def _moment_sample(x, cap: int = _MOMENT_SAMPLE_CAP, seed: int = 0):
     import numpy as np
 
-    t = np.mean(np.asarray(target, np.float64), axis=0) - np.mean(
-        np.asarray(source, np.float64), axis=0
+    x = np.asarray(x)
+    if x.shape[0] <= cap:
+        return x
+    # with-replacement: an index draw is O(cap); a permutation (without
+    # replacement) is O(n) and was itself a measurable host cost
+    idx = np.random.default_rng(seed).integers(0, x.shape[0], cap)
+    return x[idx]
+
+
+def centroid_align_np(source, target):
+    """Host-numpy twin of ``centroid_align`` — moment math on (subsampled,
+    see _moment_sample) clouds is ~ms on the host but forces a
+    per-cloud-size retrace + remote compile on device (every capture has a
+    different point count), so the serving path computes inits on the
+    host. Cross-checked vs the JAX version in tests/test_icp_matching.py."""
+    import numpy as np
+
+    t = np.mean(np.asarray(_moment_sample(target), np.float64), axis=0) - np.mean(
+        np.asarray(_moment_sample(source), np.float64), axis=0
     )
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = t.astype(np.float32)
@@ -352,8 +374,8 @@ def pca_init_candidates_np(source, target):
     see centroid_align_np for why this exists."""
     import numpy as np
 
-    src = np.asarray(source, np.float64)
-    tgt = np.asarray(target, np.float64)
+    src = np.asarray(_moment_sample(source), np.float64)
+    tgt = np.asarray(_moment_sample(target), np.float64)
     mu_s = src.mean(axis=0)
     mu_t = tgt.mean(axis=0)
     sc = src - mu_s
