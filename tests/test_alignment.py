@@ -346,3 +346,68 @@ class TestShardedAlignment:
         np.testing.assert_allclose(
             sharded.final_transform, plain.final_transform, atol=1e-2
         )
+
+    def test_mesh_sharded_with_ann_index(self, scans):
+        """icp_ann=on under a query-sharded mesh: the anchor-bucketed
+        iteration NN (ops/ann.py) must compose with sharded queries and
+        land the same basin as the exact-sweep mesh solve. (At this test's
+        cloud size "auto" keeps ANN off, so "on" is the only way to
+        exercise the combination the config space allows.)"""
+        import jax
+
+        from tpu3dlm.parallel.mesh import make_mesh
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        kwargs = dict(
+            base_pose_df=gold.poses,
+            comparison_pose_df=maint.poses,
+            base_bboxes=_boxes_from_signs(gold.signs),
+            comparison_bboxes=_boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud,
+            comparison_cloud=maint_cloud,
+            max_points=2048,
+            icp_iterations=15,
+        )
+        assert jax.device_count() >= 8
+        sharded_ann = Alignment(mesh=make_mesh(8), ann="on", **kwargs)
+        sharded_ann.compare()
+        want = np.linalg.inv(Tw)
+        # ANN picks may differ from exact picks on near-ties, so compare
+        # against ground truth at the unsharded test's tolerance rather
+        # than bit-tight against the exact-sweep solve
+        np.testing.assert_allclose(sharded_ann.final_transform, want, atol=0.15)
+
+
+class TestAnnIndexCache:
+    def test_content_keyed_hit_and_distinct_clouds(self, scans):
+        """The cross-capture AnchorIndex cache must HIT for a re-registered
+        identical gold cloud and MISS for a different cloud of the same
+        size (content fingerprint, not shape)."""
+        from tpu3dlm.alignment import align as align_mod
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        kwargs = dict(
+            base_pose_df=gold.poses,
+            comparison_pose_df=maint.poses,
+            base_bboxes=_boxes_from_signs(gold.signs),
+            comparison_bboxes=_boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud,
+            comparison_cloud=maint_cloud,
+            max_points=2048,
+            icp_iterations=4,
+        )
+        align_mod._ANN_INDEX_CACHE.clear()
+        Alignment(ann="on", **kwargs).compare()
+        n_first = len(align_mod._ANN_INDEX_CACHE)
+        assert n_first >= 1  # ann=on built at least the full-target index
+        entries = list(align_mod._ANN_INDEX_CACHE.values())
+        # identical gold cloud through a FRESH instance: no new entries
+        Alignment(ann="on", **kwargs).compare()
+        assert len(align_mod._ANN_INDEX_CACHE) == n_first
+        assert list(align_mod._ANN_INDEX_CACHE.values()) == entries
+        # same-size but different cloud: new entries, old preserved
+        kwargs2 = dict(kwargs)
+        kwargs2["base_cloud"] = gold_cloud + np.float32(0.05)
+        Alignment(ann="on", **kwargs2).compare()
+        assert len(align_mod._ANN_INDEX_CACHE) > n_first
+        align_mod._ANN_INDEX_CACHE.clear()
