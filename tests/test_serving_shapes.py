@@ -321,7 +321,7 @@ class TestServingNoRetrace:
             "auction_assign": matching.auction_assign,
             "icp": icp_mod.icp,
             "icp_point_to_plane": icp_mod.icp_point_to_plane,
-            "init_residual": icp_mod.init_residual,
+            "init_residuals_batched": icp_mod.init_residuals_batched,
         }
         before = {k: f._cache_size() for k, f in tracked.items()}
 

@@ -32,7 +32,7 @@ from tpu3dlm.mapper.projection import GlobalBoxes
 from tpu3dlm.ops.icp import (
     icp,
     icp_point_to_plane,
-    init_residual,
+    init_residuals_batched,
     pad_target_bucket,
 )
 
@@ -242,13 +242,10 @@ class Alignment:
         Tc = centroid_align_np(comp_s, base_s)
         cands = pca_init_candidates_np(comp_s, base_s)
         Ts = np.concatenate([Tc[None], cands])
-        from functools import partial
-
         res = np.asarray(
-            jax.vmap(
-                partial(init_residual, use_pallas=self.use_pallas),
-                in_axes=(None, None, 0),
-            )(q, t, jnp.asarray(Ts))
+            init_residuals_batched(
+                q, t, jnp.asarray(Ts), use_pallas=self.use_pallas
+            )
         )
         box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
         if box[0] is not None:

@@ -331,6 +331,30 @@ def init_residual(
     return jnp.mean(jnp.minimum(jnp.sqrt(d2), 0.05 * diag))
 
 
+@partial(jax.jit, static_argnames=("use_pallas",))
+def init_residuals_batched(
+    source: jax.Array,  # (N, 3)
+    target: jax.Array,  # (M, 3)
+    Ts: jax.Array,  # (K, 4, 4) candidate inits
+    use_pallas: bool = False,
+) -> jax.Array:
+    """init_residual for a stack of K candidates in ONE NN sweep: the K
+    transformed copies of ``source`` concatenate into a single (K·N, 3)
+    query. vmapping init_residual instead dispatches K separate kernels
+    whose per-sweep overhead dominates at init-scoring sizes — measured
+    ~120 ms for 5 candidates at 2048×65536 on v5e-1 vs ~10 ms batched."""
+    nn = nearest_neighbors_pallas if use_pallas else nearest_neighbors_xla
+    tgt = target.astype(jnp.float32)
+    src = source.astype(jnp.float32)
+    moved = jax.vmap(
+        lambda T: jnp.matmul(src, T[:3, :3].T, precision=PRECISE) + T[:3, 3]
+    )(Ts.astype(jnp.float32))  # (K, N, 3)
+    _, d2 = nn(moved.reshape(-1, 3), tgt)
+    diag = jnp.linalg.norm(jnp.max(tgt, axis=0) - jnp.min(tgt, axis=0))
+    clipped = jnp.minimum(jnp.sqrt(d2), 0.05 * diag)
+    return jnp.mean(clipped.reshape(Ts.shape[0], -1), axis=1)
+
+
 # above this size the host moment math (f64 means/covariances) stops being
 # "~ms" — 0.23 s of a 1.25 s compare leg at 1M points on the 1-core host —
 # so moments run on a fixed-seed with-replacement subsample instead. The
