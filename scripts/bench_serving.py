@@ -93,7 +93,7 @@ def tracked_jits():
         "auction_assign": matching.auction_assign,
         "icp": icp_mod.icp,
         "icp_point_to_plane": icp_mod.icp_point_to_plane,
-        "init_residual": icp_mod.init_residual,
+        "init_residuals_batched": icp_mod.init_residuals_batched,
     }
 
 

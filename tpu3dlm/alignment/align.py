@@ -49,13 +49,22 @@ _ANN_CACHE_MAX = 4
 
 def _target_fingerprint(x: np.ndarray) -> tuple:
     """Cheap content key for a host point cloud: shape + blake2b over a
-    strided ≤4096-row sample (≤96 KB hashed). Two distinct clouds colliding
-    would need identical size AND identical bytes at every sampled row."""
+    strided ≤4096-row sample, PLUS f64 sum/sum-of-squares over ALL rows
+    (~3 ms at 1M points). The sample alone would miss an in-place edit
+    confined to rows between the stride points (a regenerated gold cloud
+    with the same point count); any coordinate change anywhere moves the
+    full-array moments."""
     import hashlib
 
     n = x.shape[0]
     sample = np.ascontiguousarray(x[:: max(1, n // 4096)])
-    return (n, hashlib.blake2b(sample.tobytes(), digest_size=16).digest())
+    x64 = x.astype(np.float64, copy=False)
+    moments = (float(x64.sum()), float((x64 * x64).sum()))
+    return (
+        n,
+        hashlib.blake2b(sample.tobytes(), digest_size=16).digest(),
+        moments,
+    )
 
 
 def _poses_to_array(pose_df) -> np.ndarray:

@@ -321,14 +321,12 @@ def init_residual(
     score used to rank initialisation candidates. The clip (5% of the target
     bbox diagonal) bounds the non-overlapping tail that partial scans always
     have, while the mean stays sensitive to minority structure (e.g. sign
-    patches on an otherwise flip-symmetric wall) that a median would ignore."""
-    nn = nearest_neighbors_pallas if use_pallas else nearest_neighbors_xla
-    tgt = target.astype(jnp.float32)
-    moved = jnp.matmul(source.astype(jnp.float32), T[:3, :3].T,
-                       precision=PRECISE) + T[:3, 3]
-    _, d2 = nn(moved, tgt)
-    diag = jnp.linalg.norm(jnp.max(tgt, axis=0) - jnp.min(tgt, axis=0))
-    return jnp.mean(jnp.minimum(jnp.sqrt(d2), 0.05 * diag))
+    patches on an otherwise flip-symmetric wall) that a median would ignore.
+
+    Single-candidate convenience over ``init_residuals_batched`` (one
+    implementation of the score — the serving path calls the batched form
+    directly)."""
+    return init_residuals_batched(source, target, T[None], use_pallas)[0]
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))
