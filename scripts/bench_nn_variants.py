@@ -18,6 +18,12 @@ Each variant is verified against nearest_neighbors_xla on a small random
 instance before timing (exact index equality — ties broken the same way:
 lowest index wins, which both argmin and the iota-min trick guarantee).
 
+Historical note: v0 is whatever production currently ships — since the
+limb-decomposition adoption (PERF.md "Exact cross term at bf16 speed")
+that is the f32-EXACT kernel, while v1-v4 remain the bf16-noisy probe
+variants verified bit-exact against the equally-pinned XLA reference of
+their era; compare v0's time against v4 remembering v0 buys exact picks.
+
 Run (TPU): PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_nn_variants.py
 Prints one JSON line per variant.
 """

@@ -79,6 +79,30 @@ class TestLimbSplit:
         assert np.count_nonzero(h1) > 3500
         assert np.count_nonzero(h2) > 3000
 
+    def test_limb_kernel_across_coordinate_scales(self, rng):
+        """The limb-decomposed NN kernel must stay f32-accurate whether a
+        cloud is in millimetres, metres, or kilometre-scale units —
+        interpret-mode check across 6 decades (CPU suite; the TPU path
+        compiles the identical kernel)."""
+        if jax.default_backend() != "cpu":
+            pytest.skip("interpret-mode check is a CPU-suite test")
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tpu3dlm.ops.pallas.pairwise import nearest_neighbors_pallas
+
+        for scale in (1e-3, 1.0, 1e3):
+            tgt = (rng.uniform(0, 1, (1024, 3)) * scale).astype(np.float32)
+            q = (rng.uniform(0, 1, (128, 3)) * scale).astype(np.float32)
+            d2 = ((q[:, None, :].astype(np.float64)
+                   - tgt[None, :, :].astype(np.float64)) ** 2).sum(-1)
+            with pltpu.force_tpu_interpret_mode():
+                pi, pd2 = nearest_neighbors_pallas(
+                    jnp.asarray(q), jnp.asarray(tgt), tile_n=128, tile_m=512)
+            assert (np.asarray(pi) == d2.argmin(1)).mean() >= 0.98, scale
+            np.testing.assert_allclose(
+                np.asarray(pd2), d2.min(1), atol=1e-3 * scale * scale,
+                err_msg=f"scale={scale}")
+
     def test_top_limb_is_exact_bf16(self, rng):
         from tpu3dlm.ops.pallas.pairwise import _trunc_top_limb
 
