@@ -411,3 +411,59 @@ class TestAnnIndexCache:
         Alignment(ann="on", **kwargs2).compare()
         assert len(align_mod._ANN_INDEX_CACHE) > n_first
         align_mod._ANN_INDEX_CACHE.clear()
+
+
+class TestGoldTargetCache:
+    def test_placements_reused_across_captures(self, scans, monkeypatch):
+        """The gold-target device placements (normals, padded target, init
+        subsample) must be built ONCE per gold cloud and reused by every
+        subsequent capture's fresh Alignment — and rebuilt when the gold
+        cloud's content changes anywhere (fingerprint moment guard)."""
+        from tpu3dlm.alignment import align as align_mod
+        from tpu3dlm.ops import pointcloud as pc
+
+        calls = {"normals": 0}
+        real = pc.estimate_normals_grid
+
+        def counting(*a, **k):
+            calls["normals"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(pc, "estimate_normals_grid", counting)
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        kwargs = dict(
+            base_pose_df=gold.poses,
+            comparison_pose_df=maint.poses,
+            base_bboxes=_boxes_from_signs(gold.signs),
+            comparison_bboxes=_boxes_from_signs(maint.signs, T=Tw),
+            base_cloud=gold_cloud,
+            comparison_cloud=maint_cloud,
+            max_points=2048,
+            icp_iterations=4,
+        )
+        align_mod._GOLD_CACHE.clear()
+        a1 = Alignment(**kwargs)
+        a1.compare()
+        assert len(align_mod._GOLD_CACHE) == 1
+        assert calls["normals"] == 1
+        entry = next(iter(align_mod._GOLD_CACHE.values()))
+        placed_full = entry["full"][0]
+
+        # identical gold through a FRESH instance: same device arrays, no
+        # new normals estimation, bit-identical registration
+        a2 = Alignment(**kwargs)
+        a2.compare()
+        assert len(align_mod._GOLD_CACHE) == 1
+        assert next(iter(align_mod._GOLD_CACHE.values()))["full"][0] is placed_full
+        assert calls["normals"] == 1
+        np.testing.assert_array_equal(a1.final_transform, a2.final_transform)
+
+        # a single-coordinate edit anywhere in the gold cloud must miss
+        edited = gold_cloud.copy()
+        edited[len(edited) // 2, 1] += np.float32(0.25)
+        kwargs2 = dict(kwargs, base_cloud=edited)
+        Alignment(**kwargs2).compare()
+        assert len(align_mod._GOLD_CACHE) == 2
+        assert calls["normals"] == 2
+        align_mod._GOLD_CACHE.clear()

@@ -46,6 +46,18 @@ from collections import OrderedDict
 _ANN_INDEX_CACHE: OrderedDict = OrderedDict()
 _ANN_CACHE_MAX = 4
 
+# Gold-target placement cache, same serving motivation as the ANN cache:
+# every capture registers against the SAME gold cloud, but compare() used
+# to re-estimate its normals, re-pad it to the sentinel bucket, re-upload
+# the padded cloud + normals (~25 MB over the ~950 MB/s tunnel at 1M pts),
+# re-subsample the coarse-stage target, and re-draw the init-scoring
+# subsample — ~0.1-0.2 s of pure gold-side host work per capture. Entries
+# hold the device-resident placements (~28 MB at 1M points) keyed by
+# target CONTENT (stale-proof fingerprint) + mesh devices + the knobs that
+# shape them; the maintenance (query) side is per-capture and never cached.
+_GOLD_CACHE: OrderedDict = OrderedDict()
+_GOLD_CACHE_MAX = 2
+
 
 def _target_fingerprint(x: np.ndarray) -> tuple:
     """Cheap content key for a host point cloud: shape + blake2b over a
@@ -209,7 +221,8 @@ class Alignment:
             ds.append(float(np.linalg.norm(pool - c, axis=1).min()))
         return float(np.mean(ds))
 
-    def _choose_init(self, comp_s: np.ndarray, base_s: np.ndarray):
+    def _choose_init(self, comp_s: np.ndarray, base_s: np.ndarray,
+                     init_t=None):
         """Coarse initialisation per ``global_init``.
 
         Returns (T_init 4×4, recorded_steps): recorded_steps honor the
@@ -247,7 +260,9 @@ class Alignment:
         # fixed-shape NN residual scoring dispatches to the device, with
         # one batched readback (~90 ms tunnel latency per sync, utils/host)
         q = jnp.asarray(_subsample(comp_s, 2048))
-        t = jnp.asarray(_subsample(base_s, 65536, seed=1))
+        t = init_t if init_t is not None else jnp.asarray(
+            _subsample(base_s, 65536, seed=1)
+        )
         Tc = centroid_align_np(comp_s, base_s)
         cands = pca_init_candidates_np(comp_s, base_s)
         Ts = np.concatenate([Tc[None], cands])
@@ -289,6 +304,92 @@ class Alignment:
         T0[:3, 3] = tr
         return T_init, [T0, (R, center)]
 
+    def _place_target(self, t, nrm):
+        """Device placement of a (target, normals) pair — replicated over
+        the mesh when one is set (queries shard, targets replicate;
+        parallel/nn.shard_queries)."""
+        tj = jnp.asarray(t)
+        nj = jnp.asarray(nrm) if nrm is not None else None
+        if self.mesh is not None:
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+            tj = jax.device_put(tj, repl)
+            if nj is not None:
+                nj = jax.device_put(nj, repl)
+        return tj, nj
+
+    def _place_query(self, q):
+        """Query rows shard over the mesh's batch axis; rows pad by
+        repetition — a repeated point only double-counts an existing
+        constraint."""
+        qj = jnp.asarray(q)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            extra = (-qj.shape[0]) % n_dev
+            if extra:
+                qj = jnp.concatenate([qj, qj[:extra]])
+            qj = jax.device_put(
+                qj,
+                jax.sharding.NamedSharding(
+                    self.mesh,
+                    jax.sharding.PartitionSpec(self.mesh.axis_names[0]),
+                ),
+            )
+        return qj
+
+    def _gold_entry(self, base_s: np.ndarray, normals_wanted: bool,
+                    mesh_key) -> dict:
+        """Fetch-or-build the device-resident gold-target placements.
+
+        Entry fields (lazy where the need depends on per-capture state):
+          fp          — content fingerprint of the unpadded target
+          full        — (padded points, padded normals) placed on device
+          init_t      — 65536-pt device subsample for init scoring
+          coarse      — ((placed points, placed normals), fp) for the
+                        coarse-stage target, filled on first need
+        """
+        fp = _target_fingerprint(base_s)
+        key = (fp, mesh_key, self.coarse_target_cap, normals_wanted)
+        entry = _GOLD_CACHE.get(key)
+        if entry is not None:
+            _GOLD_CACHE.move_to_end(key)
+            return entry
+        normals_np = None
+        if normals_wanted:
+            from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+            normals_np = estimate_normals_grid(base_s)
+        entry = {
+            "fp": fp,
+            "full": self._place_target(*pad_target_bucket(base_s, normals_np)),
+            "init_t": jnp.asarray(_subsample(base_s, 65536, seed=1)),
+            "_normals_np": normals_np,
+            "coarse": None,
+        }
+        _GOLD_CACHE[key] = entry
+        while len(_GOLD_CACHE) > _GOLD_CACHE_MAX:
+            _GOLD_CACHE.popitem(last=False)
+        return entry
+
+    def _gold_coarse(self, entry: dict, base_s: np.ndarray):
+        """Coarse-stage target placement, built once per gold entry."""
+        if entry["coarse"] is None:
+            normals_np = entry["_normals_np"]
+            if base_s.shape[0] > self.coarse_target_cap:
+                t_idx = np.random.default_rng(1).choice(
+                    base_s.shape[0], self.coarse_target_cap, replace=False
+                )
+                t_c = base_s[t_idx]
+                n_c = normals_np[t_idx] if normals_np is not None else None
+                fp_c = _target_fingerprint(t_c)
+            else:
+                t_c, n_c, fp_c = base_s, normals_np, entry["fp"]
+            entry["coarse"] = (
+                self._place_target(*pad_target_bucket(t_c, n_c)), fp_c
+            )
+        return entry["coarse"]
+
     def compare(self, data_folder: str = ""):
         """Run registration; returns
         (aligned_comparison_bboxes, transformations, base_map, aligned_comparison_map)."""
@@ -297,7 +398,7 @@ class Alignment:
         # target stays full-resolution — the tiled NN kernels stream it
         # (Pallas: 16k × 1M in ~47 ms on v5e-1, PERF.md), so decimating it
         # would throw away registration accuracy for nothing
-        base_s = base.astype(np.float32)
+        base_s = np.asarray(base, np.float32)
         comp_s = _subsample(comp, self.max_points)
 
         self.logger.info(
@@ -305,53 +406,40 @@ class Alignment:
             data_folder, comp.shape[0], comp_s.shape[0], base.shape[0],
         )
 
-        # coarse: centroid translation, plus a principal-axes rotation when
-        # the scan arrives badly rotated (global_init="auto"|"pca")
-        T_init, init_steps = self._choose_init(comp_s, base_s)
+        # Gold-side device state (normals, padded+placed targets, init
+        # subsample) is content-cached across compare() calls — in serving,
+        # every capture registers against the same gold cloud (_GOLD_CACHE).
+        # Target padding: power-of-two buckets with far sentinels, because
+        # every capture has a different cloud size and exact-size shapes
+        # would recompile the NN/ICP programs per scan (sentinels can never
+        # win a correspondence, so the solve is unchanged — ops/icp).
+        # Normals gate on the ACTUAL registration target being the real
+        # cloud: an empty-but-not-None base_cloud falls back to sparse
+        # pose+corner geometry in _registration_sets, whose "normals" are
+        # meaningless — that case must keep the point-to-point solve. With
+        # a real cloud target the solver is POINT-TO-PLANE (grid-PCA target
+        # normals): point-to-point ICP slides tangentially along the
+        # dominant planes of man-made scans and can diverge under partial
+        # overlap; the plane residual n·(p−q) is tangent-invariant.
+        mesh_key = (
+            None
+            if self.mesh is None
+            else tuple(int(d.id) for d in self.mesh.devices.flat)
+        )
+        base_is_cloud = self.base_cloud is not None and len(self.base_cloud) > 0
+        normals_wanted = base_is_cloud and len(base_s) >= 1000
+        gold = self._gold_entry(base_s, normals_wanted, mesh_key)
+
+        # coarse init: centroid translation, plus a principal-axes rotation
+        # when the scan arrives badly rotated (global_init="auto"|"pca")
+        T_init, init_steps = self._choose_init(
+            comp_s, base_s, init_t=gold["init_t"]
+        )
+
         # fine: coarse-to-fine ICP stages — shrinking the correspondence
         # radius escapes the planar-scene local minima a single loose radius
         # settles into; every iteration's increment is recorded.
-        # With a real cloud target the solver is POINT-TO-PLANE (grid-PCA
-        # target normals): point-to-point ICP slides tangentially along the
-        # dominant planes of man-made scans and can diverge under partial
-        # overlap; the plane residual n·(p−q) is tangent-invariant. The
-        # sparse pose+box fallback geometry has no meaningful normals, so it
-        # keeps the point-to-point solve.
-        normals_np = None
-        # gate on the ACTUAL registration target being the real cloud: an
-        # empty-but-not-None base_cloud falls back to sparse pose+corner
-        # geometry in _registration_sets, whose "normals" are meaningless —
-        # that case must keep the point-to-point solve
-        base_is_cloud = self.base_cloud is not None and len(self.base_cloud) > 0
-        if base_is_cloud and len(base_s) >= 1000:
-            from tpu3dlm.ops.pointcloud import estimate_normals_grid
-
-            normals_np = estimate_normals_grid(base_s)
-
-        def place(q, t, nrm):
-            """Device placement; query-sharded over the mesh when set
-            (parallel/nn.py). Queries pad by repetition — a repeated point
-            only double-counts an existing constraint."""
-            qj, tj = jnp.asarray(q), jnp.asarray(t)
-            nj = jnp.asarray(nrm) if nrm is not None else None
-            if self.mesh is not None:
-                from tpu3dlm.parallel.nn import shard_queries
-
-                n_dev = self.mesh.devices.size
-                extra = (-qj.shape[0]) % n_dev
-                if extra:
-                    qj = jnp.concatenate([qj, qj[:extra]])
-                qj, tj = shard_queries(self.mesh, qj, tj)
-                if nj is not None:
-                    nj = jax.device_put(
-                        nj,
-                        jax.sharding.NamedSharding(
-                            self.mesh, jax.sharding.PartitionSpec()
-                        ),
-                    )
-            return qj, tj, nj
-
-        # multi-resolution: coarse stages run on subsampled query AND target
+        # Multi-resolution: coarse stages run on subsampled query AND target
         # (NN cost ∝ N·M, so a 4×/4× reduction is ~16× per coarse stage);
         # the FINAL stage always runs the full query budget against the
         # full-size target, so registration accuracy is set by full
@@ -359,27 +447,16 @@ class Alignment:
         dists = self.max_correspondence_dist
         if isinstance(dists, (int, float)):
             dists = (float(dists),)
-        coarse = None
+        coarse = None  # ((qj, tj, nj), target fingerprint)
         if len(dists) > 1 and (
             comp_s.shape[0] > self.coarse_query_cap
             or base_s.shape[0] > self.coarse_target_cap
         ):
-            t_idx = None
-            if base_s.shape[0] > self.coarse_target_cap:
-                t_idx = np.random.default_rng(1).choice(
-                    base_s.shape[0], self.coarse_target_cap, replace=False
-                )
+            (tj_c, nj_c), fp_c = self._gold_coarse(gold, base_s)
             q_c = _subsample(comp_s, min(self.coarse_query_cap, comp_s.shape[0]))
-            t_c = base_s if t_idx is None else base_s[t_idx]
-            n_c = None
-            if normals_np is not None:
-                n_c = normals_np if t_idx is None else normals_np[t_idx]
-            coarse = place(q_c, *pad_target_bucket(t_c, n_c))
-        # target padded to a power-of-two bucket with far sentinels: every
-        # capture has a different cloud size, and exact-size shapes would
-        # recompile the NN/ICP programs per scan (sentinels can never win a
-        # correspondence, so the solve is unchanged — ops/icp)
-        full = place(comp_s, *pad_target_bucket(base_s, normals_np))
+            coarse = ((self._place_query(q_c), tj_c, nj_c), fp_c)
+        tj_f, nj_f = gold["full"]
+        full = ((self._place_query(comp_s), tj_f, nj_f), gold["fp"])
 
         # anchor-bucketed NN (ops/ann.py): one index build per distinct
         # stage target, amortised over every ICP iteration — the fine stage
@@ -390,13 +467,9 @@ class Alignment:
         # Indexes are cached ACROSS compare calls keyed by target content:
         # in serving, every capture registers against the same gold cloud,
         # so the ~150 ms of per-capture index builds amortises to zero.
-        mesh_key = (
-            None
-            if self.mesh is None
-            else tuple(int(d.id) for d in self.mesh.devices.flat)
-        )
-
-        def _index_for(tj, host_tgt):
+        # (fp is the already-computed fingerprint of the unpadded target —
+        # the gold entry carries it, so no per-capture recompute.)
+        def _index_for(tj, fp):
             if self.ann == "off":
                 return None
             m = int(tj.shape[0])
@@ -407,8 +480,7 @@ class Alignment:
             c, b = default_index_shape(m)
             if c > m:
                 return None
-            key = (_target_fingerprint(host_tgt), m, c, b,
-                   self.use_pallas, mesh_key)
+            key = (fp, m, c, b, self.use_pallas, mesh_key)
             cached = _ANN_INDEX_CACHE.get(key)
             if cached is not None:
                 _ANN_INDEX_CACHE.move_to_end(key)
@@ -429,11 +501,10 @@ class Alignment:
         stage_steps = []
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None
-            qj, tj, nj = full if final else coarse
-            host_tgt = base_s if final else t_c
+            (qj, tj, nj), tgt_fp = full if final else coarse
             key = id(tj)
             if key not in indices:
-                indices[key] = _index_for(tj, host_tgt)
+                indices[key] = _index_for(tj, tgt_fp)
             t_index = indices[key]
             if nj is not None:
                 res = icp_point_to_plane(
