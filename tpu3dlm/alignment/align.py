@@ -225,10 +225,14 @@ class Alignment:
                      init_t=None):
         """Coarse initialisation per ``global_init``.
 
-        Returns (T_init 4×4, recorded_steps): recorded_steps honor the
-        animation contract — a pure-translation 4×4, plus an (R, center)
-        rotation tuple when a principal-axes init is chosen (the two forms
-        visualise.py replays, SURVEY.md §2b).
+        Returns (T_init, pending): T_init is a DEVICE 4×4 (the ICP stages
+        consume it on device without a host round-trip — the candidate
+        *selection* runs on device too, so compare() needs no mid-pipeline
+        sync for it); ``pending`` carries what _resolve_init_steps needs to
+        reconstruct the recorded animation steps after the single
+        end-of-compare batched readback. For global_init="centroid" the
+        decision is host-static and pending resolves immediately
+        ("static_steps").
 
         "centroid": translation only (ICP must already be in-basin).
         "pca": best principal-axes candidate (ops/icp.py) by residual.
@@ -245,7 +249,7 @@ class Alignment:
 
         if self.global_init == "centroid":
             Tc = centroid_align_np(comp_s, base_s)
-            return Tc, [Tc]
+            return jnp.asarray(Tc), {"static_steps": [Tc]}
 
         # score candidates by clipped-mean NN distance on cheap subsamples —
         # one batched dispatch for all 5 (remote dispatch is ~20 ms each).
@@ -256,9 +260,9 @@ class Alignment:
         # the mean negligibly (ranking heuristic, not a measurement).
         # centroid/PCA moments are host-numpy (full clouds arrive at a
         # different size per capture — a device version would retrace +
-        # remote-compile per scan, ops/icp.centroid_align_np); only the
-        # fixed-shape NN residual scoring dispatches to the device, with
-        # one batched readback (~90 ms tunnel latency per sync, utils/host)
+        # remote-compile per scan, ops/icp.centroid_align_np); the scoring
+        # AND the argmin/threshold selection stay on device so nothing here
+        # forces a ~90 ms tunnel readback (utils/host) mid-pipeline.
         q = jnp.asarray(_subsample(comp_s, 2048))
         t = init_t if init_t is not None else jnp.asarray(
             _subsample(base_s, 65536, seed=1)
@@ -266,43 +270,67 @@ class Alignment:
         Tc = centroid_align_np(comp_s, base_s)
         cands = pca_init_candidates_np(comp_s, base_s)
         Ts = np.concatenate([Tc[None], cands])
-        res = np.asarray(
-            init_residuals_batched(
-                q, t, jnp.asarray(Ts), use_pallas=self.use_pallas
-            )
+        res = init_residuals_batched(
+            q, t, jnp.asarray(Ts), use_pallas=self.use_pallas
         )
         box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
         if box[0] is not None:
-            res = res + np.asarray(box, np.float32)
-        res_c = float(res[0])
-        res_p = [float(r) for r in res[1:]]
-        best = int(np.argmin(res_p))
+            res = res + jnp.asarray(np.asarray(box, np.float32))
+        # candidate geometry (rotation angles) is host math on the host Ts
+        cos = (np.trace(cands[:, :3, :3], axis1=1, axis2=2) - 1.0) / 2.0
+        angles = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))).astype(np.float32)
+        best = jnp.argmin(res[1:])
         # auto: take the PCA init only when it clearly beats centroid AND
         # implies a big rotation — small rotations are inside the ICP basin
         # already, and keeping centroid there makes the recorded-transform
         # trace deterministic (no sampling-noise-dependent extra step)
-        cos = (np.trace(cands[best][:3, :3]) - 1.0) / 2.0
-        angle = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
-        use_pca = self.global_init == "pca" or (
-            res_p[best] < 0.7 * res_c and angle > 30.0
-        )
+        if self.global_init == "pca":
+            use_pca = jnp.asarray(True)
+        else:
+            use_pca = (res[1:][best] < 0.7 * res[0]) & (
+                jnp.asarray(angles)[best] > 30.0
+            )
+        T_init = jnp.where(use_pca, jnp.asarray(cands)[best], jnp.asarray(Tc))
+        pending = {
+            "Tc": Tc,
+            "cands": cands,
+            "angles": angles,
+            "center": base_s.mean(axis=0).astype(np.float32),
+            "res": res,
+            "best": best,
+            "use_pca": use_pca,
+        }
+        return T_init, pending
+
+    def _resolve_init_steps(self, pending: dict, host_vals) -> list:
+        """Animation-contract init steps, built from the readback values.
+
+        recorded_steps honor the animation contract — a pure-translation
+        4×4, plus an (R, center) rotation tuple when a principal-axes init
+        is chosen (the two forms visualise.py replays, SURVEY.md §2b)."""
+        if "static_steps" in pending:
+            return list(pending["static_steps"])
+        res, best, use_pca = host_vals
+        best = int(best)
+        use_pca = bool(use_pca)
+        angle = float(pending["angles"][best])
         self.logger.info(
             "global init: centroid residual %.3f m, best PCA candidate %.3f m "
             "(%.0f° rotation) → %s",
-            res_c, res_p[best], angle, "pca" if use_pca else "centroid",
+            float(res[0]), float(res[1:][best]), angle,
+            "pca" if use_pca else "centroid",
         )
         if not use_pca:
-            return Tc, [Tc]
-
-        T_init = cands[best].astype(np.float32)
+            return [pending["Tc"]]
+        T_init = pending["cands"][best].astype(np.float32)
         R, t_full = T_init[:3, :3], T_init[:3, 3]
-        center = base_s.mean(axis=0).astype(np.float32)
+        center = pending["center"]
         # decompose T_init = rot_about(R, center) ∘ translate(tr) so the
         # animation shows a slide then a turn (solve R·(p+tr)+(c−R·c)=R·p+t)
         tr = R.T @ (t_full - center) + center
         T0 = np.eye(4, dtype=np.float32)
         T0[:3, 3] = tr
-        return T_init, [T0, (R, center)]
+        return [T0, (R, center)]
 
     def _place_target(self, t, nrm):
         """Device placement of a (target, normals) pair — replicated over
@@ -431,8 +459,10 @@ class Alignment:
         gold = self._gold_entry(base_s, normals_wanted, mesh_key)
 
         # coarse init: centroid translation, plus a principal-axes rotation
-        # when the scan arrives badly rotated (global_init="auto"|"pca")
-        T_init, init_steps = self._choose_init(
+        # when the scan arrives badly rotated (global_init="auto"|"pca").
+        # The candidate choice stays ON DEVICE; its animation record joins
+        # the single end-of-compare readback (_resolve_init_steps)
+        T_init, init_pending = self._choose_init(
             comp_s, base_s, init_t=gold["init_t"]
         )
 
@@ -495,7 +525,7 @@ class Alignment:
 
         indices = {}  # id(target placement) → AnchorIndex | None
 
-        self.transformations = list(init_steps)
+        self.transformations = []
         T = jnp.asarray(T_init)
         res = None
         stage_steps = []
@@ -531,9 +561,17 @@ class Alignment:
         # one ~90 ms tunnel sync per resolution level, utils/host)
         from tpu3dlm.utils.host import to_host
 
-        stage_steps, T_h, rmse, inlier = to_host(
-            (stage_steps, T, res.rmse, res.inlier_frac)
+        init_dev = ()
+        if "static_steps" not in init_pending:
+            init_dev = (
+                init_pending["res"],
+                init_pending["best"],
+                init_pending["use_pca"],
+            )
+        stage_steps, T_h, rmse, inlier, init_host = to_host(
+            (stage_steps, T, res.rmse, res.inlier_frac, init_dev)
         )
+        self.transformations = self._resolve_init_steps(init_pending, init_host)
         for steps in stage_steps:
             self.transformations += [steps[i] for i in range(steps.shape[0])]
         self.final_transform = T_h
