@@ -182,6 +182,27 @@ class TestTrainingOptions:
         diffs = [float(np.abs(a - b).max()) for a, b in zip(d_raw, d_ema)]
         assert max(diffs) > 0  # EMA at decay .99 stays near init after 2 steps
 
+    def test_augment_empty_dict_means_defaults(self, data, monkeypatch):
+        """augment={} is documented as 'default augmentation kwargs'
+        (make_yolo_train_step) — it must build the AUGMENTED (keyed) train
+        step, not silently collapse to disabled via `augment or None`."""
+        import tpu3dlm.pipeline.selftrain as st
+
+        seen = {}
+        from tpu3dlm.parallel import finetune as ft
+
+        orig = ft.make_yolo_train_step
+
+        def spy(yolo, tx, mesh, img_size, augment=None):
+            seen["augment"] = augment
+            return orig(yolo, tx, mesh, img_size, augment=augment)
+
+        monkeypatch.setattr(ft, "make_yolo_train_step", spy)
+        imgs, boxes, labels, mask = data
+        st.finetune_yolo(imgs, boxes, labels, mask, nc=2, img_size=S,
+                         steps=1, log_every=0, augment={})
+        assert seen["augment"] == {}  # not None
+
     def test_bad_schedule_rejected(self, data):
         from tpu3dlm.pipeline.selftrain import finetune_yolo
 

@@ -145,3 +145,59 @@ class TestBackendProbe:
             backend_mod.threading, "Thread", _StuckThread
         )
         assert backend_mod.probe_backend(0.05) is None
+
+
+class TestCorruptGoldPickle:
+    """A gold pickle that EXISTS but is unreadable (load_gold_std → None,
+    reference task_def.py:200-209 swallow semantics) must not silently
+    skip the maintenance comparison stage: the CLI rebuilds the gold
+    baseline exactly like the missing-pickle path, and raises loudly when
+    even the rebuild cannot be read back."""
+
+    def _env(self, tmp_path, monkeypatch):
+        from tpu3dlm.utils.config import ConfigLoader, write_default_config
+
+        cfg_path = str(tmp_path / "configs" / "variables.cfg")
+        write_default_config(cfg_path)
+        monkeypatch.chdir(tmp_path)  # cli defaults to <cwd>/configs
+        cfg_gold = ConfigLoader(cfg_path, "gold_std")
+        os.makedirs(os.path.dirname(cfg_gold.pickle_path), exist_ok=True)
+        with open(cfg_gold.pickle_path, "wb") as f:
+            f.write(b"not a pickle")
+        return cfg_path
+
+    def test_cli_rebuilds_gold_on_corrupt_pickle(self, tmp_path, monkeypatch):
+        import tpu3dlm.cli as cli
+        import tpu3dlm.pipeline.task as task
+
+        self._env(tmp_path, monkeypatch)
+        state = {"rebuilt": False}
+        calls = []
+
+        def fake_setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            calls.append((folder, goldstd_var))
+            if folder == "gold_std":
+                state["rebuilt"] = True
+
+        monkeypatch.setattr(task, "setup_pipeline", fake_setup)
+        monkeypatch.setattr(
+            task, "load_gold_std",
+            lambda p: {"stub": True} if state["rebuilt"] else None,
+        )
+        cli.main(["--data", "maintenance"])
+        # gold rebuilt first, then maintenance ran WITH the baseline
+        assert calls[0][0] == "gold_std"
+        assert calls[1][0] == "maintenance"
+        assert calls[1][1] == {"stub": True}
+
+    def test_cli_raises_when_rebuild_still_unreadable(self, tmp_path, monkeypatch):
+        import tpu3dlm.cli as cli
+        import tpu3dlm.pipeline.task as task
+
+        self._env(tmp_path, monkeypatch)
+        monkeypatch.setattr(
+            task, "setup_pipeline", lambda *a, **k: None
+        )
+        monkeypatch.setattr(task, "load_gold_std", lambda p: None)
+        with pytest.raises(RuntimeError, match="unreadable"):
+            cli.main(["--data", "maintenance"])

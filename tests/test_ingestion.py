@@ -197,12 +197,56 @@ class TestExtractor:
         ref.close()
         np.testing.assert_array_equal(rgbs[1], all_rgbs[3])
         np.testing.assert_array_equal(depths[1], all_depths[3])
-        # file path: NULL depth skipped (no crash), numbering contiguous
+        # in-memory path records which node each kept frame came from
+        assert ex.node_ordinals == [1, 4]
+        # file path: NULL depth skipped (no crash), numbering GAP-PRESERVING
+        # — node 4's frame stays "4", so it still pairs with poses.txt row 4
+        # (contiguous renumbering used to shift it onto node 3's pose)
         n = ex.fetch_data()
         ex.close()
         assert n == 3  # node 3 (no depth) skipped; 1, 2, 4 written
-        assert os.path.exists(os.path.join(str(tmp_path / "d"), "3.png"))
-        assert not os.path.exists(os.path.join(str(tmp_path / "d"), "4.png"))
+        assert not os.path.exists(os.path.join(str(tmp_path / "d"), "3.png"))
+        assert os.path.exists(os.path.join(str(tmp_path / "d"), "4.png"))
+
+    def test_skipped_node_keeps_pose_pairing(self, scan_dir, tmp_path):
+        """A depth-less node in the middle of a capture must not shift
+        every later frame onto the previous node's poses.txt row: the
+        extractor keeps node-ordinal filenames across the gap and
+        load_scan pairs pose rows by the numeric stem, not by position."""
+        import shutil
+        import sqlite3
+
+        from tpu3dlm.data.dataset import load_scan
+
+        root, scene = scan_dir
+        gold = os.path.join(root, "gold_std")
+        db = str(tmp_path / "holey.db")
+        shutil.copy(os.path.join(gold, "data.db"), db)
+        conn = sqlite3.connect(db)
+        conn.execute("UPDATE Data SET depth = NULL WHERE id = 2")
+        conn.commit()
+        conn.close()
+
+        depth_dir = str(tmp_path / "depth")
+        rgb_dir = str(tmp_path / "rgb")
+        ex = ImageExtractor(db, depth_dir, rgb_dir)
+        n = ex.fetch_data()
+        ex.close()
+        assert n == 3 and ex.node_ordinals == [1, 3, 4]
+
+        # calibration YAMLs pair by stem too — reuse the capture's own
+        calib_dir = os.path.join(gold, "rtabmap_extract", "calibration")
+        scan = load_scan(
+            rgb_dir, depth_dir, calib_dir, os.path.join(gold, "poses.txt"),
+            img_size=64,
+        )
+        assert scan.num_frames == 3
+        _, all_poses = load_poses(os.path.join(gold, "poses.txt"))
+        # frames after the gap carry THEIR OWN pose rows (2 and 3), not the
+        # shifted rows (1 and 2) positional pairing would hand them
+        np.testing.assert_array_equal(
+            np.asarray(scan.poses), all_poses[[0, 2, 3]]
+        )
 
 
 class TestPLY:

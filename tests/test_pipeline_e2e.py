@@ -116,6 +116,43 @@ class TestEndToEnd:
         assert isinstance(rows, list)
         assert "transformations" in p2.data_to_save
 
+    def test_animation_gets_raw_comparison_cloud(self, env, monkeypatch):
+        """The alignment animation REPLAYS the recorded transforms, so the
+        pipeline must hand VisualiseAlignment the raw (unaligned)
+        comparison cloud — feeding it compare()'s aligned return value
+        applied the whole chain twice and the video ended misaligned."""
+        import tpu3dlm.alignment.visualise as vis_mod
+        from tpu3dlm.data.ply import load_ply
+        from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
+
+        root, cfg_path = env
+        cfg_gold = ConfigLoader(cfg_path, "gold_std")
+        cfg_maint = ConfigLoader(cfg_path, "maintenance")
+        if not os.path.exists(cfg_gold.pickle_path):
+            setup_pipeline("gold_std", cfg_gold, None)
+        goldstd_var = load_gold_std(cfg_gold.pickle_path)
+
+        captured = {}
+
+        class _FakeVis:
+            def __init__(self, base, comparison, **kw):
+                captured["comparison"] = np.asarray(comparison)
+
+            def create_video(self, transformations, output_video=None, **kw):
+                captured["n_transforms"] = len(transformations)
+                return 0
+
+        monkeypatch.setattr(vis_mod, "VisualiseAlignment", _FakeVis)
+        cfg_maint.alignment_vis = True
+        setup_pipeline("maintenance", cfg_maint, cfg_gold, goldstd_var)
+
+        # the visualiser received the capture's own cloud, untransformed
+        raw_cloud, _ = load_ply(cfg_maint.ply_path)
+        np.testing.assert_array_equal(
+            captured["comparison"], np.asarray(raw_cloud, np.float32)
+        )
+        assert captured["n_transforms"] >= 1
+
     def test_load_gold_std_missing(self):
         from tpu3dlm.pipeline.task import load_gold_std
 

@@ -192,6 +192,26 @@ class TestScanWatcher:
         assert watcher.run_once() == ["maint_ok"]
         assert os.path.exists(os.path.join(path, DONE_SENTINEL))
 
+    def test_corrupt_gold_pickle_defers_not_done(self, watcher, monkeypatch):
+        """load_gold_std swallows corruption into None (reference
+        task_def.py:200-209 semantics). The watcher must treat that None
+        as a gold-baseline failure and DEFER — processing with it would
+        silently skip the comparison stage and stamp the capture DONE
+        without the run's core deliverable."""
+        import tpu3dlm.pipeline.task as task
+
+        _plant_gold_pickle(watcher)
+        monkeypatch.setattr(task, "load_gold_std", lambda p: None)
+        path = _make_capture(watcher.data_root, "maint_x")
+        watcher.run_once()
+        assert watcher.run_once() == []  # deferred
+        assert not os.path.exists(os.path.join(path, DONE_SENTINEL))
+        assert not os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        # baseline heals (operator restores the pickle) → processes cleanly
+        monkeypatch.setattr(task, "load_gold_std", lambda p: {"stub": True})
+        assert watcher.run_once() == ["maint_x"]
+        assert os.path.exists(os.path.join(path, DONE_SENTINEL))
+
     def test_quarantined_gold_warns_once_and_defers(self, watcher, caplog):
         """When the watched gold_std capture itself is quarantined, the
         service must say so LOUDLY (not just 'not processed yet') and keep

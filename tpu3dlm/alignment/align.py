@@ -422,6 +422,12 @@ class Alignment:
         """Run registration; returns
         (aligned_comparison_bboxes, transformations, base_map, aligned_comparison_map)."""
         base, comp = self._registration_sets()
+        # raw (UNALIGNED) registration sets, kept for the animation: the
+        # visualiser replays the recorded transforms onto the comparison
+        # cloud, so it must start from the unaligned points — feeding it
+        # the aligned return value would apply the whole chain twice
+        self.base_points = base
+        self.comparison_points = comp
         # only the QUERY cloud is subsampled (it bounds the solve size); the
         # target stays full-resolution — the tiled NN kernels stream it
         # (Pallas: 16k × 1M in ~47 ms on v5e-1, PERF.md), so decimating it

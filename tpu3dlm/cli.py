@@ -81,6 +81,22 @@ def main(argv=None):
             logging.info("Performing setup before maintenance check.")
             setup_pipeline("gold_std", cfg_goldstd, None)
         goldstd_var = load_gold_std(cfg_goldstd.pickle_path)
+        if goldstd_var is None:
+            # corrupt ≈ missing: a None baseline would silently skip the
+            # comparison stage (the run's core deliverable) — rebuild the
+            # gold pipeline from its data, exactly as the missing-pickle
+            # path does, and fail loudly if it still cannot be read
+            logging.error(
+                "Gold-standard pickle %s is unreadable — rebuilding the "
+                "gold baseline.", cfg_goldstd.pickle_path,
+            )
+            setup_pipeline("gold_std", cfg_goldstd, None)
+            goldstd_var = load_gold_std(cfg_goldstd.pickle_path)
+            if goldstd_var is None:
+                raise RuntimeError(
+                    f"gold pickle {cfg_goldstd.pickle_path} is unreadable even "
+                    "after rebuilding the gold baseline"
+                )
         logging.info("Fetched Gold-Std. Data.")
         logging.info("Executing maintenance check.")
         setup_pipeline(args.data, cfg, cfg_goldstd, goldstd_var=goldstd_var)

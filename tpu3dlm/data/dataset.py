@@ -37,6 +37,36 @@ def _pair_filenames(image_dir: str, depth_image_dir: str) -> list[tuple[str, str
     return pairs
 
 
+def _pose_rows_for_pairs(
+    pairs: list[tuple[str, str]], n_poses: int
+) -> tuple[list[tuple[str, str]], np.ndarray]:
+    """Select the pose row for each (rgb, depth) filename pair.
+
+    Extracted frames are named by their 1-based NODE ordinal
+    (data/rtabmap_db.py keeps the ordinal even when a depth-less RGB-only
+    node is skipped), and poses.txt carries one row per node — so when
+    every stem is numeric, frame ``<k>.jpg`` pairs with pose row ``k-1``
+    even when the numbering has gaps. Positional pairing (pair i ↔ row i)
+    would silently shift every frame after a gap onto the PREVIOUS node's
+    pose, displacing all later 3D projections by the inter-frame motion.
+
+    Returns ``(kept_pairs, pose_rows)`` — pairs whose stem exceeds the pose
+    table are dropped (RTAB-Map exports can be off by a trailing frame,
+    same contract as the old ``min(len(pairs), n_poses)``). Non-numeric
+    stems fall back to positional pairing.
+    """
+    stems = []
+    for rgb_name, _ in pairs:
+        stem = os.path.splitext(rgb_name)[0]
+        if not stem.isdigit() or int(stem) < 1:
+            n = min(len(pairs), n_poses)
+            return pairs[:n], np.arange(n)
+        stems.append(int(stem))
+    kept = [p for p, s in zip(pairs, stems) if s <= n_poses]
+    rows = np.asarray([s - 1 for s in stems if s <= n_poses], dtype=np.int64)
+    return kept, rows
+
+
 def _source_fingerprint(image_dir, depth_image_dir, pairs, calibration_dir=None) -> dict:
     """Cheap stat fingerprint (count/bytes/max-mtime) over the capture's
     paired source files AND their calibration YAMLs. The scanpack cache
@@ -297,9 +327,12 @@ def iter_scan_chunks(
         raise ValueError(f"resize_mode must be square|letterbox, got {resize_mode}")
     pairs = _pair_filenames(image_dir, depth_image_dir)
     timestamps, poses = load_poses(pose_path)
-    n = min(len(pairs), poses.shape[0])
+    pairs, pose_rows = _pose_rows_for_pairs(pairs, poses.shape[0])
+    n = len(pairs)
     if n == 0:
         raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
+    poses = poses[pose_rows]
+    timestamps = timestamps[pose_rows]
 
     pack = pack_writer = None
     if cache and resize_mode == "square":
@@ -440,8 +473,10 @@ def load_scan(
             rgb, depth, intrinsics, rgb_size, poses7 = cached
             timestamps, poses_now = load_poses(pose_path)
             n = rgb.shape[0]
-            pairs_now = _pair_filenames(image_dir, depth_image_dir)
-            n_now = min(len(pairs_now), poses_now.shape[0])
+            pairs_now, pose_rows_now = _pose_rows_for_pairs(
+                _pair_filenames(image_dir, depth_image_dir), poses_now.shape[0]
+            )
+            n_now = len(pairs_now)
             # stale if the capture gained/lost frames OR was re-exported in
             # place (same count, different source bytes — _source_fingerprint)
             if n == n_now and _fingerprint_matches(
@@ -459,17 +494,21 @@ def load_scan(
                 del poses7
                 return Scan(
                     rgb=rgb, depth=depth, intrinsics=intrinsics, rgb_size=rgb_size,
-                    poses=poses_now[:n], timestamps=timestamps[:n],
+                    poses=poses_now[pose_rows_now],
+                    timestamps=timestamps[pose_rows_now],
                 )
 
     pairs = _pair_filenames(image_dir, depth_image_dir)
     timestamps, poses = load_poses(pose_path)
-    n = min(len(pairs), poses.shape[0])
+    pairs, pose_rows = _pose_rows_for_pairs(pairs, poses.shape[0])
+    n = len(pairs)
     if n == 0:
         raise ValueError(f"no paired frames found in {image_dir} / {depth_image_dir}")
+    poses = poses[pose_rows]
+    timestamps = timestamps[pose_rows]
 
     rgb, depth, intrinsics, rgb_size, lbox = _decode_frames(
-        pairs[:n], image_dir, depth_image_dir, calibration_dir,
+        pairs, image_dir, depth_image_dir, calibration_dir,
         img_size, depth_width, depth_height, resize_mode, workers,
     )
 

@@ -41,18 +41,23 @@ class ImageExtractor:
         """Write depth PNGs (and RGB JPEGs when image_dir given). Returns frame count.
 
         Rows with a NULL/undecodable depth blob (RGB-only odometry nodes
-        exist in real exports) are SKIPPED with a warning — numbering stays
-        contiguous so filename pairing keeps working, but note the export's
-        poses.txt must cover the same usable nodes (loud log if any skip).
-        The cursor streams row by row: fetchall would hold every compressed
-        blob of the capture in memory at once.
+        exist in real exports) are SKIPPED with a warning. Filenames carry
+        the 1-based NODE ordinal — identical to the reference's contiguous
+        numbering when nothing is skipped, but GAP-PRESERVING across a
+        skip, so each frame keeps pairing with ITS OWN poses.txt row
+        (data/dataset._pose_rows_for_pairs maps ``<k>.jpg`` → pose row
+        k-1). Contiguous renumbering would silently shift every later
+        frame onto the previous node's pose. ``self.node_ordinals`` records
+        the kept ordinals. The cursor streams row by row: fetchall would
+        hold every compressed blob of the capture in memory at once.
         """
         import logging
 
         cursor = self.conn.cursor()
         cursor.execute(_QUERY)
         count, skipped = 0, 0
-        for image_blob, depth_blob in cursor:
+        self.node_ordinals: list[int] = []
+        for ordinal, (image_blob, depth_blob) in enumerate(cursor, start=1):
             depth = None
             if depth_blob is not None:
                 depth = cv2.imdecode(
@@ -61,16 +66,17 @@ class ImageExtractor:
             if depth is None:
                 skipped += 1
                 continue
-            idx = count + 1  # 1-based filenames, matching the reference extractor
-            cv2.imwrite(os.path.join(self.depth_dir, f"{idx}.png"), depth)
+            cv2.imwrite(os.path.join(self.depth_dir, f"{ordinal}.png"), depth)
             if self.image_dir and image_blob is not None:
-                with open(os.path.join(self.image_dir, f"{idx}.jpg"), "wb") as f:
+                with open(os.path.join(self.image_dir, f"{ordinal}.jpg"), "wb") as f:
                     f.write(image_blob)
+            self.node_ordinals.append(ordinal)
             count += 1
         if skipped:
             logging.getLogger(__name__).warning(
                 "%d database node(s) had no decodable depth and were "
-                "skipped — verify poses.txt covers the remaining %d frames",
+                "skipped — filenames keep the node ordinal so the "
+                "remaining %d frames still pair with their poses.txt rows",
                 skipped, count,
             )
         return count
@@ -89,7 +95,11 @@ class ImageExtractor:
         cursor.execute(_QUERY)
         rgbs, depths = [], []
         skipped = 0
-        for image_blob, depth_blob in cursor:
+        # 1-based node ordinal per kept frame — consumers pairing these
+        # arrays with poses.txt rows positionally must index rows by
+        # ordinal-1 when any node was skipped (see fetch_data docstring)
+        self.node_ordinals = []
+        for ordinal, (image_blob, depth_blob) in enumerate(cursor, start=1):
             # rgb and depth are appended TOGETHER or not at all: appending
             # depth for an RGB-less row desynchronized every later pair
             # (rgbs[i] belonged to depths[i+1]) with no error
@@ -108,6 +118,7 @@ class ImageExtractor:
                 continue
             depths.append(reinterpret_depth(depth_u8))
             rgbs.append(cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB))
+            self.node_ordinals.append(ordinal)
         if skipped:
             logging.getLogger(__name__).warning(
                 "%d database node(s) missing an RGB or depth blob were "

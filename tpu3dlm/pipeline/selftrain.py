@@ -236,7 +236,15 @@ def finetune_yolo(
     else:
         raise ValueError(f"unknown schedule {schedule!r} (const|cosine)")
     opt_state = tx.init(variables["params"])
-    aug_kw = {} if augment is True else (augment or None)
+    # augment=True and augment={} BOTH mean "defaults" (make_yolo_train_step
+    # documents {} as default kwargs); only None/False disable — `augment or
+    # None` would collapse the empty dict to disabled
+    if augment is True:
+        aug_kw = {}
+    elif augment is None or augment is False:
+        aug_kw = None
+    else:
+        aug_kw = augment
     step = make_yolo_train_step(yolo, tx, mesh, img_size, augment=aug_kw)
 
     imgs = jnp.asarray(images_u8.astype(np.float32) / 255.0)

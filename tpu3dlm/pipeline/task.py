@@ -248,11 +248,12 @@ class Pipeline:
             )
             extractor.fetch_data()
             extractor.close()
-        from tpu3dlm.data.dataset import _pair_filenames
+        from tpu3dlm.data.dataset import _pair_filenames, _pose_rows_for_pairs
 
         pairs = _pair_filenames(self.cfg.image_dir, self.cfg.depth_image_dir)
         ts, poses = load_poses(self.cfg.pose_path)
-        n = min(len(pairs), poses.shape[0])
+        pairs, pose_rows = _pose_rows_for_pairs(pairs, poses.shape[0])
+        n = len(pairs)
         if n == 0:
             raise ValueError(
                 f"no paired frames found in {self.cfg.image_dir} / "
@@ -266,8 +267,8 @@ class Pipeline:
             depth=np.zeros((n, 1, 1), np.float32),
             intrinsics=np.zeros((n, 4), np.float32),
             rgb_size=np.ones((n, 2), np.float32),
-            poses=poses[:n],
-            timestamps=ts[:n],
+            poses=poses[pose_rows],
+            timestamps=ts[pose_rows],
         )
 
     def _fused_streaming(self, chunk_frames: int):
@@ -406,6 +407,10 @@ class Pipeline:
             mesh=self._alignment_mesh(),
             global_init=getattr(self.cfg, "icp_global_init", "auto"),
             ann=getattr(self.cfg, "icp_ann", "auto"),
+            # cfg knob semantics: true (default) = auto — Pallas kernels
+            # where the backend is TPU; false = force the XLA fallback
+            # everywhere (escape hatch for Pallas/Mosaic issues)
+            use_pallas=(None if getattr(self.cfg, "use_pallas", True) else False),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder
@@ -428,7 +433,10 @@ class Pipeline:
         if self.cfg.alignment_vis:
             from tpu3dlm.alignment.visualise import VisualiseAlignment
 
-            vis = VisualiseAlignment(base_map, comp_map)
+            # the animation REPLAYS the recorded transforms, so it starts
+            # from the raw (unaligned) comparison points — comp_map is
+            # already aligned and would double-apply the chain
+            vis = VisualiseAlignment(base_map, align.comparison_points)
             out = os.path.join(
                 os.path.dirname(self.cfg.csv_output) or ".", "alignment_animation.mp4"
             )

@@ -194,6 +194,15 @@ class ScanWatcher:
             try:
                 self._ensure_gold()
                 goldstd_var = load_gold_std(self.cfg_goldstd.pickle_path)
+                if goldstd_var is None:
+                    # load_gold_std swallows corruption into None (reference
+                    # task_def.py:200-209 semantics); running the capture
+                    # anyway would SKIP the comparison stage and stamp it
+                    # DONE without the pipeline's core deliverable
+                    raise RuntimeError(
+                        f"gold pickle {self.cfg_goldstd.pickle_path} exists "
+                        "but is unreadable"
+                    )
             except Exception:
                 # the SHARED baseline failed, not this capture — deferring
                 # (retry next cycle) instead of quarantining keeps a gold

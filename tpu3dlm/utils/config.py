@@ -204,6 +204,8 @@ icp_ann = auto
 
 # TPU runtime
 mesh_devices = 1
+# true = Pallas kernels where the backend is TPU (auto); false = force the
+# XLA fallback everywhere (escape hatch for Pallas/Mosaic issues)
 use_pallas = true
 infer_dtype = bf16
 fused_inference = false
