@@ -125,9 +125,19 @@ def main():
     t0 = time.perf_counter()
     align, rows = run_once()
     first_capture = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    align, rows = run_once()
-    wall = time.perf_counter() - t0
+    # steady state: the per-capture cost distribution over the remote
+    # tunnel is bimodal — most runs sit in a tight band, with occasional
+    # ~2× RPC-latency spikes (measured: 0.26–0.35 s typical, 0.47–0.56 s
+    # spikes over 14 reps on the same warm process). A single draw is a
+    # coin flip between the modes, so the headline is the MEDIAN of
+    # BENCH_ALIGN_REPS runs, with the spread reported alongside.
+    reps = max(1, int(os.environ.get("BENCH_ALIGN_REPS", "5")))
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        align, rows = run_once()
+        samples.append(time.perf_counter() - t0)
+    wall = float(np.median(samples))
 
     # sanity: the recovered transform must invert the applied one
     err = np.abs(align.final_transform @ Tw - np.eye(4)).max()
@@ -191,6 +201,8 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(vs_baseline, 3),
                 "first_capture_s": round(first_capture, 3),
+                "steady_samples_s": [round(s, 3) for s in samples],
+                "steady_spread_s": round(max(samples) - min(samples), 3),
             }
         )
     )
