@@ -160,12 +160,9 @@ def main():
 
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # YOLO compile (first run pays it once)
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu3dlm.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
 
     # Backend watchdog: the remote TPU backend can go UNAVAILABLE for hours
     # (init hangs ~4 min then errors — observed 2026-08-17). A hung bench

@@ -6,11 +6,12 @@ a 16384-pt query against the FULL-size target — the tiled NN kernels
 stream the 1M-pt target), bipartite-matches the box sets, and reports the
 end-to-end wall-clock (readback-forced).
 
-vs_baseline: the same workload is NN-dominated (stages × iterations nearest
--neighbour queries of 16384 × 1M points); the baseline is host-CPU time for
-ONE such query × the query count — a FLOP-proportional lower bound on the
-CPU pipeline, measured live (running the full CPU alignment would take tens
-of minutes on this class of host).
+vs_baseline: the same workload is NN-dominated; the baseline is host-CPU
+time for ONE full-size 16384 × n_target query, scaled by the staged
+workload's FLOP-proportional query count (final stage at full size,
+two coarse stages at 4096 × 262144 ≈ 1/16 each) — a lower bound on the
+CPU pipeline, measured live (running the full CPU alignment would take
+tens of minutes on this class of host).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -76,14 +77,9 @@ def build_clouds(n_target: int, seed: int = 0):
 def main():
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu3dlm.utils.backend import enable_compile_cache, require_backend
 
-    from tpu3dlm.utils.backend import require_backend
+    enable_compile_cache()
 
     require_backend("two_map_align_match_wall_clock", unit="s")
 
@@ -142,8 +138,12 @@ def main():
     # sanity: the recovered transform must invert the applied one
     err = np.abs(align.final_transform @ Tw - np.eye(4)).max()
     n_missing = sum(1 for r in rows if r["status"] == "missing")
-    if err > 0.15 or n_missing != 1:
-        print(f"bench sanity: transform_err={err:.3f} missing={n_missing}", file=sys.stderr)
+    sanity_ok = err <= 0.15 and n_missing == 1
+    if not sanity_ok:
+        print(
+            f"SANITY FAILURE: transform_err={err:.3f} missing={n_missing}",
+            file=sys.stderr,
+        )
 
     # CPU baseline: one 16384 × n_target NN query × the query count. The
     # live leg takes minutes and swings >2× with host load (observed 109 s
@@ -156,7 +156,14 @@ def main():
     nn_key = "cpu_seconds_one_nn_16k_x_1M"
     vs_baseline = 0.0
     one_nn_cpu = None
-    n_queries = 3 * iters  # 3 coarse-to-fine stages (alignment/align.py)
+    # FLOP-proportional CPU-equivalent query count for the ACTUAL staged
+    # workload: the two coarse stages run 4096 queries against a 262144-pt
+    # target subsample (alignment/align.py coarse_query_cap /
+    # coarse_target_cap) = 1/16 the FLOPs of the final full-size
+    # 16384 × n_target stage. Pricing all three stages at full size
+    # (3 × iters) overstated the baseline ~2.7×.
+    coarse_ratio = (4096 * min(262_144, n_target)) / (16_384 * n_target)
+    n_queries = iters * (1.0 + 2.0 * coarse_ratio)
     if os.environ.get("BENCH_CPU_BASELINE", "1") != "0":
         try:
             import jax.numpy as jnp
@@ -203,9 +210,12 @@ def main():
                 "first_capture_s": round(first_capture, 3),
                 "steady_samples_s": [round(s, 3) for s in samples],
                 "steady_spread_s": round(max(samples) - min(samples), 3),
+                "sanity_ok": sanity_ok,
             }
         )
     )
+    if not sanity_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -117,16 +117,17 @@ def run_pipeline_on(cfg_path: str | None, fused: bool):
 def main() -> None:
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu3dlm.utils.backend import enable_compile_cache, require_backend
 
-    from tpu3dlm.utils.backend import require_backend
+    enable_compile_cache()
 
     require_backend("e2e_two_scan_pipeline_seconds", unit="s")
+
+    # gate the committed full-scale accuracy artifact UP FRONT: it reads a
+    # repo file and needs no device — failing here costs nothing, whereas
+    # discovering a missing/renamed artifact in the final print would
+    # discard minutes of completed TPU measurement
+    full_scale = check_full_scale_report()
 
     fused = os.environ.get("BENCH_E2E_FUSED", "1") != "0"
     # warm-up run pays one-time compiles; the measured run is the serving
@@ -158,23 +159,38 @@ def main() -> None:
     if want_cpu == "1" or (want_cpu != "0" and key not in stored):
         try:
             if jax.default_backend() != "cpu":
-                # same pipeline, host CPU backend, in a subprocess (the
-                # backend of this process is already initialised)
+                # SAME pipeline structure on the host CPU backend, in a
+                # subprocess (this process's backend is already
+                # initialised): matches the measured leg's mode (fused
+                # flag) and its warm-process discipline — a warmup run
+                # first, then the measured run — so vs_baseline compares
+                # like with like instead of fused-warm vs unfused-cold
+                # (jax-CPU trace/compile time is OUR artifact, not part of
+                # the workload being priced)
                 import subprocess
 
                 code = (
                     "import jax; jax.config.update('jax_platforms', 'cpu');"
                     "import bench_e2e, json;"
-                    "w, s, r = bench_e2e.run_pipeline(False);"
+                    f"bench_e2e.run_pipeline({fused});"
+                    f"w, s, r, _ = bench_e2e.run_pipeline_on(None, {fused});"
                     "print(json.dumps({'wall': w}))"
                 )
                 out = subprocess.run(
                     [sys.executable, "-c", code],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True, timeout=7200,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
+                if out.returncode != 0:
+                    raise RuntimeError(
+                        "cpu baseline subprocess failed (rc=%d): %s"
+                        % (out.returncode, out.stderr.strip()[-500:])
+                    )
                 cpu_wall = json.loads(out.stdout.strip().splitlines()[-1])["wall"]
                 stored[key] = round(cpu_wall, 3)
+                # record what the stored number measured, so a mode change
+                # invalidates rather than silently mixing denominators
+                stored[key + "_mode"] = {"fused": fused, "warm_process": True}
                 with open(BASELINE_FILE, "w") as f:
                     json.dump(stored, f)
                 vs_baseline = cpu_wall / wall
@@ -195,7 +211,7 @@ def main() -> None:
                 "steady_state_s": round(steady, 3),
                 "stage_times": stages,
                 "sanity": sanity,
-                "full_scale_accuracy": check_full_scale_report(),
+                "full_scale_accuracy": full_scale,
             }
         )
     )

@@ -111,14 +111,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu3dlm.utils.backend import enable_compile_cache, require_backend
 
-    from tpu3dlm.utils.backend import require_backend
+    enable_compile_cache()
 
     require_backend("serving_per_capture_s_varied_sizes", unit="s")
 

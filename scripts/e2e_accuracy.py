@@ -76,7 +76,11 @@ def main():
         root, yolo_ckpt, beit_ckpt, img_size=img_size, beit_kw=beit_kw
     )
 
-    if not args.skip_train or not os.path.exists(yolo_ckpt):
+    # --skip-train only holds when BOTH checkpoints exist — skipping on the
+    # YOLO file alone would crash later in verify() with an unrelated-
+    # looking FileNotFoundError when the BEiT checkpoint is absent
+    have_ckpts = os.path.exists(yolo_ckpt) and os.path.exists(beit_ckpt)
+    if not args.skip_train or not have_ckpts:
         t0 = time.time()
         y, b = finetune_synthetic(
             os.path.join(data_root, "gold_std"), args.out_dir,

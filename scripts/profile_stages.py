@@ -38,15 +38,12 @@ def main() -> None:
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     args = p.parse_args()
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tpu3dlm_jax_cache")
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpu3dlm.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
 
     from tpu3dlm.mapper.projection import project_boxes
     from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops

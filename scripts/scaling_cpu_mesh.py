@@ -115,7 +115,8 @@ def nn_times(points_per_dev: int = 65536, strong_points: int = 262144):
             rows.append(
                 {"prog": "target_nn", "mode": mode, "devices": ndev,
                  "target_points": M, "ms": round(t * 1e3, 1),
-                 "Mpts_per_s": round(M * 4096 / t / 1e9, 2)}
+                 # query-target PAIRS swept per second, in units of 1e9
+                 "gpairs_per_s": round(M * 4096 / t / 1e9, 2)}
             )
     return rows
 

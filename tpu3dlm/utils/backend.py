@@ -71,3 +71,20 @@ def require_backend(metric: str, unit: str = "frames/s") -> None:
         sys.stdout.flush()
         os._exit(2)  # the probe thread is stuck in C code — hard exit
     print(f"backend probe ok in {took:.1f}s", file=sys.stderr)
+
+
+def enable_compile_cache(default_dir: str = "/tmp/tpu3dlm_jax_cache") -> None:
+    """Point JAX's persistent compilation cache at ``JAX_CACHE_DIR`` (or
+    the default). One home for the policy every bench/entrypoint shares —
+    remote-TPU compiles cost minutes, so all of them opt in. Safe to call
+    any time before the first compile; swallows config errors (older jax
+    or already-frozen config) exactly like the inline blocks it replaces.
+    """
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", default_dir)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
