@@ -193,12 +193,25 @@ def main():
         # the platform doesn't support profiling
         try:
             with jax.profiler.trace(trace_dir):
-                fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+                fps_samples = [
+                    time_fps(step, variables, arrays, default_dev, iters, jax)
+                ]
         except Exception as e:
             print(f"profiler unavailable ({e}); timing without trace", file=sys.stderr)
-            fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+            fps_samples = [
+                time_fps(step, variables, arrays, default_dev, iters, jax)
+            ]
     else:
-        fps = time_fps(step, variables, arrays, default_dev, iters, jax)
+        # median of several timed windows: single draws over the remote
+        # tunnel spread ±15% (PERF.md); the median rejects the stall mode
+        # the way bench_align's steady estimator does. Each window is
+        # already a `iters`-deep queued-dispatch measurement.
+        reps = max(1, int(os.environ.get("BENCH_STEADY_REPS", "5")))
+        fps_samples = [
+            time_fps(step, variables, arrays, default_dev, iters, jax)
+            for _ in range(reps)
+        ]
+    fps = float(np.median(fps_samples))
 
     # Baseline: the same jitted program on host CPU — the reference pipeline
     # is CPU-bound Python (SURVEY.md §2c), so CPU throughput of the identical
@@ -265,6 +278,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 3),
     }
+    if len(fps_samples) > 1:
+        rec["steady_samples_fps"] = [round(s, 1) for s in fps_samples]
+        rec["steady_spread_fps"] = round(max(fps_samples) - min(fps_samples), 1)
     if variant != "n":
         rec["yolo_variant"] = variant
     if os.environ.get("BENCH_STEM", "conv") != "conv":

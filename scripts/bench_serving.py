@@ -82,6 +82,120 @@ def run_capture(num_frames: int, ppm2: int, dropped) -> tuple[float, int]:
     return wall, sum(1 for r in rows if r["status"] == "missing")
 
 
+def make_serving_project(n_captures: int):
+    """ONE project: gold + the stock maintenance folder + ``n_captures``
+    extra maintenance captures cycling through the SIZES shapes — the
+    serving scenario (many captures against one gold baseline)."""
+    from tpu3dlm.data import synthetic
+    from tpu3dlm.pipeline.evaluate import make_project
+
+    root = tempfile.mkdtemp(prefix="tpu3dlm_bench_overlap_")
+    nf0, ppm0, dropped0 = SIZES[0]
+    cfg_path, data_root, _gold, Tw = make_project(
+        root,
+        os.path.join(FIXTURES, "yolo_synthetic.msgpack"),
+        os.path.join(FIXTURES, "beit_synthetic.msgpack"),
+        extra_cfg=[
+            ("fused_inference = false", "fused_inference = true"),
+            ("streaming_chunk = 0", "streaming_chunk = 4"),
+        ] + (
+            [
+                ("icp_max_points = 16384", "icp_max_points = 4096"),
+                ("icp_iterations = 30", "icp_iterations = 10"),
+            ] if LIGHT else []
+        ),
+        num_frames=nf0,
+        cloud_points_per_m2=ppm0 // 4 if LIGHT else ppm0,
+        dropped=dropped0,
+    )
+    names = []
+    for i in range(n_captures):
+        nf, ppm2, dropped = SIZES[i % len(SIZES)]
+        name = f"maint_{i:02d}"
+        synthetic.generate_scan(
+            data_root, name, num_frames=nf, seed=10 + i,
+            world_transform=Tw, drop_sign_indices=dropped,
+            cloud_points_per_m2=ppm2 // 4 if LIGHT else ppm2,
+        )
+        names.append(name)
+    return cfg_path, data_root, names
+
+
+def run_watch_leg(cfg_path, data_root, names, concurrency: int,
+                  budget: int | None = None):
+    """Process ``names`` through a bounded ScanWatcher run; returns
+    (wall seconds, sanity_ok). DONE sentinels are cleared first so each
+    leg reprocesses the same captures with warm programs. ``budget``
+    raises max_scans above len(names) — the warm pass needs headroom for
+    gold_std and the stock maintenance folder, which have no sentinels
+    yet and consume budget when first claimed."""
+    from tpu3dlm.pipeline.watch import DONE_SENTINEL, FAILED_SENTINEL, ScanWatcher
+
+    for n in names:
+        for s in (DONE_SENTINEL, FAILED_SENTINEL):
+            p = os.path.join(data_root, n, s)
+            if os.path.exists(p):
+                os.unlink(p)
+    w = ScanWatcher(
+        cfg_path, poll_interval=0.02, max_scans=budget or len(names),
+        concurrency=concurrency,
+    )
+    t0 = time.perf_counter()
+    w.run()
+    wall = time.perf_counter() - t0
+    ok = True
+    for n in names:
+        rec_path = os.path.join(data_root, n, DONE_SENTINEL)
+        if not os.path.exists(rec_path):
+            ok = False
+            print(f"SANITY FAILURE: {n} not processed", file=sys.stderr)
+            continue
+        rec = json.load(open(rec_path))
+        if rec.get("missing") != 1:
+            ok = False
+            print(
+                f"SANITY FAILURE: {n} missing={rec.get('missing')}",
+                file=sys.stderr,
+            )
+    return wall, ok
+
+
+def overlap_main(n_captures: int, concurrency: int):
+    """--overlap: serving THROUGHPUT, serial vs concurrent captures.
+
+    With concurrency > 1 one capture's host work (decode, matching, CSV,
+    pickle) overlaps another's device compute (pipeline/watch.py). Both
+    legs run the REAL ScanWatcher over the same warm captures."""
+    import jax
+
+    cfg_path, data_root, names = make_serving_project(n_captures)
+
+    # gold baseline + every bucket shape warms here (compiles amortise);
+    # the warm pass runs the same watcher path as the measured legs and
+    # also claims gold_std + the stock maintenance folder (budget +2)
+    run_watch_leg(cfg_path, data_root, names, 1, budget=len(names) + 2)
+
+    serial_wall, ok1 = run_watch_leg(cfg_path, data_root, names, 1)
+    overlap_wall, ok2 = run_watch_leg(cfg_path, data_root, names, concurrency)
+    ok = ok1 and ok2
+    serial_cps = len(names) / serial_wall
+    overlap_cps = len(names) / overlap_wall
+    print(json.dumps({
+        "metric": "serving_overlap_captures_per_s",
+        "value": round(overlap_cps, 3),
+        "unit": "captures/s",
+        "captures": len(names),
+        "concurrency": concurrency,
+        "serial_captures_per_s": round(serial_cps, 3),
+        "serial_wall_s": round(serial_wall, 3),
+        "overlap_wall_s": round(overlap_wall, 3),
+        "overlap_speedup": round(overlap_cps / serial_cps, 3),
+        "sanity_ok": ok,
+        "backend": jax.default_backend(),
+    }))
+    sys.exit(0 if ok else 1)
+
+
 def tracked_jits():
     from tpu3dlm.mapper import nms3d, projection
     from tpu3dlm.ops import icp as icp_mod
@@ -101,6 +215,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--light", action="store_true")
+    ap.add_argument(
+        "--overlap", action="store_true",
+        help="Serving throughput: serial vs concurrent captures through "
+        "the real ScanWatcher (watch-concurrency).",
+    )
+    ap.add_argument("--captures", type=int, default=6)
+    ap.add_argument("--concurrency", type=int, default=2)
     args = ap.parse_args()
     if args.light:
         global LIGHT
@@ -114,6 +235,11 @@ def main():
     from tpu3dlm.utils.backend import enable_compile_cache, require_backend
 
     enable_compile_cache()
+
+    if args.overlap:
+        require_backend("serving_overlap_captures_per_s", unit="captures/s")
+        overlap_main(args.captures, args.concurrency)
+        return
 
     require_backend("serving_per_capture_s_varied_sizes", unit="s")
 

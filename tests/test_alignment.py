@@ -93,6 +93,40 @@ class TestAlignment:
             comp = t @ comp
         np.testing.assert_allclose(comp, align.final_transform, atol=1e-4)
 
+    def test_concurrent_compare_shares_gold_cache(self, scans):
+        """Serving concurrency: two captures registering against the SAME
+        gold cloud from worker threads (pipeline/watch.py concurrency > 1)
+        must reproduce the serial result exactly and share one gold-side
+        cache entry (alignment/align._CACHE_LOCK guards the LRUs)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tpu3dlm.alignment import align as align_mod
+
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+
+        def make():
+            return Alignment(
+                gold.poses, maint.poses,
+                _boxes_from_signs(gold.signs),
+                _boxes_from_signs(maint.signs, T=Tw),
+                base_cloud=gold_cloud, comparison_cloud=maint_cloud,
+                max_points=2048, icp_iterations=10,
+                max_correspondence_dist=1.0,
+            )
+
+        align_mod._GOLD_CACHE.clear()
+        serial = make()
+        serial.compare()
+        baseline = serial.final_transform
+        n_entries = len(align_mod._GOLD_CACHE)
+
+        aligns = [make() for _ in range(2)]
+        with ThreadPoolExecutor(2) as pool:
+            list(pool.map(lambda a: a.compare(), aligns))
+        for a in aligns:
+            np.testing.assert_allclose(a.final_transform, baseline, atol=1e-6)
+        assert len(align_mod._GOLD_CACHE) == n_entries  # shared, not rebuilt
+
 
 class TestGlobalInit:
     def test_recovers_large_rotation(self, tmp_path_factory):

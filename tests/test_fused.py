@@ -156,6 +156,50 @@ class TestFusedRunner:
             first_drain + 1
         ] == ("produce", 1)
 
+    def test_concurrent_streams_match_serial(self, scan_dirs, scan):
+        """Two captures streaming CONCURRENTLY (ScanWatcher concurrency>1:
+        each Pipeline owns a runner, the runners share the cached step
+        program through utils/jitcache) must both reproduce the serial
+        whole-scan result exactly — the decode worker threads, in-flight
+        queues, and device dispatch must not cross-talk."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tpu3dlm.data.dataset import iter_scan_chunks
+
+        ref = FusedScanRunner(
+            img_size=128, conf_thresh=0.3, max_det=8, nc=3,
+            beit_config=SMALL_BEIT, dtype=jnp.float32,
+        )
+        d_ref, g_ref = ref(scan)
+
+        def one_stream(_):
+            runner = FusedScanRunner(
+                img_size=128, conf_thresh=0.3, max_det=8, nc=3,
+                beit_config=SMALL_BEIT, dtype=jnp.float32,
+                yolo_variables=ref.yolo_variables,
+                beit_variables=ref.beit_variables,
+            )
+            return runner.run_stream(
+                iter_scan_chunks(chunk_frames=2, img_size=128, **scan_dirs),
+                max_inflight=1,
+            )
+
+        with ThreadPoolExecutor(2) as pool:
+            results = list(pool.map(one_stream, range(2)))
+        for d_s, g_s in results:
+            np.testing.assert_array_equal(d_s.mask, np.asarray(d_ref.mask))
+            np.testing.assert_allclose(
+                d_s.boxes, np.asarray(d_ref.boxes), atol=1e-5
+            )
+            m = d_s.mask
+            np.testing.assert_allclose(
+                np.asarray(g_s.corners)[m], np.asarray(g_ref.corners)[m],
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                d_s.damage, np.asarray(d_ref.damage)
+            )
+
     def test_stream_sharded_matches_whole_scan(self, scan_dirs, scan):
         """Streaming chunks THROUGH the 8-device mesh path (each chunk
         sharded over the frame axis, incl. chunk + mesh padding together)

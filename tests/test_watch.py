@@ -279,6 +279,160 @@ class TestCLIWatch:
         )
 
 
+class TestConcurrentWatcher:
+    """concurrency > 1: captures run in worker threads so one capture's
+    host work overlaps another's device compute (pipeline/watch.py)."""
+
+    def _watcher(self, tmp_path, monkeypatch, setup, concurrency=2):
+        import tpu3dlm.pipeline.task as task
+
+        monkeypatch.setattr(task, "setup_pipeline", setup)
+        monkeypatch.setattr(task, "load_gold_std", lambda p: {"stub": True})
+        return ScanWatcher(
+            str(tmp_path / "variables.cfg"),
+            poll_interval=0.01,
+            concurrency=concurrency,
+        )
+
+    @staticmethod
+    def _ok_setup(calls=None):
+        def setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            if calls is not None:
+                calls.append(folder)
+            os.makedirs(os.path.dirname(cfg.pickle_path), exist_ok=True)
+            with open(cfg.pickle_path, "wb") as f:
+                f.write(b"x")
+            return _FakePipeline()
+
+        return setup
+
+    def test_two_captures_overlap_and_complete(self, tmp_path, monkeypatch):
+        """Both captures must be inside setup_pipeline at the SAME time (a
+        serial watcher would deadlock the barrier) and both finish with
+        DONE sentinels."""
+        import threading
+
+        barrier = threading.Barrier(2, timeout=10)
+        inner = self._ok_setup()
+
+        def setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            barrier.wait()
+            return inner(folder, cfg, cfg_goldstd, goldstd_var)
+
+        w = self._watcher(tmp_path, monkeypatch, setup)
+        _plant_gold_pickle(w)
+        a = _make_capture(w.data_root, "scan_a")
+        b = _make_capture(w.data_root, "scan_b")
+        assert w.run_once() == []  # first sighting: fingerprints recorded
+        assert w.run_once() == []  # quiescent → both submitted to workers
+        assert sorted(w.drain()) == ["scan_a", "scan_b"]
+        for path in (a, b):
+            assert os.path.exists(os.path.join(path, DONE_SENTINEL))
+        assert w.run_once() == []  # nothing reprocessed
+
+    def test_gold_runs_alone_before_maintenance(self, tmp_path, monkeypatch):
+        """gold_std is processed synchronously BEFORE any maintenance
+        capture is dispatched — workers load its pickle as the baseline."""
+        calls = []
+        w = self._watcher(tmp_path, monkeypatch, self._ok_setup(calls))
+        _make_capture(w.data_root, "gold_std")
+        _make_capture(w.data_root, "maint_a")
+        _make_capture(w.data_root, "maint_b")
+        assert w.run_once() == []  # fingerprints
+        done = w.run_once()  # gold synchronous; maintenance submitted
+        assert done == ["gold_std"] and calls[0] == "gold_std"
+        w.drain()
+        assert sorted(calls[1:]) == ["maint_a", "maint_b"]
+        for f in ("gold_std", "maint_a", "maint_b"):
+            assert os.path.exists(
+                os.path.join(w.data_root, f, DONE_SENTINEL)
+            )
+
+    def test_worker_failure_quarantined(self, tmp_path, monkeypatch):
+        """A capture failing inside a worker thread still converges to the
+        FAILED sentinel with the traceback."""
+
+        def boom(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            raise RuntimeError("bad capture")
+
+        w = self._watcher(tmp_path, monkeypatch, boom)
+        w.max_attempts = 1
+        _plant_gold_pickle(w)
+        path = _make_capture(w.data_root, "scan_bad")
+        w.run_once()
+        w.run_once()
+        assert w.drain() == ["scan_bad"]  # claimed, then quarantined
+        assert os.path.exists(os.path.join(path, FAILED_SENTINEL))
+        assert "bad capture" in open(os.path.join(path, FAILED_SENTINEL)).read()
+        assert w.run_once() == []  # quarantined, never resubmitted
+
+    def test_stress_many_captures_mixed_outcomes(self, tmp_path, monkeypatch):
+        """4 workers × 12 captures with interleaved failures: every capture
+        converges to exactly one sentinel (DONE or FAILED), none is lost,
+        none is processed twice."""
+        import threading
+
+        counts: dict[str, int] = {}
+        lock = threading.Lock()
+
+        def setup(folder, cfg, cfg_goldstd=None, goldstd_var=None):
+            with lock:
+                counts[folder] = counts.get(folder, 0) + 1
+            if folder.endswith(("3", "7")):
+                raise RuntimeError(f"{folder} corrupt")
+            os.makedirs(os.path.dirname(cfg.pickle_path), exist_ok=True)
+            with open(cfg.pickle_path, "wb") as f:
+                f.write(b"x")
+            return _FakePipeline()
+
+        w = self._watcher(tmp_path, monkeypatch, setup, concurrency=4)
+        w.max_attempts = 1  # quarantine on first failure
+        names = [f"scan_{i:02d}" for i in range(12)]
+        _plant_gold_pickle(w)
+        for n in names:
+            _make_capture(w.data_root, n)
+        w.run_once()  # fingerprints
+        for _ in range(20):
+            w.run_once()
+            w.drain()
+            have = [
+                n for n in names
+                if os.path.exists(os.path.join(w.data_root, n, DONE_SENTINEL))
+                or os.path.exists(os.path.join(w.data_root, n, FAILED_SENTINEL))
+            ]
+            if len(have) == len(names):
+                break
+        for n in names:
+            done = os.path.exists(os.path.join(w.data_root, n, DONE_SENTINEL))
+            failed = os.path.exists(
+                os.path.join(w.data_root, n, FAILED_SENTINEL)
+            )
+            want_fail = n.endswith(("3", "7"))
+            assert done != failed, n  # exactly one outcome
+            assert failed == want_fail, n
+            assert counts[n] == 1, n  # never processed twice
+        assert sorted(w.processed) == [
+            n for n in names if not n.endswith(("3", "7"))
+        ]
+
+    def test_concurrency_respects_max_scans(self, tmp_path, monkeypatch):
+        """max_scans bounds submissions too: with 3 ready captures and
+        max_scans=2, only 2 are ever dispatched; run() drains and exits."""
+        calls = []
+        w = self._watcher(tmp_path, monkeypatch, self._ok_setup(calls))
+        w.max_scans = 2
+        _plant_gold_pickle(w)
+        for name in ("s1", "s2", "s3"):
+            _make_capture(w.data_root, name)
+        w.run()
+        assert len(w.processed) == 2 and len(calls) == 2
+        sentinels = [
+            f for f in ("s1", "s2", "s3")
+            if os.path.exists(os.path.join(w.data_root, f, DONE_SENTINEL))
+        ]
+        assert len(sentinels) == 2
+
+
 class TestGoldBootstrapSafety:
     def test_maintenance_deferred_until_watched_gold_processed(self, watcher):
         """When the gold baseline must come from a WATCHED gold_std folder

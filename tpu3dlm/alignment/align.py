@@ -41,7 +41,14 @@ from tpu3dlm.ops.icp import (
 # target-cloud CONTENT, because serving re-registers every capture against
 # the same gold cloud through a fresh Alignment each time. Device-resident
 # entries (~67 MB at 1M points), so the LRU stays small.
+import threading
 from collections import OrderedDict
+
+# One lock covers both LRUs below: concurrent captures (ScanWatcher
+# concurrency > 1) share the gold-side device placements and ANN indexes,
+# and an unguarded get-or-build would either corrupt the OrderedDict
+# bookkeeping or build (and upload) the same ~100 MB entry twice.
+_CACHE_LOCK = threading.Lock()
 
 _ANN_INDEX_CACHE: OrderedDict = OrderedDict()
 _ANN_CACHE_MAX = 4
@@ -379,29 +386,35 @@ class Alignment:
         """
         fp = _target_fingerprint(base_s)
         key = (fp, mesh_key, self.coarse_target_cap, normals_wanted)
-        entry = _GOLD_CACHE.get(key)
-        if entry is not None:
-            _GOLD_CACHE.move_to_end(key)
-            return entry
-        normals_np = None
-        if normals_wanted:
-            from tpu3dlm.ops.pointcloud import estimate_normals_grid
+        with _CACHE_LOCK:
+            entry = _GOLD_CACHE.get(key)
+            if entry is not None:
+                _GOLD_CACHE.move_to_end(key)
+                return entry
+            normals_np = None
+            if normals_wanted:
+                from tpu3dlm.ops.pointcloud import estimate_normals_grid
 
-            normals_np = estimate_normals_grid(base_s)
-        entry = {
-            "fp": fp,
-            "full": self._place_target(*pad_target_bucket(base_s, normals_np)),
-            "init_t": jnp.asarray(_subsample(base_s, 65536, seed=1)),
-            "_normals_np": normals_np,
-            "coarse": None,
-        }
-        _GOLD_CACHE[key] = entry
-        while len(_GOLD_CACHE) > _GOLD_CACHE_MAX:
-            _GOLD_CACHE.popitem(last=False)
-        return entry
+                normals_np = estimate_normals_grid(base_s)
+            entry = {
+                "fp": fp,
+                "full": self._place_target(*pad_target_bucket(base_s, normals_np)),
+                "init_t": jnp.asarray(_subsample(base_s, 65536, seed=1)),
+                "_normals_np": normals_np,
+                "coarse": None,
+            }
+            _GOLD_CACHE[key] = entry
+            while len(_GOLD_CACHE) > _GOLD_CACHE_MAX:
+                _GOLD_CACHE.popitem(last=False)
+            return entry
 
     def _gold_coarse(self, entry: dict, base_s: np.ndarray):
-        """Coarse-stage target placement, built once per gold entry."""
+        """Coarse-stage target placement, built once per gold entry
+        (lock-guarded: concurrent captures share the gold entry)."""
+        with _CACHE_LOCK:
+            return self._gold_coarse_locked(entry, base_s)
+
+    def _gold_coarse_locked(self, entry: dict, base_s: np.ndarray):
         if entry["coarse"] is None:
             normals_np = entry["_normals_np"]
             if base_s.shape[0] > self.coarse_target_cap:
@@ -517,17 +530,18 @@ class Alignment:
             if c > m:
                 return None
             key = (fp, m, c, b, self.use_pallas, mesh_key)
-            cached = _ANN_INDEX_CACHE.get(key)
-            if cached is not None:
-                _ANN_INDEX_CACHE.move_to_end(key)
-                return cached
-            index = build_anchor_index(
-                tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
-            )
-            _ANN_INDEX_CACHE[key] = index
-            while len(_ANN_INDEX_CACHE) > _ANN_CACHE_MAX:
-                _ANN_INDEX_CACHE.popitem(last=False)
-            return index
+            with _CACHE_LOCK:
+                cached = _ANN_INDEX_CACHE.get(key)
+                if cached is not None:
+                    _ANN_INDEX_CACHE.move_to_end(key)
+                    return cached
+                index = build_anchor_index(
+                    tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
+                )
+                _ANN_INDEX_CACHE[key] = index
+                while len(_ANN_INDEX_CACHE) > _ANN_CACHE_MAX:
+                    _ANN_INDEX_CACHE.popitem(last=False)
+                return index
 
         indices = {}  # id(target placement) → AnchorIndex | None
 

@@ -43,6 +43,11 @@ def main(argv=None):
         "--max-scans", type=int, default=None,
         help="--watch: stop after N processed scans (default: run forever).",
     )
+    parser.add_argument(
+        "--watch-concurrency", type=int, default=1,
+        help="--watch: captures processed at once (one capture's host work "
+        "overlaps another's device compute; gold_std always runs alone).",
+    )
     args = parser.parse_args(argv)
 
     from tpu3dlm.utils.config import ConfigLoader, write_default_config
@@ -69,6 +74,7 @@ def main(argv=None):
             config_path,
             poll_interval=args.poll_interval,
             max_scans=args.max_scans,
+            concurrency=args.watch_concurrency,
         ).run()
         return
 

@@ -88,6 +88,7 @@ class ScanWatcher:
         poll_interval: float = 5.0,
         max_scans: int | None = None,
         max_attempts: int = 3,
+        concurrency: int = 1,
     ):
         from tpu3dlm.utils.config import ConfigLoader, write_default_config
 
@@ -97,6 +98,15 @@ class ScanWatcher:
         self.poll_interval = poll_interval
         self.max_scans = max_scans
         self.max_attempts = max(1, max_attempts)
+        # concurrency > 1: process up to N captures in worker threads. One
+        # capture's host work (PNG decode, matching, CSV/pickle writes)
+        # overlaps another's device compute — the jax runtime serialises
+        # device programs itself, stage programs and device weights are
+        # shared through the locked utils/jitcache, and the gold-side
+        # alignment caches are lock-guarded (alignment/align._CACHE_LOCK).
+        self.concurrency = max(1, int(concurrency))
+        self._pool = None
+        self._inflight: dict = {}  # folder → Future
         self._loader = ConfigLoader
         self.cfg_goldstd = ConfigLoader(config_path, "gold_std")
         self.data_root = os.path.dirname(
@@ -124,6 +134,8 @@ class ScanWatcher:
                 os.path.join(path, FAILED_SENTINEL)
             ):
                 continue
+            if name in self._inflight:
+                continue  # already being processed by a worker
             if time.monotonic() < self._retry_after.get(name, 0.0):
                 continue  # failed recently — backing off before the retry
             fp = _folder_fingerprint(path)
@@ -232,6 +244,11 @@ class ScanWatcher:
             },
             "frames": len(pipeline.data_to_save.get("predictions", {})),
         }
+        rows = pipeline.data_to_save.get("comparison_rows")
+        if rows is not None:  # maintenance runs carry the missing count
+            record["missing"] = sum(
+                1 for r in rows if r.get("status") == "missing"
+            )
         try:
             with open(os.path.join(path, DONE_SENTINEL), "w") as f:
                 json.dump(record, f, indent=1)
@@ -286,27 +303,82 @@ class ScanWatcher:
 
     # -- loop --------------------------------------------------------------
 
-    def run_once(self) -> list[str]:
-        """One poll cycle; returns the folders processed this cycle.
-        gold_std runs first when present — maintenance scans need its
-        baseline."""
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                self.concurrency, thread_name_prefix="tpu3dlm-scan"
+            )
+
+    def _harvest(self) -> list[str]:
+        """Collect finished in-flight captures; returns the successful ones."""
         done = []
+        for folder, fut in list(self._inflight.items()):
+            if fut.done():
+                del self._inflight[folder]
+                if fut.result():
+                    done.append(folder)
+        return done
+
+    def drain(self) -> list[str]:
+        """Block until every in-flight capture finishes; returns the ones
+        that completed successfully during the wait."""
+        if self._inflight:
+            from concurrent.futures import wait as _wait
+
+            _wait(list(self._inflight.values()))
+        return self._harvest()
+
+    def run_once(self) -> list[str]:
+        """One poll cycle; returns the folders that FINISHED this cycle.
+        gold_std runs first when present — maintenance scans need its
+        baseline. With ``concurrency > 1`` maintenance captures are
+        dispatched to worker threads and may finish in a LATER cycle (the
+        harvest at the top of each cycle reports them then)."""
+        done = self._harvest() if self._inflight else []
         ready = sorted(self._ready_folders(), key=lambda f: f != "gold_std")
+        if self.concurrency == 1:
+            for folder in ready:
+                if self._process(folder):
+                    done.append(folder)
+                if (
+                    self.max_scans is not None
+                    and len(self.processed) >= self.max_scans
+                ):
+                    break
+            return done
+        if ready and ready[0] == "gold_std":
+            # gold runs ALONE and synchronously: its pickle must be complete
+            # before any worker loads it as the comparison baseline, and
+            # maintenance work already in flight (holding the previous
+            # baseline) must finish first
+            if self._inflight:
+                return done
+            if self._process("gold_std"):
+                done.append("gold_std")
+            ready = ready[1:]
         for folder in ready:
-            if self._process(folder):
-                done.append(folder)
-            if self.max_scans is not None and len(self.processed) >= self.max_scans:
+            if self.max_scans is not None and (
+                len(self.processed) + len(self._inflight) >= self.max_scans
+            ):
                 break
+            self._ensure_pool()
+            self._inflight[folder] = self._pool.submit(self._process, folder)
         return done
 
     def run(self) -> None:
         self.logger.info(
-            "watching %s every %.1f s", self.data_root, self.poll_interval
+            "watching %s every %.1f s (concurrency %d)",
+            self.data_root, self.poll_interval, self.concurrency,
         )
         while True:
             self.run_once()
-            if self.max_scans is not None and len(self.processed) >= self.max_scans:
-                return
+            if self.max_scans is not None:
+                if len(self.processed) + len(self._inflight) >= self.max_scans:
+                    self.drain()
+                if len(self.processed) >= self.max_scans:
+                    return
             time.sleep(self.poll_interval)
 
 
@@ -329,8 +401,16 @@ def main(argv=None):
         "--max-attempts", type=int, default=3,
         help="Failures tolerated per capture (with backoff) before quarantine.",
     )
+    ap.add_argument(
+        "--concurrency", type=int, default=1,
+        help="Captures processed at once: one capture's host work overlaps "
+        "another's device compute (gold_std always runs alone).",
+    )
     args = ap.parse_args(argv)
-    ScanWatcher(args.config, args.poll, args.max_scans, args.max_attempts).run()
+    ScanWatcher(
+        args.config, args.poll, args.max_scans, args.max_attempts,
+        concurrency=args.concurrency,
+    ).run()
 
 
 if __name__ == "__main__":
