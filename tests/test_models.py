@@ -500,3 +500,119 @@ class TestBeit:
         assert agree[decisive].all(), (
             f"bf16 flipped a decisive top-1: margins {margin[~agree]}"
         )
+
+
+class TestPallasAttention:
+    """ops/pallas/attention.py — fused BEiT attention (VMEM-resident scores,
+    broadcast relative-position bias). Kernel correctness runs in interpret
+    mode on the CPU suite; the module-level rewiring (head-major layout,
+    bias transpose, custom-VJP dispatcher) is pinned against the einsum
+    path. On-chip exactness + timing: scripts/profile_stages.py."""
+
+    def _qkvb(self, rng, h, B, N, d, dtype=jnp.float32):
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+        return (
+            mk(h, B, N, d), mk(h, B, N, d), mk(h, B, N, d),
+            jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32),
+        )
+
+    @pytest.mark.parametrize(
+        "shape,bb",
+        [
+            ((2, 3, 5, 4), 8),    # B < block_b → block shrinks to B
+            ((2, 5, 7, 4), 2),    # B % block_b != 0 → zero-pad path
+            ((3, 4, 33, 16), 4),  # N not a lane multiple
+        ],
+    )
+    def test_kernel_matches_reference_interpret(self, rng, shape, bb):
+        if jax.default_backend() == "tpu":
+            pytest.skip("interpret-mode check is a CPU-suite test")
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention_pallas,
+            beit_attention_reference,
+        )
+
+        h, B, N, d = shape
+        q, k, v, bias = self._qkvb(rng, h, B, N, d)
+        with pltpu.force_tpu_interpret_mode():
+            out = beit_attention_pallas(q, k, v, bias, block_b=bb)
+        ref = beit_attention_reference(q, k, v, bias)
+        assert out.shape == (h, B, N, d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_kernel_bf16_inputs_interpret(self, rng):
+        if jax.default_backend() == "tpu":
+            pytest.skip("interpret-mode check is a CPU-suite test")
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention_pallas,
+            beit_attention_reference,
+        )
+
+        q, k, v, bias = self._qkvb(rng, 2, 4, 9, 8, jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            out = beit_attention_pallas(q, k, v, bias)
+        ref = beit_attention_reference(q, k, v, bias)
+        # identical op sequence (f32 scores from bf16 operands) → the only
+        # divergence is the final bf16 round-off of matching f32 values
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=1e-2, rtol=1e-2,
+        )
+
+    def test_module_pallas_impl_matches_einsum(self):
+        """attn_impl='pallas' reroutes through the head-major dispatcher
+        (the einsum twin off-TPU): classification logits must match the
+        default einsum path to f32 round-off."""
+        kw = dict(
+            image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+            num_heads=4, intermediate_size=128, num_labels=3,
+        )
+        ein = BeitClassifier(BeitConfig(attn_impl="einsum", **kw))
+        pal = BeitClassifier(BeitConfig(attn_impl="pallas", **kw))
+        variables = ein.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        leaves, treedef = jax.tree.flatten(variables)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        variables = jax.tree.unflatten(
+            treedef,
+            [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)],
+        )
+        rng = np.random.default_rng(5)
+        x = preprocess_crops(
+            jnp.asarray(rng.integers(0, 256, size=(6, 32, 32, 3), dtype=np.uint8))
+        )
+        np.testing.assert_allclose(
+            np.asarray(pal.apply(variables, x)),
+            np.asarray(ein.apply(variables, x)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_custom_vjp_matches_reference_grads(self, rng):
+        """Finetuning differentiates through the dispatcher: the custom VJP
+        (recompute via the einsum twin) must produce the reference grads."""
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention,
+            beit_attention_reference,
+        )
+
+        q, k, v, bias = self._qkvb(rng, 2, 3, 9, 8)
+        w = jnp.asarray(rng.standard_normal((2, 3, 9, 8)), jnp.float32)
+
+        def loss_disp(q, k, v, bias):
+            return jnp.sum(beit_attention(q, k, v, bias) * w)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(beit_attention_reference(q, k, v, bias) * w)
+
+        g_disp = jax.grad(loss_disp, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g_disp, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )

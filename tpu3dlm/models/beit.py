@@ -36,6 +36,11 @@ class BeitConfig:
     layer_norm_eps: float = 1e-12
     layer_scale_init_value: float = 0.1
     use_mean_pooling: bool = True
+    # attention implementation: "einsum" (XLA, the golden-tested reference
+    # path), "pallas" (fused VMEM-resident scores, ops/pallas/attention.py),
+    # or "auto" = pallas on the TPU bf16 fast path, einsum everywhere else
+    # (the f32 golden-parity path is never rerouted).
+    attn_impl: str = "auto"
 
     @property
     def grid(self) -> int:
@@ -85,6 +90,40 @@ class BeitAttention(nn.Module):
         k = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="key")(x)
         v = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="value")(x)
 
+        num_rel = (2 * c.grid - 1) * (2 * c.grid - 1) + 3
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            (num_rel, c.num_heads),
+        )
+        index = relative_position_index(c.grid)
+        bias = table[index.reshape(-1)].reshape(N, N, c.num_heads)
+
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if self.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                else "einsum"
+            )
+        if impl == "pallas":
+            # fused kernel: scores never leave VMEM (and are f32 for free),
+            # the (h, N, N) bias is DMA'd once per head instead of being
+            # broadcast through HBM per batch row. Head-major layout so the
+            # kernel's grid can order heads outermost.
+            from tpu3dlm.ops.pallas.attention import beit_attention
+
+            def split_h(t):
+                return t.reshape(B, N, c.num_heads, hd).transpose(2, 0, 1, 3)
+
+            out = beit_attention(
+                split_h(q), split_h(k), split_h(v),
+                bias.transpose(2, 0, 1).astype(jnp.float32),
+            )
+            out = out.transpose(1, 2, 0, 3).reshape(B, N, c.hidden_size)
+            return nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(out)
+
         def split(t):
             return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
 
@@ -96,15 +135,6 @@ class BeitAttention(nn.Module):
         # unchanged (golden-tested against HF torch).
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         attn = attn / jnp.sqrt(hd).astype(attn.dtype)
-
-        num_rel = (2 * c.grid - 1) * (2 * c.grid - 1) + 3
-        table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.zeros,
-            (num_rel, c.num_heads),
-        )
-        index = relative_position_index(c.grid)
-        bias = table[index.reshape(-1)].reshape(N, N, c.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)

@@ -85,7 +85,17 @@ class FusedScanRunner:
         self.logger = logging.getLogger(__name__)
 
         self.yolo = YOLOv10(nc=nc, variant=variant, dtype=dtype)
-        self.beit = BeitClassifier(beit_config or BeitConfig(), dtype=dtype)
+        beit_cfg = beit_config or BeitConfig()
+        if mesh_devices > 1 and beit_cfg.attn_impl == "auto":
+            # GSPMD treats a pallas_call as opaque and would REPLICATE the
+            # attention (all-gathering its operands) instead of partitioning
+            # it over the mesh — under jit-sharding, keep the einsum path,
+            # which XLA partitions cleanly. Single-chip "auto" and shard_map
+            # paths (per-shard programs) still take the fused kernel.
+            import dataclasses
+
+            beit_cfg = dataclasses.replace(beit_cfg, attn_impl="einsum")
+        self.beit = BeitClassifier(beit_cfg, dtype=dtype)
         if yolo_variables is None:
             yolo_variables = self.yolo.init(
                 jax.random.PRNGKey(rng_seed),

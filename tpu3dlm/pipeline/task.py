@@ -470,6 +470,12 @@ class Pipeline:
                 self.cfg, "beit_intermediate_size", base.intermediate_size
             ),
             num_labels=num_labels,
+            # use_pallas = false opts the whole pipeline out of pallas
+            # kernels (same knob the ICP NN kernel honors, task.py below);
+            # "auto" keeps einsum on f32 / non-TPU paths regardless
+            attn_impl=(
+                "auto" if getattr(self.cfg, "use_pallas", True) else "einsum"
+            ),
         )
 
     def _load_yolo_weights(self):
