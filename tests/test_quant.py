@@ -1,0 +1,221 @@
+"""Int8 quantized classifier path (ops/quant.py, models/beit.Int8Dense).
+
+The reference has no quantized serving path (fp32 torch per-crop loops,
+src/damage/classifier.py); this is a framework addition targeting the
+v5e MXU's 2× int8 rate. These tests gate it on:
+- primitive exactness bounds (symmetric per-channel quantization error),
+- checkpoint-quantizer structure (every encoder Dense converted, nothing
+  else touched, refuses double quantization),
+- model-level accuracy (top-1 agreement with the f32 golden path on
+  decisive crops — the same bar the bf16 fast path is held to),
+- pipeline plumbing (ConfigLoader knob → DamageDetector labels agree).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
+from tpu3dlm.ops.quant import dense_int8, int8_matmul, quantize_rows, quantize_weight
+
+TOY = dict(
+    image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+    num_heads=4, intermediate_size=128, num_labels=3,
+)
+
+
+def _perturbed_variables(model, shape):
+    """init + perturb every leaf so biases / rel-pos tables contribute."""
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape))
+    leaves, treedef = jax.tree.flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [
+        leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class TestQuantPrimitives:
+    def test_weight_roundtrip_bound(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(96, 64)) * rng.lognormal(size=(1, 64)))
+        wq, scale = quantize_weight(w)
+        assert wq.dtype == jnp.int8 and scale.shape == (64,)
+        err = np.abs(np.asarray(wq, np.float32) * np.asarray(scale) - np.asarray(w))
+        # symmetric rounding: error ≤ scale/2 per element, per channel
+        assert (err <= np.asarray(scale)[None, :] * 0.5 + 1e-7).all()
+
+    def test_row_quant_handles_zero_rows(self):
+        x = jnp.zeros((4, 16))
+        xq, s = quantize_rows(x)
+        assert np.isfinite(np.asarray(s)).all()
+        assert (np.asarray(xq) == 0).all()
+
+    def test_dense_int8_tracks_float(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(37, 128)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(128, 96)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+        wq, sw = quantize_weight(w)
+        y = np.asarray(dense_int8(x, wq, sw, b))
+        ref = np.asarray(x @ w + b)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 0.01, f"int8 dense rel err {rel}"
+
+    def test_int8_matmul_accumulates_in_int32(self):
+        # 256-long all-127 contraction overflows int8/int16 accumulation;
+        # the int32 contract must produce the exact value
+        xq = jnp.full((1, 256), 127, jnp.int8)
+        wq = jnp.full((256, 1), 127, jnp.int8)
+        out = int8_matmul(xq, wq, jnp.ones((1, 1)), jnp.ones((1,)))
+        assert float(out[0, 0]) == 127.0 * 127.0 * 256.0
+
+
+class TestQuantizeBeitVariables:
+    def _float_vars(self):
+        cfg = BeitConfig(**TOY)
+        model = BeitClassifier(cfg, dtype=jnp.float32)
+        return cfg, _perturbed_variables(model, (1, 32, 32, 3))
+
+    def test_structure(self):
+        from tpu3dlm.models.weights import quantize_beit_variables
+
+        _, variables = self._float_vars()
+        qv = quantize_beit_variables(variables)
+        p = qv["params"]
+        for i in range(TOY["num_layers"]):
+            layer = p[f"layer{i}"]
+            for name in ("query", "key", "value", "output"):
+                node = layer["attn"][name]
+                assert node["kernel_q"].dtype == jnp.int8
+                assert "kernel" not in node
+                assert ("bias" in node) == (name != "key")
+            for name in ("fc1", "fc2"):
+                assert layer[name]["kernel_q"].dtype == jnp.int8
+            # non-dense leaves untouched
+            assert "scale" in layer["ln1"] and "kernel_q" not in layer["ln1"]
+            assert "relative_position_bias_table" in layer["attn"]
+        # head + embed stay float
+        assert "kernel" in p["classifier"] and "kernel_q" not in p["classifier"]
+        assert "kernel" in p["patch_embed"]
+
+    def test_refuses_double_quantization(self):
+        from tpu3dlm.models.weights import quantize_beit_variables
+
+        _, variables = self._float_vars()
+        qv = quantize_beit_variables(variables)
+        with pytest.raises(ValueError, match="already int8"):
+            quantize_beit_variables(qv)
+
+    def test_quantized_tree_matches_int8_init_structure(self):
+        """The quantizer's output must apply() cleanly to the int8 module —
+        i.e. exactly the tree BeitClassifier(quant='int8').init builds."""
+        from tpu3dlm.models.weights import quantize_beit_variables
+
+        cfg, variables = self._float_vars()
+        qv = quantize_beit_variables(variables)
+        q_model = BeitClassifier(
+            BeitConfig(**{**TOY, "quant": "int8"}), dtype=jnp.float32
+        )
+        template = jax.eval_shape(
+            lambda: q_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        )
+        flat_q = jax.tree_util.tree_flatten_with_path(qv)[0]
+        flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+        assert [(p, l.shape) for p, l in flat_q] == [
+            (p, l.shape) for p, l in flat_t
+        ]
+
+
+class TestInt8Model:
+    def test_int8_tracks_f32(self):
+        """Same bar as the bf16 fast path: identical top-1 on decisive
+        crops, bounded softmax drift, against the f32 golden path."""
+        from tpu3dlm.models.weights import quantize_beit_variables
+
+        cfg = BeitConfig(**TOY)
+        f32 = BeitClassifier(cfg, dtype=jnp.float32)
+        variables = _perturbed_variables(f32, (1, 32, 32, 3))
+        q = BeitClassifier(
+            BeitConfig(**{**TOY, "quant": "int8"}), dtype=jnp.float32
+        )
+        qv = quantize_beit_variables(variables)
+
+        rng = np.random.default_rng(3)
+        crops = rng.integers(0, 256, size=(16, 32, 32, 3), dtype=np.uint8)
+        x = preprocess_crops(jnp.asarray(crops))
+        logits32 = np.asarray(f32.apply(variables, x), np.float32)
+        logits8 = np.asarray(q.apply(qv, x), np.float32)
+
+        p32 = np.asarray(jax.nn.softmax(logits32, axis=-1))
+        p8 = np.asarray(jax.nn.softmax(logits8, axis=-1))
+        drift = float(np.max(np.abs(p32 - p8)))
+        assert drift < 0.1, f"int8 softmax drift {drift}"
+
+        top = np.sort(logits32, axis=-1)
+        margin = top[:, -1] - top[:, -2]
+        decisive = margin > 2 * drift * np.abs(logits32).max()
+        assert decisive.any()
+        agree = logits32.argmax(-1) == logits8.argmax(-1)
+        assert agree[decisive].all(), (
+            f"int8 flipped a decisive top-1: margins {margin[~agree]}"
+        )
+
+    def test_int8_bf16_activations(self):
+        """quant composes with the bf16 fast path (dequant casts back to
+        the module dtype)."""
+        from tpu3dlm.models.weights import quantize_beit_variables
+
+        cfg = BeitConfig(**{**TOY, "quant": "int8", "attn_impl": "einsum"})
+        f32cfg = BeitConfig(**TOY)
+        fmodel = BeitClassifier(f32cfg, dtype=jnp.float32)
+        variables = _perturbed_variables(fmodel, (1, 32, 32, 3))
+        qv = quantize_beit_variables(variables)
+        model = BeitClassifier(cfg, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(5)
+        crops = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+        out = model.apply(qv, preprocess_crops(jnp.asarray(crops)))
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestQuantPipeline:
+    def test_config_knob(self, tmp_path):
+        from tpu3dlm.utils.config import ConfigLoader, write_default_config
+
+        path = tmp_path / "variables.cfg"
+        write_default_config(str(path))
+        text = path.read_text().replace("beit_quant = none", "beit_quant = int8")
+        path.write_text(text)
+        cfg = ConfigLoader(str(path), "gold_std")
+        assert cfg.beit_quant == "int8"
+
+    def test_damage_detector_int8_agrees_with_float(self):
+        from tpu3dlm.models.weights import quantize_beit_variables
+        from tpu3dlm.pipeline.classifier import DamageDetector
+
+        cfg = BeitConfig(**TOY)
+        fmodel = BeitClassifier(cfg, dtype=jnp.float32)
+        variables = _perturbed_variables(fmodel, (1, 32, 32, 3))
+        rng = np.random.default_rng(7)
+        crops = rng.integers(0, 256, size=(9, 32, 32, 3), dtype=np.uint8)
+
+        base = DamageDetector(config=cfg, variables=variables, batch_size=4)
+        quant = DamageDetector(
+            config=BeitConfig(**{**TOY, "quant": "int8"}),
+            variables=quantize_beit_variables(variables),
+            batch_size=4,
+        )
+        a = base.classify_crops(crops)
+        b = quant.classify_crops(crops)
+        # toy random-ish weights: require agreement everywhere the float
+        # model is decisive (mirrors the model-level gate)
+        logits = np.asarray(
+            fmodel.apply(variables, preprocess_crops(jnp.asarray(crops))),
+            np.float32,
+        )
+        top = np.sort(logits, axis=-1)
+        decisive = (top[:, -1] - top[:, -2]) > 0.1 * np.abs(logits).max()
+        assert decisive.any()
+        assert (a[decisive] == b[decisive]).all()

@@ -41,6 +41,13 @@ class BeitConfig:
     # or "auto" = pallas on the TPU bf16 fast path, einsum everywhere else
     # (the f32 golden-parity path is never rerouted).
     attn_impl: str = "auto"
+    # "none" (float Dense, the golden-tested path) or "int8": every encoder
+    # Dense (QKV, attention output, fc1/fc2 — ~95% of the FLOPs) runs
+    # int8×int8→int32 on the MXU (ops/quant.py) with per-channel weight and
+    # dynamic per-row activation scales. Patch embed and the classifier head
+    # stay float. Requires quantized params (models/weights.py::
+    # quantize_beit_variables); accuracy gated in tests/test_quant.py.
+    quant: str = "none"
 
     @property
     def grid(self) -> int:
@@ -75,6 +82,59 @@ def relative_position_index(grid: int) -> np.ndarray:
     return index
 
 
+class Int8Dense(nn.Module):
+    """Dense with int8 kernel + per-output-channel scale (ops/quant.py).
+
+    Parameter layout: ``kernel_q`` int8 (in, out), ``scale`` f32 (out,),
+    optional ``bias`` f32 (out,). Produced from a float checkpoint by
+    ``models/weights.py::quantize_beit_variables``; the random init below
+    only exists so shape templates / smoke tests work without a conversion
+    (it quantizes a lecun-normal draw, matching Dense's init distribution).
+    Inference-only: gradients do not flow through the rounding — finetune in
+    float, quantize after.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tpu3dlm.ops.quant import dense_int8, quantize_weight
+
+        in_features = x.shape[-1]
+
+        def kernel_q_init(rng, shape):
+            w = nn.initializers.lecun_normal()(rng, shape, jnp.float32)
+            return quantize_weight(w)[0]
+
+        def scale_init(rng, shape):
+            w = nn.initializers.lecun_normal()(
+                rng, (in_features, self.features), jnp.float32
+            )
+            return quantize_weight(w)[1]
+
+        kernel_q = self.param(
+            "kernel_q", kernel_q_init, (in_features, self.features)
+        )
+        scale = self.param("scale", scale_init, (self.features,))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return dense_int8(x, kernel_q, scale, bias, out_dtype=self.dtype)
+
+
+def _encoder_dense(cfg: BeitConfig, features: int, use_bias: bool, dtype, name: str):
+    """Dense or Int8Dense for encoder projections, per cfg.quant."""
+    if cfg.quant == "int8":
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if cfg.quant != "none":
+        raise ValueError(f"unknown BeitConfig.quant: {cfg.quant!r}")
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class BeitAttention(nn.Module):
     cfg: BeitConfig
     dtype: Any = jnp.float32
@@ -86,9 +146,9 @@ class BeitAttention(nn.Module):
         hd = c.hidden_size // c.num_heads
 
         # BEiT quirk: q and v carry biases, k does not.
-        q = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype, name="value")(x)
+        q = _encoder_dense(c, c.hidden_size, True, self.dtype, "query")(x)
+        k = _encoder_dense(c, c.hidden_size, False, self.dtype, "key")(x)
+        v = _encoder_dense(c, c.hidden_size, True, self.dtype, "value")(x)
 
         num_rel = (2 * c.grid - 1) * (2 * c.grid - 1) + 3
         table = self.param(
@@ -122,7 +182,7 @@ class BeitAttention(nn.Module):
                 bias.transpose(2, 0, 1).astype(jnp.float32),
             )
             out = out.transpose(1, 2, 0, 3).reshape(B, N, c.hidden_size)
-            return nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(out)
+            return _encoder_dense(c, c.hidden_size, True, self.dtype, "output")(out)
 
         def split(t):
             return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
@@ -140,7 +200,7 @@ class BeitAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, c.hidden_size)
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(out)
+        return _encoder_dense(c, c.hidden_size, True, self.dtype, "output")(out)
 
 
 class BeitLayer(nn.Module):
@@ -164,9 +224,9 @@ class BeitLayer(nn.Module):
         h = BeitAttention(c, dtype=self.dtype, name="attn")(h)
         x = x + ls1 * h
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln2")(x)
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = _encoder_dense(c, c.intermediate_size, True, self.dtype, "fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = _encoder_dense(c, c.hidden_size, True, self.dtype, "fc2")(h)
         return x + ls2 * h
 
 

@@ -285,6 +285,55 @@ def convert_beit_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     return {"params": p}
 
 
+def quantize_beit_variables(variables: Mapping) -> dict:
+    """Float BEiT variables → int8 variables for ``BeitConfig(quant="int8")``.
+
+    Every encoder Dense kernel (attn q/k/v/output, fc1, fc2 — the paths
+    ``models/beit.py::_encoder_dense`` reroutes) is replaced by
+    ``kernel_q`` int8 + per-output-channel ``scale`` (ops/quant.py).
+    Biases, LayerNorms, layer scales, patch embed, relative-position
+    tables, and the classifier head pass through untouched. Idempotent-
+    safe: refuses a tree that is already quantized.
+    """
+    import jax.numpy as jnp
+
+    from tpu3dlm.ops.quant import quantize_weight
+
+    def walk(tree: Mapping, path: tuple) -> dict:
+        out: dict = {}
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                if "kernel_q" in v:
+                    raise ValueError(
+                        f"quantize_beit_variables: {'/'.join(path + (k,))} "
+                        "is already int8-quantized"
+                    )
+                # layer{i}/fc1, layer{i}/fc2, layer{i}/attn/{query,key,value,output}
+                is_enc_dense = (
+                    k in ("fc1", "fc2")
+                    and path
+                    and path[-1].startswith("layer")
+                ) or (
+                    k in ("query", "key", "value", "output")
+                    and len(path) >= 2
+                    and path[-1] == "attn"
+                    and path[-2].startswith("layer")
+                )
+                if is_enc_dense and "kernel" in v:
+                    wq, scale = quantize_weight(jnp.asarray(v["kernel"]))
+                    q = {"kernel_q": wq, "scale": scale}
+                    if "bias" in v:
+                        q["bias"] = jnp.asarray(v["bias"], jnp.float32)
+                    out[k] = q
+                else:
+                    out[k] = walk(v, path + (k,))
+            else:
+                out[k] = v
+        return out
+
+    return walk(dict(variables), ())
+
+
 # ---------------------------------------------------------------------------
 # shared leaf routing
 # ---------------------------------------------------------------------------

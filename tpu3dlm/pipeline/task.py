@@ -476,6 +476,10 @@ class Pipeline:
             attn_impl=(
                 "auto" if getattr(self.cfg, "use_pallas", True) else "einsum"
             ),
+            # beit_quant = int8 reroutes every encoder Dense onto the MXU's
+            # 2×-rate int8 path (ops/quant.py); checkpoints stay float on
+            # disk and are quantized at load (_build_beit_weights)
+            quant=getattr(self.cfg, "beit_quant", "none"),
         )
 
     def _load_yolo_weights(self):
@@ -524,22 +528,31 @@ class Pipeline:
         )
 
     def _build_beit_weights(self, path, num_labels: int):
+        import dataclasses
+
         from tpu3dlm.models import weights as W
 
+        cfg = self._beit_config(num_labels)
         if path.endswith(".msgpack"):
             import jax.numpy as jnp
 
             from tpu3dlm.models.beit import BeitClassifier
 
-            cfg = self._beit_config(num_labels)
-            model = BeitClassifier(cfg)
+            # checkpoints are stored float regardless of beit_quant — load
+            # against a float template, quantize after
+            model = BeitClassifier(dataclasses.replace(cfg, quant="none"))
             template = W.init_template(
                 model, jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
             )
             self.logger.info("Loading native BEiT checkpoint %s", path)
-            return W.load_flax_checkpoint(path, template)
-        self.logger.info("Converting BEiT torch checkpoint %s", path)
-        return W.convert_beit_state_dict(W.load_torch_state_dict(path))
+            variables = W.load_flax_checkpoint(path, template)
+        else:
+            self.logger.info("Converting BEiT torch checkpoint %s", path)
+            variables = W.convert_beit_state_dict(W.load_torch_state_dict(path))
+        if cfg.quant == "int8":
+            self.logger.info("Quantizing BEiT weights to int8 (beit_quant)")
+            variables = W.quantize_beit_variables(variables)
+        return variables
 
 
 def load_gold_std(pickle_path: str):

@@ -61,6 +61,8 @@ _SCHEMA: dict[str, str] = {
     "beit_num_layers": "int",
     "beit_num_heads": "int",
     "beit_intermediate_size": "int",
+    # "none" | "int8": quantized classifier serving (models/beit.Int8Dense)
+    "beit_quant": "str",
     "nms_top_k": "int",
     "crop_budget": "int",
     "streaming_chunk": "int",
@@ -176,6 +178,9 @@ beit_hidden_size = 768
 beit_num_layers = 12
 beit_num_heads = 12
 beit_intermediate_size = 3072
+# none | int8 — int8 runs every encoder Dense on the MXU's 2x-rate int8
+# path (checkpoints stay float on disk; quantized at load)
+beit_quant = none
 
 # depth / projection
 depth_width = 192
