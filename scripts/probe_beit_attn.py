@@ -34,7 +34,6 @@ def main() -> None:
     enable_compile_cache()
 
     from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
-    from tpu3dlm.models.weights import init_template
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
@@ -46,8 +45,11 @@ def main() -> None:
         impl: BeitClassifier(BeitConfig(attn_impl=impl), dtype=dtype)
         for impl in ("einsum", "pallas")
     }
-    variables = init_template(
-        models["einsum"], jnp.zeros((1, 224, 224, 3), jnp.float32)
+    # a REAL flax init (LayerNorm scales 1, layer-scale lambdas 0.1, lecun
+    # kernels) + perturbation — init_template's all-zeros leaves would
+    # collapse the logits toward ties and make drift/agreement vacuous
+    variables = jax.jit(models["einsum"].init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
     # perturb so attention bias/table actually contribute
     leaves, treedef = jax.tree.flatten(variables)

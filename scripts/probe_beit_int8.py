@@ -33,7 +33,7 @@ def main() -> None:
     enable_compile_cache()
 
     from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
-    from tpu3dlm.models.weights import init_template, quantize_beit_variables
+    from tpu3dlm.models.weights import quantize_beit_variables
 
     rng = np.random.default_rng(0)
     crops = jnp.asarray(
@@ -44,7 +44,13 @@ def main() -> None:
     f32model = BeitClassifier(BeitConfig(attn_impl="einsum"), dtype=jnp.float32)
     qmodel = BeitClassifier(BeitConfig(quant="int8"), dtype=jnp.bfloat16)
 
-    variables = init_template(fmodel, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    # a REAL flax init (LayerNorm scales 1, layer-scale lambdas 0.1, lecun
+    # kernels) + perturbation — the tests' recipe. init_template would hand
+    # back all-zeros leaves, whose near-tied logits make any top-1/drift
+    # comparison pass vacuously.
+    variables = jax.jit(f32model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
     leaves, treedef = jax.tree.flatten(variables)
     keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
     variables = jax.tree.unflatten(

@@ -73,6 +73,30 @@ class TestQuantPrimitives:
         assert float(out[0, 0]) == 127.0 * 127.0 * 256.0
 
 
+class TestInt8DenseInit:
+    def test_random_init_is_one_quantized_draw(self):
+        """kernel_q and scale must come from the SAME float draw: the
+        dequantized init must be within scale/2 elementwise of SOME float
+        matrix with lecun-ish column magnitudes — concretely, every column
+        that saturates ±127 must do so under its own amax (exactly one
+        entry at ±127 per column, none beyond), which an independently
+        drawn scale breaks with probability ~1."""
+        from tpu3dlm.models.beit import Int8Dense
+
+        m = Int8Dense(features=64)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 96)))
+        wq = np.asarray(v["params"]["kernel_q"], np.int32)
+        # symmetric per-column quantization of a single draw puts the
+        # column's amax element exactly at ±127
+        assert (np.abs(wq).max(axis=0) == 127).all()
+
+    def test_config_rejects_unknown_quant_at_construction(self):
+        from tpu3dlm.models.beit import BeitConfig
+
+        with pytest.raises(ValueError, match="beit_quant"):
+            BeitConfig(**{**TOY, "quant": "Int8"})
+
+
 class TestQuantizeBeitVariables:
     def _float_vars(self):
         cfg = BeitConfig(**TOY)

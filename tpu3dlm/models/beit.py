@@ -49,6 +49,16 @@ class BeitConfig:
     # quantize_beit_variables); accuracy gated in tests/test_quant.py.
     quant: str = "none"
 
+    def __post_init__(self):
+        # fail at construction (config load / pipeline setup), not minutes
+        # later inside the first classify trace; _encoder_dense keeps a
+        # backstop check for configs built by other means
+        if self.quant not in ("none", "int8"):
+            raise ValueError(
+                f"BeitConfig.quant must be 'none' or 'int8', got "
+                f"{self.quant!r} (beit_quant in variables.cfg)"
+            )
+
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size
@@ -89,7 +99,8 @@ class Int8Dense(nn.Module):
     optional ``bias`` f32 (out,). Produced from a float checkpoint by
     ``models/weights.py::quantize_beit_variables``; the random init below
     only exists so shape templates / smoke tests work without a conversion
-    (it quantizes a lecun-normal draw, matching Dense's init distribution).
+    (it quantizes ONE lecun-normal draw into the kernel_q/scale pair, so
+    the dequantized init matches Dense's init distribution).
     Inference-only: gradients do not flow through the rounding — finetune in
     float, quantize after.
     """
@@ -103,16 +114,22 @@ class Int8Dense(nn.Module):
         from tpu3dlm.ops.quant import dense_int8, quantize_weight
 
         in_features = x.shape[-1]
+        # kernel_q and scale must describe the SAME float draw (a code that
+        # saturates ±127 is meaningless under another column's amax). Flax
+        # folds a distinct rng into each param, so the pair is produced in
+        # kernel_q_init — declared first, so it runs first in any init
+        # trace — and handed to scale_init through this closure. Checkpoint
+        # restore never calls inits, so restored pairs stay coupled too.
+        pair = {}
 
         def kernel_q_init(rng, shape):
             w = nn.initializers.lecun_normal()(rng, shape, jnp.float32)
-            return quantize_weight(w)[0]
+            wq, scale = quantize_weight(w)
+            pair["scale"] = scale
+            return wq
 
         def scale_init(rng, shape):
-            w = nn.initializers.lecun_normal()(
-                rng, (in_features, self.features), jnp.float32
-            )
-            return quantize_weight(w)[1]
+            return pair["scale"]
 
         kernel_q = self.param(
             "kernel_q", kernel_q_init, (in_features, self.features)
