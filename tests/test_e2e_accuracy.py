@@ -76,3 +76,39 @@ def test_fused_path_reproduces_ground_truth(tmp_path):
                     float(np.linalg.norm(corners.mean(0) - sign.corners_world.mean(0))),
                 )
         assert best <= 0.1, f"fused path: sign {i} centroid error {best:.3f}"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(YOLO) and os.path.exists(BEIT)),
+    reason="fixture checkpoints absent — run scripts/e2e_accuracy.py",
+)
+def test_maintenance_with_zero_detections(tmp_path):
+    """A maintenance capture where EVERY sign was removed (zero detections
+    on trained weights) must flow through the full pipeline — projection,
+    NMS, mapping, alignment of a sign-less cloud, comparison — and report
+    every gold box missing, none new. This is the vandalised/stripped-site
+    serving case; unit tests cover the comparison layer's empty sets, this
+    pins the stage interactions above it."""
+    from tpu3dlm.pipeline.evaluate import make_project
+    from tpu3dlm.pipeline.task import load_gold_std, setup_pipeline
+    from tpu3dlm.utils.config import ConfigLoader
+
+    cfg_path, _, gold, _ = make_project(
+        str(tmp_path), YOLO, BEIT,
+        dropped=(0, 1, 2),  # every default sign
+        cloud_points_per_m2=800,
+        extra_cfg=[
+            ("icp_max_points = 16384", "icp_max_points = 2048"),
+            ("icp_iterations = 30", "icp_iterations = 8"),
+        ],
+    )
+    cfg_gold = ConfigLoader(cfg_path, "gold_std")
+    cfg_maint = ConfigLoader(cfg_path, "maintenance")
+    setup_pipeline("gold_std", cfg_gold, None)
+    gold_var = load_gold_std(cfg_gold.pickle_path)
+    p2 = setup_pipeline("maintenance", cfg_maint, cfg_gold, gold_var)
+
+    rows = p2.data_to_save["comparison_rows"]
+    assert len(rows) == len(gold.signs)
+    assert all(r["status"] == "missing" for r in rows)
+    assert not any(r["status"] == "new" for r in rows)
