@@ -184,6 +184,12 @@ def main():
                         stored = json.load(f)
                 except Exception:
                     pass
+                # keep the FASTEST CPU leg ever observed: host load only
+                # ever slows this leg down (observed 100 s vs 220 s on the
+                # same box), and a slow sample would inflate vs_baseline
+                prev = stored.get(nn_key)
+                if prev is not None:
+                    one_nn_cpu = min(one_nn_cpu, float(prev))
                 stored[nn_key] = round(one_nn_cpu, 3)
                 with open(baseline_file, "w") as f:
                     json.dump(stored, f)

@@ -344,6 +344,18 @@ class TestVisualiseAlignment:
                                output_video=str(tmp_path / "c.mp4"), steps=5)
         assert n2 == 5
 
+    def test_empty_record_skips_video(self, scans, tmp_path):
+        """A resume that skipped alignment leaves an empty transform record;
+        the visualiser must warn and return 0 frames, not crash in the
+        writer / np.stack far from the cause."""
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        vis = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96), max_points=2000)
+        out = tmp_path / "d.mp4"
+        n = vis.create_video([], output_video=str(out), steps=5)
+        assert n == 0
+        assert vis.frames == []
+        assert not out.exists()
+
 
 class TestShardedAlignment:
     def test_mesh_sharded_compare_matches_unsharded(self, scans):

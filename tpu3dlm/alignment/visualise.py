@@ -33,7 +33,7 @@ def _splat(
     canvas: np.ndarray,
     bounds: tuple[np.ndarray, np.ndarray],
 ):
-    """Orthographic xz→image point splat onto an existing canvas (in place)."""
+    """Orthographic xy→image point splat onto an existing canvas (in place)."""
     lo, hi = bounds
     h, w = canvas.shape[:2]
     span = np.maximum(hi - lo, 1e-6)
@@ -157,6 +157,11 @@ class VisualiseAlignment:
     ) -> int:
         """Replay all transforms; write mp4 (falls back to .npz of frames when
         no ffmpeg encoder is available). Returns the frame count."""
+        if not transformations:
+            # nothing recorded (e.g. a resume that skipped alignment):
+            # an empty writer/np.stack would raise far from the cause
+            self.logger.warning("no transformations to animate; skipping video")
+            return 0
         comparison = self.comparison
         comp_verts = self.comp_mesh[0].copy() if self.uses_mesh else None
         # drop near-identity steps: ICP's convergence early-stop pads the
