@@ -236,3 +236,136 @@ class TestPipelineMeshArtifact:
         assert len(faces) > 50, (source, len(faces))
         # surface sits in the scene's z band
         assert 2.5 < float(np.median(verts[:, 2])) < 3.2
+
+
+class TestPoissonReconstruction:
+    """FFT spectral Poisson mesher (mapper/poisson.py) — the device-side
+    replacement for the reference's Open3D screened Poisson
+    (src/mapper/mapping.py:121-137)."""
+
+    def _noisy_sphere(self, n=8000, noise=0.005, seed=0):
+        rng = np.random.RandomState(seed)
+        d = rng.randn(n, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pts = (d + rng.randn(n, 3) * noise).astype(np.float32)
+        # sensor at the centre → normals toward it
+        return pts, (-d).astype(np.float32)
+
+    def test_next_fast_len(self):
+        from tpu3dlm.mapper.poisson import next_fast_len
+
+        assert [next_fast_len(n) for n in [1, 2, 3, 7, 11, 17, 97, 101, 257]] == [
+            1, 2, 3, 8, 12, 18, 100, 108, 270,
+        ]
+        for n in range(1, 300):
+            m = next_fast_len(n)
+            assert m >= n
+            while m % 2 == 0:
+                m //= 2
+            while m % 3 == 0:
+                m //= 3
+            while m % 5 == 0:
+                m //= 5
+            assert m == 1
+
+    def test_sphere_radius_and_winding(self):
+        """A noisy sphere reconstructs to its radius, with every face wound
+        outward toward the sensor side (χ < iso = free space)."""
+        from tpu3dlm.mapper.poisson import mesh_poisson
+
+        pts, normals = self._noisy_sphere()
+        verts, faces = mesh_poisson(pts, normals, voxel=0.08)
+        assert len(faces) > 500
+        r = np.linalg.norm(verts, axis=1)
+        assert abs(float(r.mean()) - 1.0) < 0.02
+        assert float(np.quantile(np.abs(r - 1.0), 0.95)) < 0.08  # ≤ 1 voxel
+        tri = verts[faces]
+        fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-9)
+        cent = tri.mean(axis=1)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
+        # solid is OUTSIDE the shell (normals pointed inward) → faces wind
+        # toward the centre
+        assert float(((fn * cent).sum(axis=1) < 0).mean()) > 0.99
+
+    def test_estimated_normals_match_given(self):
+        """The no-normals path (grid-PCA + viewpoint orientation) lands on
+        the same surface."""
+        from tpu3dlm.mapper.poisson import mesh_poisson
+
+        pts, _ = self._noisy_sphere()
+        verts, faces = mesh_poisson(pts, None, voxel=0.08,
+                                    viewpoint=np.zeros(3, np.float32))
+        assert len(faces) > 500
+        r = np.linalg.norm(verts, axis=1)
+        assert abs(float(r.mean()) - 1.0) < 0.02
+
+    def test_synthetic_cloud_two_sided_distance(self, scan_cloud):
+        """On the synthetic scan's wall cloud: the mesh hugs the samples and
+        covers them (both directions ≤ ~2 voxels mean), and the open-sheet
+        rim halo is culled (no vertex further than ~4 voxels)."""
+        from tpu3dlm.mapper.poisson import mesh_poisson
+
+        pts = scan_cloud
+        voxel = 0.1
+        verts, faces = mesh_poisson(pts, voxel=voxel)
+        assert len(faces) > 1000
+        rs = np.random.RandomState(0)
+        vi = rs.choice(len(verts), min(2000, len(verts)), replace=False)
+        d_vc = np.sqrt(
+            ((verts[vi][:, None] - pts[None, ::7]) ** 2).sum(-1)
+        ).min(axis=1)
+        assert float(d_vc.mean()) < 2 * voxel
+        assert float(d_vc.max()) < 5 * voxel
+        pi = rs.choice(len(pts), min(2000, len(pts)), replace=False)
+        d_cv = np.sqrt(
+            ((pts[pi][:, None] - verts[None]) ** 2).sum(-1)
+        ).min(axis=1)
+        assert float(d_cv.mean()) < 2 * voxel
+
+    def test_empty_cloud(self):
+        from tpu3dlm.mapper.poisson import mesh_poisson
+
+        verts, faces = mesh_poisson(np.zeros((0, 3), np.float32))
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_mapping_make_mesh_poisson(self, tmp_path, scan_cloud_project):
+        """Mapping.make_mesh(mesher="poisson") writes a loadable mesh PLY
+        (the cfg `mesher` knob's target)."""
+        import pandas as pd
+
+        from tpu3dlm.mapper.mapping import Mapping
+
+        cfg_path, ply_path = scan_cloud_project
+        pose = pd.DataFrame(
+            {"timestamp": [0.0], "tx": [0.0], "ty": [0.0], "tz": [0.0],
+             "qx": [0.0], "qy": [0.0], "qz": [0.0], "qw": [1.0]}
+        )
+        mapper = Mapping(
+            global_bboxes_data={}, optimised_bboxes={}, pose=pose,
+            ply_filepath=ply_path, preprocess_point_cloud=False,
+        )
+        out = str(tmp_path / "poisson_mesh.ply")
+        verts, faces = mapper.make_mesh(output_path=out, voxel=0.1, mesher="poisson")
+        rv, rf = load_ply_mesh(out)
+        assert len(rf) == len(faces) > 500
+
+
+@pytest.fixture(scope="module")
+def scan_cloud(tmp_path_factory):
+    from tpu3dlm.data import synthetic
+    from tpu3dlm.data.ply import load_ply
+
+    root = str(tmp_path_factory.mktemp("poisson_scan"))
+    synthetic.generate_scan(root, "gold_std", num_frames=3)
+    pts, _ = load_ply(os.path.join(root, "gold_std", "cloud.ply"))
+    return pts
+
+
+@pytest.fixture(scope="module")
+def scan_cloud_project(tmp_path_factory):
+    from tpu3dlm.data import synthetic
+
+    root = str(tmp_path_factory.mktemp("poisson_proj"))
+    synthetic.generate_scan(root, "gold_std", num_frames=3)
+    return None, os.path.join(root, "gold_std", "cloud.ply")

@@ -86,22 +86,41 @@ class Mapping:
         return self.points
 
     def make_mesh(
-        self, output_path: str | None = None, voxel: float = 0.04
+        self,
+        output_path: str | None = None,
+        voxel: float = 0.04,
+        mesher: str = "density",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Surface-reconstruct the (preprocessed) cloud → triangle mesh.
 
-        Dependency-free: density splat + marching tetrahedra
-        (mapper/meshing.py) replaces the reference's Open3D Poisson recipe
-        (mapping.py:121-137). When Open3D IS present the interactive
-        visualiser still shows the Poisson mesh for presentation parity.
-        Returns ((V, 3) vertices, (F, 3) faces).
+        Dependency-free, two reconstructors replacing the reference's
+        Open3D Poisson recipe (mapping.py:121-137):
+        ``mesher="density"`` — density splat + marching tetrahedra
+        (mapper/meshing.py), a tight double-sided shell; ``"poisson"`` —
+        FFT spectral Poisson solve on the device (mapper/poisson.py), the
+        smooth single-layer surface the reference's recipe produces,
+        normals oriented toward the camera trajectory. When Open3D IS
+        present the interactive visualiser still shows its Poisson mesh
+        for presentation parity. Returns ((V, 3) vertices, (F, 3) faces).
         """
         from tpu3dlm.data.ply import save_ply_mesh
         from tpu3dlm.mapper.meshing import mesh_point_cloud
 
         if self.preprocess_point_cloud:
             self.preprocess()
-        verts, faces = mesh_point_cloud(self.points, voxel=voxel)
+        if mesher == "poisson":
+            from tpu3dlm.mapper.poisson import mesh_poisson
+
+            viewpoint = None
+            try:  # camera-trajectory centroid orients the normals
+                viewpoint = np.asarray(
+                    self.pose[["tx", "ty", "tz"]], np.float32
+                ).mean(axis=0)
+            except Exception:
+                pass
+            verts, faces = mesh_poisson(self.points, voxel=voxel, viewpoint=viewpoint)
+        else:
+            verts, faces = mesh_point_cloud(self.points, voxel=voxel)
         self.logger.info(
             "meshed %d points → %d vertices / %d triangles",
             len(self.points), len(verts), len(faces),

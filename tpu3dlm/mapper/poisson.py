@@ -1,0 +1,288 @@
+"""Poisson surface reconstruction, TPU-native: FFT spectral Laplacian solve.
+
+Capability parity with the reference's Open3D Poisson recipe
+(src/mapper/mapping.py:121-137: KDTree normal estimation + screened Poisson
+depth=11) — re-designed for the hardware instead of ported. Kazhdan's octree
+multigrid is pointer-chasing the TPU cannot tile; on a dense grid the same
+math is three dense steps XLA is built for:
+
+1. **Normal splat** (host, O(N)): each point's oriented unit normal is
+   trilinearly distributed into a regular grid → a smoothed vector field
+   ``V ≈ ∇χ`` where χ is the solid-interior indicator function (∇χ points
+   from free space into the solid, i.e. opposite the sensor-facing normal).
+2. **Spectral solve** (device): solve ``∇²χ = ∇·V`` in one shot with real
+   FFTs. Divergence and Laplacian both use the *central-difference symbol*
+   ``D̂_a = i·sin(2πk_a/N_a)/h`` so the discretisation is self-consistent;
+   modes where the symbol vanishes (DC and the per-axis Nyquist
+   checkerboards) carry no surface information and are zeroed. A Gaussian
+   low-pass ``exp(−σ²|k|²/2)`` stands in for Kazhdan's B-spline smoothing.
+3. **Iso-extraction** (host): χ is sampled trilinearly at the input points;
+   their mean is the iso value (the Kazhdan '06 rule), and the existing
+   `marching_tetrahedra` triangulates — interior is the χ > iso side, so
+   faces wind with outward normals toward the free space. Iso-crossings far
+   from any input point (periodic wraparound leakage) are culled by a
+   dilated occupancy-grid test.
+
+The FFT grid rounds each axis up to the next 5-smooth length (radix-2/3/5
+are the FFT sizes XLA lowers efficiently) and the same `max_voxels` ladder
+as `density_field` bounds memory by coarsening the voxel.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def next_fast_len(n: int) -> int:
+    """Smallest 5-smooth (2^a·3^b·5^c) integer ≥ n."""
+    if n <= 2:
+        return max(n, 1)
+    best = 1 << (n - 1).bit_length()  # pow2 upper bound
+    f5 = 1
+    while f5 < best:
+        f35 = f5
+        while f35 < best:
+            quot = -(-n // f35)  # ceil(n / f35)
+            p2 = 1 << max(0, (quot - 1).bit_length())
+            best = min(best, f35 * p2)
+            f35 *= 3
+        f5 *= 5
+    return best
+
+
+def splat_vector_field(
+    points: np.ndarray,
+    vectors: np.ndarray,
+    lo: np.ndarray,
+    dims: tuple[int, int, int],
+    voxel: float,
+) -> np.ndarray:
+    """Trilinear scatter of per-point vectors → (Nx, Ny, Nz, 3) grid (host).
+
+    Mass outside the grid clamps to the border voxel (the caller pads the
+    bounds so real surface mass never lands there).
+    """
+    pts = np.asarray(points, np.float32)
+    vec = np.asarray(vectors, np.float64)
+    nx, ny, nz = dims
+    size = nx * ny * nz
+    out = np.zeros((3, size), np.float64)
+    if pts.shape[0] == 0:
+        return np.zeros((nx, ny, nz, 3), np.float32)
+    g = (pts - np.asarray(lo, np.float32)) / voxel
+    g0 = np.floor(g).astype(np.int64)
+    frac = (g - g0).astype(np.float64)
+    # bincount accumulation: ~9× faster than np.add.at at 1M points
+    for k in range(8):
+        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        idx = (
+            np.clip(g0[:, 0] + dx, 0, nx - 1) * (ny * nz)
+            + np.clip(g0[:, 1] + dy, 0, ny - 1) * nz
+            + np.clip(g0[:, 2] + dz, 0, nz - 1)
+        )
+        for c in range(3):
+            out[c] += np.bincount(idx, weights=w * vec[:, c], minlength=size)
+    return (
+        out.T.reshape(nx, ny, nz, 3).astype(np.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("voxel", "sigma_voxels"))
+def _solve_indicator(V, *, voxel: float, sigma_voxels: float):
+    """∇²χ = ∇·V solved spectrally; V is (Nx, Ny, Nz, 3) f32. Device-side."""
+    nx, ny, nz = V.shape[:3]
+    h = jnp.float32(voxel)
+    # central-difference derivative symbol per axis: i·sin(2πk/N)/h
+    # (rfftn keeps the last axis half-spectrum)
+    kx = jnp.fft.fftfreq(nx).astype(jnp.float32)  # cycles per sample
+    ky = jnp.fft.fftfreq(ny).astype(jnp.float32)
+    kz = jnp.fft.rfftfreq(nz).astype(jnp.float32)
+    sx = jnp.sin(2 * jnp.pi * kx)[:, None, None] / h
+    sy = jnp.sin(2 * jnp.pi * ky)[None, :, None] / h
+    sz = jnp.sin(2 * jnp.pi * kz)[None, None, :] / h
+
+    div = 1j * (
+        sx * jnp.fft.rfftn(V[..., 0])
+        + sy * jnp.fft.rfftn(V[..., 1])
+        + sz * jnp.fft.rfftn(V[..., 2])
+    )
+    lam = -(sx * sx + sy * sy + sz * sz)  # div∘grad symbol (≤ 0)
+
+    # Gaussian low-pass: continuum |k|² (no spurious zeros at Nyquist)
+    w2 = (
+        (2 * jnp.pi * kx[:, None, None] / h) ** 2
+        + (2 * jnp.pi * ky[None, :, None] / h) ** 2
+        + (2 * jnp.pi * kz[None, None, :] / h) ** 2
+    )
+    smooth = jnp.exp(-0.5 * (sigma_voxels * voxel) ** 2 * w2)
+
+    safe = jnp.abs(lam) > 1e-12 / (h * h)
+    chi_hat = jnp.where(safe, div * smooth / jnp.where(safe, lam, 1.0), 0.0)
+    return jnp.fft.irfftn(chi_hat, s=(nx, ny, nz)).astype(jnp.float32)
+
+
+def _sample_trilinear(field: np.ndarray, pts_grid: np.ndarray) -> np.ndarray:
+    """Sample (Nx,Ny,Nz) field at (N,3) grid-unit positions (host)."""
+    nx, ny, nz = field.shape
+    g0 = np.floor(pts_grid).astype(np.int64)
+    frac = pts_grid - g0
+    out = np.zeros(pts_grid.shape[0], np.float32)
+    for k in range(8):
+        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        out += w * field[
+            np.clip(g0[:, 0] + dx, 0, nx - 1),
+            np.clip(g0[:, 1] + dy, 0, ny - 1),
+            np.clip(g0[:, 2] + dz, 0, nz - 1),
+        ]
+    return out
+
+
+def poisson_indicator(
+    points: np.ndarray,
+    normals: np.ndarray | None = None,
+    voxel: float = 0.04,
+    pad: int = 6,
+    sigma_voxels: float = 1.5,
+    max_voxels: int = 40_000_000,
+    viewpoint: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Cloud (+ optional oriented normals) → (χ field, origin, voxel, iso).
+
+    ``normals`` should point *away from the solid* (toward the sensor);
+    when None they are grid-PCA estimated (`ops/pointcloud`) and oriented
+    toward ``viewpoint`` (default: the cloud centroid — the camera interior
+    for room/vehicle scans). Interior is the χ > iso side.
+    """
+    pts = np.asarray(points, np.float32)
+    if pts.shape[0] == 0:
+        return np.zeros((2, 2, 2), np.float32), np.zeros(3, np.float32), voxel, 0.0
+    if normals is None:
+        from tpu3dlm.ops.pointcloud import estimate_normals_grid
+
+        vp = (
+            np.asarray(viewpoint, np.float32)
+            if viewpoint is not None
+            else pts.mean(axis=0)
+        )
+        normals = estimate_normals_grid(pts, voxel=max(2.0 * voxel, 0.08), viewpoint=vp)
+    normals = np.asarray(normals, np.float32)
+
+    lo = pts.min(axis=0) - pad * voxel
+    hi = pts.max(axis=0) + pad * voxel
+    dims = np.maximum(4, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+    dims = np.array([next_fast_len(int(d)) for d in dims], np.int64)
+    while int(dims.prod()) > max_voxels:
+        voxel *= 1.26  # ~2× volume per step, same ladder as density_field
+        dims = np.maximum(4, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+        dims = np.array([next_fast_len(int(d)) for d in dims], np.int64)
+    dims_t = (int(dims[0]), int(dims[1]), int(dims[2]))
+
+    # ∇χ points from free space (χ≈0) into the solid: opposite the
+    # sensor-facing normal (χ's absolute scale is arbitrary — the sampled
+    # iso adapts to it)
+    V = splat_vector_field(pts, -normals, lo, dims_t, voxel)
+    chi = np.asarray(
+        jax.device_get(_solve_indicator(jnp.asarray(V), voxel=voxel, sigma_voxels=sigma_voxels))
+    )
+    iso = float(np.mean(_sample_trilinear(chi, (pts - lo) / voxel)))
+    return chi, lo.astype(np.float32), voxel, iso
+
+
+def _cull_leakage(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    points: np.ndarray,
+    origin: np.ndarray,
+    cell: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop triangles whose centroid is > ~1 cell from any input point.
+
+    The periodic spectral solve lets χ cross iso in big empty corners
+    (wraparound leakage); real surface always lies on the cloud's support.
+    One boolean occupancy grid + a 1-cell dilation, fully vectorised.
+    """
+    if len(faces) == 0:
+        return verts, faces
+    span_cells = np.maximum(
+        2, np.ceil((points.max(axis=0) - origin) / cell).astype(np.int64) + 2
+    )
+    occ = np.zeros(tuple(int(d) for d in span_cells), bool)
+    pc = np.clip(
+        np.floor((points - origin) / cell).astype(np.int64), 0, span_cells - 1
+    )
+    occ[pc[:, 0], pc[:, 1], pc[:, 2]] = True
+    # 1-cell 26-neighbourhood dilation via shifted ORs
+    dil = occ.copy()
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                src = occ[
+                    max(0, -dx) : occ.shape[0] - max(0, dx),
+                    max(0, -dy) : occ.shape[1] - max(0, dy),
+                    max(0, -dz) : occ.shape[2] - max(0, dz),
+                ]
+                dil[
+                    max(0, dx) : occ.shape[0] - max(0, -dx),
+                    max(0, dy) : occ.shape[1] - max(0, -dy),
+                    max(0, dz) : occ.shape[2] - max(0, -dz),
+                ] |= src
+    cent = verts[faces].mean(axis=1)
+    cg = np.floor((cent - origin) / cell).astype(np.int64)
+    inside = (cg >= 0).all(axis=1) & (cg < span_cells).all(axis=1)
+    keep = np.zeros(len(faces), bool)
+    keep[inside] = dil[cg[inside, 0], cg[inside, 1], cg[inside, 2]]
+    faces = faces[keep]
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces].astype(np.int32)
+
+
+def mesh_poisson(
+    points: np.ndarray,
+    normals: np.ndarray | None = None,
+    voxel: float = 0.04,
+    viewpoint: np.ndarray | None = None,
+    sigma_voxels: float = 1.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Poisson-reconstruct a cloud → ((V,3) verts, (F,3) faces).
+
+    Drop-in alternative to `meshing.mesh_point_cloud` (density shell):
+    smoother, hole-filling, single-layer — the quality the reference gets
+    from Open3D's Poisson (src/mapper/mapping.py:131-135), computed as a
+    dense FFT solve on the device.
+    """
+    from tpu3dlm.mapper.meshing import marching_tetrahedra
+
+    pts = np.asarray(points, np.float32)
+    chi, origin, voxel, iso = poisson_indicator(
+        pts, normals, voxel=voxel, viewpoint=viewpoint, sigma_voxels=sigma_voxels
+    )
+    if not np.isfinite(chi).all() or chi.max() <= chi.min():
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    # interior is χ > iso → outward face normals toward the χ < iso side
+    verts, faces = marching_tetrahedra(
+        chi, iso, origin, voxel, normals_toward_positive=False
+    )
+    # 2-voxel cells + 1-cell dilation ≈ Open3D's low-density vertex trim:
+    # keeps the rim halo of open sheets within ~3 voxels of the samples
+    return _cull_leakage(verts, faces, pts, origin, cell=2.0 * voxel)

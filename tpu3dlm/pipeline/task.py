@@ -377,7 +377,9 @@ class Pipeline:
                 overlay_pose=self.cfg.overlay_pose,
             )
             mapper.make_mesh(
-                output_path=out, voxel=getattr(self.cfg, "mesh_voxel", 0.04)
+                output_path=out,
+                voxel=getattr(self.cfg, "mesh_voxel", 0.04),
+                mesher=getattr(self.cfg, "mesher", "density"),
             )
         self.logger.info("3D Map Generated.")
 

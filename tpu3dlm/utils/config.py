@@ -75,6 +75,7 @@ _SCHEMA: dict[str, str] = {
     "icp_global_init": "str",
     "icp_ann": "str",
     "mesh_source": "str",
+    "mesher": "str",
     "mesh_voxel": "float",
     "infer_dtype": "str",
     "fused_inference": "bool",
@@ -194,8 +195,10 @@ preprocess_point_cloud = true
 overlay_pose = false
 visualise = false
 # 3D map artifact: mesh cloud.ply ("cloud") or TSDF-fuse the scan's depth
-# frames on device ("tsdf")
+# frames on device ("tsdf"); cloud reconstructor: density shell ("density")
+# or device FFT Poisson ("poisson", mapper/poisson.py)
 mesh_source = cloud
+mesher = density
 mesh_voxel = 0.04
 
 # maintenance comparison
