@@ -356,6 +356,19 @@ class TestVisualiseAlignment:
         assert vis.frames == []
         assert not out.exists()
 
+    def test_poisson_mesher_renders(self, scans, tmp_path):
+        """mesher="poisson" (cfg `mesher` knob) meshes both maps with the
+        FFT Poisson reconstructor and still renders the orbit."""
+        root, Tw, gold, maint, gold_cloud, maint_cloud = scans
+        vis = VisualiseAlignment(gold_cloud, maint_cloud, image_hw=(64, 96),
+                                 max_points=2000, mesher="poisson")
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5, 0, 0]
+        n = vis.create_video([T], output_video=str(tmp_path / "p.mp4"), steps=3)
+        assert n == 3
+        assert vis.uses_mesh
+        assert (vis.frames[0] < 255).any()
+
 
 class TestShardedAlignment:
     def test_mesh_sharded_compare_matches_unsharded(self, scans):

@@ -54,6 +54,7 @@ class VisualiseAlignment:
         max_points: int = 50_000,
         renderer: str = "auto",  # "mesh" | "splat" | "auto"
         mesh_voxel: float | None = None,
+        mesher: str = "density",  # "density" shell | "poisson" (mapper/poisson.py)
         orbit_sweep: float = 0.9,  # total camera azimuth sweep (radians)
     ):
         rng = np.random.default_rng(0)
@@ -79,12 +80,15 @@ class VisualiseAlignment:
 
         self.base_mesh = self.comp_mesh = None
         if renderer in ("mesh", "auto"):
-            from tpu3dlm.mapper.meshing import mesh_point_cloud
+            if mesher == "poisson":
+                from tpu3dlm.mapper.poisson import mesh_poisson as _mesh
+            else:
+                from tpu3dlm.mapper.meshing import mesh_point_cloud as _mesh
 
             span = float((allpts.max(0) - allpts.min(0)).max())
             voxel = mesh_voxel or max(span / 72.0, 1e-3)
-            bm = mesh_point_cloud(self.base, voxel=voxel)
-            cm = mesh_point_cloud(self.comparison, voxel=voxel)
+            bm = _mesh(self.base, voxel=voxel)
+            cm = _mesh(self.comparison, voxel=voxel)
             if len(bm[1]) and len(cm[1]):
                 self.base_mesh, self.comp_mesh = bm, cm
                 self.logger.info(

@@ -438,7 +438,11 @@ class Pipeline:
             # the animation REPLAYS the recorded transforms, so it starts
             # from the raw (unaligned) comparison points — comp_map is
             # already aligned and would double-apply the chain
-            vis = VisualiseAlignment(base_map, align.comparison_points)
+            vis = VisualiseAlignment(
+                base_map,
+                align.comparison_points,
+                mesher=getattr(self.cfg, "mesher", "density"),
+            )
             out = os.path.join(
                 os.path.dirname(self.cfg.csv_output) or ".", "alignment_animation.mp4"
             )
