@@ -79,6 +79,10 @@ class VisualiseAlignment:
         self.radius = 1.6 * float(np.linalg.norm(allpts - self.center, axis=1).max())
 
         self.base_mesh = self.comp_mesh = None
+        if mesher not in ("density", "poisson"):
+            raise ValueError(
+                f"unknown mesher {mesher!r} (cfg `mesher`): use 'density' or 'poisson'"
+            )
         if renderer in ("mesh", "auto"):
             if mesher == "poisson":
                 from tpu3dlm.mapper.poisson import mesh_poisson as _mesh

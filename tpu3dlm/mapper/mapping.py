@@ -106,6 +106,10 @@ class Mapping:
         from tpu3dlm.data.ply import save_ply_mesh
         from tpu3dlm.mapper.meshing import mesh_point_cloud
 
+        if mesher not in ("density", "poisson"):
+            raise ValueError(
+                f"unknown mesher {mesher!r} (cfg `mesher`): use 'density' or 'poisson'"
+            )
         if self.preprocess_point_cloud:
             self.preprocess()
         if mesher == "poisson":
@@ -116,8 +120,11 @@ class Mapping:
                 viewpoint = np.asarray(
                     self.pose[["tx", "ty", "tz"]], np.float32
                 ).mean(axis=0)
-            except Exception:
-                pass
+            except (KeyError, TypeError, IndexError):
+                self.logger.warning(
+                    "pose has no tx/ty/tz columns; orienting Poisson normals "
+                    "toward the cloud centroid instead of the camera trajectory"
+                )
             verts, faces = mesh_poisson(self.points, voxel=voxel, viewpoint=viewpoint)
         else:
             verts, faces = mesh_point_cloud(self.points, voxel=voxel)

@@ -198,6 +198,108 @@ def marching_tetrahedra(
     return verts.astype(np.float32), faces
 
 
+def grid_bounds(
+    points: np.ndarray,
+    voxel: float,
+    pad: int = 2,
+    max_voxels: int = 40_000_000,
+    fast_len=None,
+    min_dim: int = 2,
+) -> tuple[np.ndarray, tuple[int, int, int], float]:
+    """Padded grid covering the cloud → (lo, dims, effective_voxel).
+
+    The max_voxels ladder coarsens the voxel (~2× volume per step) and
+    RE-pads with the coarsened voxel — the pad is measured in voxels
+    because callers rely on it (the Poisson solve needs real surface mass
+    away from the periodic boundary). ``fast_len`` rounds each dim up
+    (e.g. to FFT-friendly 5-smooth lengths).
+    """
+    pts = np.asarray(points, np.float32)
+    while True:
+        lo = pts.min(axis=0) - pad * voxel
+        hi = pts.max(axis=0) + pad * voxel
+        dims = np.maximum(min_dim, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
+        if fast_len is not None:
+            dims = np.array([fast_len(int(d)) for d in dims], np.int64)
+        if int(dims.prod()) <= max_voxels:
+            return (
+                lo.astype(np.float32),
+                (int(dims[0]), int(dims[1]), int(dims[2])),
+                voxel,
+            )
+        voxel *= 1.26
+
+
+def trilinear_scatter(
+    points: np.ndarray,
+    values: np.ndarray | None,
+    lo: np.ndarray,
+    dims: tuple[int, int, int],
+    voxel: float,
+) -> np.ndarray:
+    """Trilinear 8-corner scatter of per-point values onto a grid (host).
+
+    ``values=None`` splats unit mass → (Nx, Ny, Nz) density; an (N, C)
+    array → an (Nx, Ny, Nz, C) field. bincount accumulation (~9× faster
+    than np.add.at at 1M points; f64 accumulators). Mass outside the grid
+    clamps to the border voxel — callers pad the bounds (grid_bounds) so
+    real surface mass never lands there.
+    """
+    pts = np.asarray(points, np.float32)
+    nx, ny, nz = (int(d) for d in dims)
+    size = nx * ny * nz
+    scalar = values is None
+    vals = None if scalar else np.asarray(values, np.float64)
+    channels = 1 if scalar else vals.shape[1]
+    out = np.zeros((channels, size), np.float64)
+    if pts.shape[0] == 0:
+        shaped = out.T.reshape(nx, ny, nz, channels).astype(np.float32)
+        return shaped[..., 0] if scalar else shaped
+    g = (pts - np.asarray(lo, np.float32)) / voxel
+    g0 = np.floor(g).astype(np.int64)
+    frac = (g - g0).astype(np.float64)
+    for k in range(8):
+        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        idx = (
+            np.clip(g0[:, 0] + dx, 0, nx - 1) * (ny * nz)
+            + np.clip(g0[:, 1] + dy, 0, ny - 1) * nz
+            + np.clip(g0[:, 2] + dz, 0, nz - 1)
+        )
+        if scalar:
+            out[0] += np.bincount(idx, weights=w, minlength=size)
+        else:
+            for c in range(channels):
+                out[c] += np.bincount(idx, weights=w * vals[:, c], minlength=size)
+    shaped = out.T.reshape(nx, ny, nz, channels).astype(np.float32)
+    return shaped[..., 0] if scalar else shaped
+
+
+def trilinear_sample(field: np.ndarray, pts_grid: np.ndarray) -> np.ndarray:
+    """Sample an (Nx,Ny,Nz) field at (N,3) grid-unit positions (host)."""
+    nx, ny, nz = field.shape
+    g0 = np.floor(pts_grid).astype(np.int64)
+    frac = pts_grid - g0
+    out = np.zeros(pts_grid.shape[0], np.float32)
+    for k in range(8):
+        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        out += w * field[
+            np.clip(g0[:, 0] + dx, 0, nx - 1),
+            np.clip(g0[:, 1] + dy, 0, ny - 1),
+            np.clip(g0[:, 2] + dz, 0, nz - 1),
+        ]
+    return out
+
+
 def density_field(
     points: np.ndarray,
     voxel: float = 0.04,
@@ -218,32 +320,8 @@ def density_field(
         # empty cloud → empty field (callers' no-surface guards handle it);
         # pts.min would raise an opaque zero-size reduction error
         return np.zeros((2, 2, 2), np.float32), np.zeros(3, np.float32), voxel
-    lo = pts.min(axis=0) - pad * voxel
-    hi = pts.max(axis=0) + pad * voxel
-    dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
-    while int(dims.prod()) > max_voxels:
-        voxel *= 1.26  # ~2x volume per step
-        dims = np.maximum(2, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
-    nx, ny, nz = (int(d) for d in dims)
-
-    g = (pts - lo) / voxel
-    g0 = np.floor(g).astype(np.int64)
-    frac = g - g0
-    flat = np.zeros(nx * ny * nz, np.float32)
-    for k in range(8):
-        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
-        w = (
-            (frac[:, 0] if dx else 1 - frac[:, 0])
-            * (frac[:, 1] if dy else 1 - frac[:, 1])
-            * (frac[:, 2] if dz else 1 - frac[:, 2])
-        )
-        idx = (
-            np.clip(g0[:, 0] + dx, 0, nx - 1) * (ny * nz)
-            + np.clip(g0[:, 1] + dy, 0, ny - 1) * nz
-            + np.clip(g0[:, 2] + dz, 0, nz - 1)
-        )
-        np.add.at(flat, idx, w)
-    return flat.reshape(nx, ny, nz), lo, voxel
+    lo, dims, voxel = grid_bounds(pts, voxel, pad=pad, max_voxels=max_voxels)
+    return trilinear_scatter(pts, None, lo, dims, voxel), lo, voxel
 
 
 def mesh_point_cloud(

@@ -57,48 +57,6 @@ def next_fast_len(n: int) -> int:
     return best
 
 
-def splat_vector_field(
-    points: np.ndarray,
-    vectors: np.ndarray,
-    lo: np.ndarray,
-    dims: tuple[int, int, int],
-    voxel: float,
-) -> np.ndarray:
-    """Trilinear scatter of per-point vectors → (Nx, Ny, Nz, 3) grid (host).
-
-    Mass outside the grid clamps to the border voxel (the caller pads the
-    bounds so real surface mass never lands there).
-    """
-    pts = np.asarray(points, np.float32)
-    vec = np.asarray(vectors, np.float64)
-    nx, ny, nz = dims
-    size = nx * ny * nz
-    out = np.zeros((3, size), np.float64)
-    if pts.shape[0] == 0:
-        return np.zeros((nx, ny, nz, 3), np.float32)
-    g = (pts - np.asarray(lo, np.float32)) / voxel
-    g0 = np.floor(g).astype(np.int64)
-    frac = (g - g0).astype(np.float64)
-    # bincount accumulation: ~9× faster than np.add.at at 1M points
-    for k in range(8):
-        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
-        w = (
-            (frac[:, 0] if dx else 1 - frac[:, 0])
-            * (frac[:, 1] if dy else 1 - frac[:, 1])
-            * (frac[:, 2] if dz else 1 - frac[:, 2])
-        )
-        idx = (
-            np.clip(g0[:, 0] + dx, 0, nx - 1) * (ny * nz)
-            + np.clip(g0[:, 1] + dy, 0, ny - 1) * nz
-            + np.clip(g0[:, 2] + dz, 0, nz - 1)
-        )
-        for c in range(3):
-            out[c] += np.bincount(idx, weights=w * vec[:, c], minlength=size)
-    return (
-        out.T.reshape(nx, ny, nz, 3).astype(np.float32)
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("voxel", "sigma_voxels"))
 def _solve_indicator(V, *, voxel: float, sigma_voxels: float):
     """∇²χ = ∇·V solved spectrally; V is (Nx, Ny, Nz, 3) f32. Device-side."""
@@ -133,27 +91,6 @@ def _solve_indicator(V, *, voxel: float, sigma_voxels: float):
     return jnp.fft.irfftn(chi_hat, s=(nx, ny, nz)).astype(jnp.float32)
 
 
-def _sample_trilinear(field: np.ndarray, pts_grid: np.ndarray) -> np.ndarray:
-    """Sample (Nx,Ny,Nz) field at (N,3) grid-unit positions (host)."""
-    nx, ny, nz = field.shape
-    g0 = np.floor(pts_grid).astype(np.int64)
-    frac = pts_grid - g0
-    out = np.zeros(pts_grid.shape[0], np.float32)
-    for k in range(8):
-        dx, dy, dz = (k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1
-        w = (
-            (frac[:, 0] if dx else 1 - frac[:, 0])
-            * (frac[:, 1] if dy else 1 - frac[:, 1])
-            * (frac[:, 2] if dz else 1 - frac[:, 2])
-        )
-        out += w * field[
-            np.clip(g0[:, 0] + dx, 0, nx - 1),
-            np.clip(g0[:, 1] + dy, 0, ny - 1),
-            np.clip(g0[:, 2] + dz, 0, nz - 1),
-        ]
-    return out
-
-
 def poisson_indicator(
     points: np.ndarray,
     normals: np.ndarray | None = None,
@@ -184,24 +121,24 @@ def poisson_indicator(
         normals = estimate_normals_grid(pts, voxel=max(2.0 * voxel, 0.08), viewpoint=vp)
     normals = np.asarray(normals, np.float32)
 
-    lo = pts.min(axis=0) - pad * voxel
-    hi = pts.max(axis=0) + pad * voxel
-    dims = np.maximum(4, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
-    dims = np.array([next_fast_len(int(d)) for d in dims], np.int64)
-    while int(dims.prod()) > max_voxels:
-        voxel *= 1.26  # ~2× volume per step, same ladder as density_field
-        dims = np.maximum(4, np.ceil((hi - lo) / voxel).astype(np.int64) + 1)
-        dims = np.array([next_fast_len(int(d)) for d in dims], np.int64)
-    dims_t = (int(dims[0]), int(dims[1]), int(dims[2]))
+    from tpu3dlm.mapper.meshing import grid_bounds, trilinear_sample, trilinear_scatter
+
+    # grid_bounds re-pads with the coarsened voxel — the pad (in voxels) is
+    # load-bearing here: surface mass near the boundary would wrap through
+    # the periodic FFT solve
+    lo, dims_t, voxel = grid_bounds(
+        pts, voxel, pad=pad, max_voxels=max_voxels,
+        fast_len=next_fast_len, min_dim=4,
+    )
 
     # ∇χ points from free space (χ≈0) into the solid: opposite the
     # sensor-facing normal (χ's absolute scale is arbitrary — the sampled
     # iso adapts to it)
-    V = splat_vector_field(pts, -normals, lo, dims_t, voxel)
+    V = trilinear_scatter(pts, -normals, lo, dims_t, voxel)
     chi = np.asarray(
         jax.device_get(_solve_indicator(jnp.asarray(V), voxel=voxel, sigma_voxels=sigma_voxels))
     )
-    iso = float(np.mean(_sample_trilinear(chi, (pts - lo) / voxel)))
+    iso = float(np.mean(trilinear_sample(chi, (pts - lo) / voxel)))
     return chi, lo.astype(np.float32), voxel, iso
 
 
