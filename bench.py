@@ -292,6 +292,20 @@ def main():
         )
     )
     print(json.dumps(rec))
+    if (
+        variant == "n"
+        and default_dev.platform != "cpu"
+        and num_frames >= 256
+        and img_size == 640
+        and os.environ.get("BENCH_STEM", "conv") == "conv"
+    ):
+        # refresh the committed last-known-good so a future outage round
+        # still carries evidence (utils/backend.unavailable_record) — but
+        # only for the headline config; a debug-sized run must not
+        # overwrite the committed number
+        from tpu3dlm.utils.backend import record_last_good
+
+        record_last_good(rec["metric"], fps, rec["unit"])
 
 
 if __name__ == "__main__":

@@ -227,6 +227,13 @@ def main():
             }
         )
     )
+    if sanity_ok:
+        import jax
+
+        if jax.devices()[0].platform != "cpu":
+            from tpu3dlm.utils.backend import record_last_good
+
+            record_last_good("two_map_align_match_wall_clock", wall, "s")
     if not sanity_ok:
         sys.exit(1)
 

@@ -215,6 +215,10 @@ def main() -> None:
             }
         )
     )
+    if sanity.get("missing") == 1 and jax.devices()[0].platform != "cpu":
+        from tpu3dlm.utils.backend import record_last_good
+
+        record_last_good("e2e_two_scan_pipeline_seconds", wall, "s")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,137 @@
+"""Backend probe retry/backoff + last-good fallback (VERDICT r2 item 1)
+and the host-fingerprinted persistent compile cache (item 5).
+
+Round 2's driver bench artifact was null because `require_backend` gave
+the flaky remote backend exactly ONE probe attempt; these tests pin the
+hardened behavior: transient failures retry, exhausted budgets emit a
+JSON record that still carries the committed last-known-good measurement.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tpu3dlm.utils import backend
+
+
+class TestProbeRetrying:
+    def test_transient_failure_retries_to_success(self):
+        calls = {"n": 0}
+
+        def flaky_op():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("TPU backend setup/compile error")
+
+        took, attempts, last_error = backend.probe_backend_retrying(
+            budget_s=10.0, retry_wait_s=0.01, _op=flaky_op
+        )
+        assert took is not None
+        assert attempts == 3
+        assert "setup/compile" in last_error
+
+    def test_exhausted_budget_reports_failure(self):
+        def dead_op():
+            raise RuntimeError("backend unavailable")
+
+        took, attempts, last_error = backend.probe_backend_retrying(
+            budget_s=0.2, retry_wait_s=0.05, _op=dead_op
+        )
+        assert took is None
+        assert attempts >= 2  # it really retried within the budget
+        assert "unavailable" in last_error
+
+    def test_healthy_op_single_attempt(self):
+        took, attempts, last_error = backend.probe_backend_retrying(
+            budget_s=5.0, retry_wait_s=0.01, _op=lambda: None
+        )
+        assert took is not None and attempts == 1 and last_error is None
+
+
+class TestRequireBackend:
+    def test_simulated_outage_emits_last_good(self, monkeypatch, capsys):
+        monkeypatch.setenv("BENCH_BACKEND_TIMEOUT", "360")
+        monkeypatch.setenv("BENCH_BACKEND_BUDGET", "42")
+
+        def dead_probe(budget_s, retry_wait_s):
+            assert budget_s == 42.0
+            return None, 5, "RuntimeError: tunnel down"
+
+        rec = backend.require_backend(
+            "rgbd_detect_project_frames_per_sec_per_chip", _probe=dead_probe
+        )
+        assert rec is not None and rec["value"] is None
+        assert "5 attempt(s)" in rec["error"]
+        assert "tunnel down" in rec["error"]
+        # the committed measurement rides along so a null round still
+        # carries evidence (docs/last_good.json)
+        lg = rec["last_good"]
+        assert lg["value"] > 0 and lg["unit"] == "frames/s" and lg["date"]
+        # and the record was printed as one parseable JSON line
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert json.loads(line)["value"] is None
+
+    def test_success_returns_none(self, monkeypatch, capsys):
+        monkeypatch.setenv("BENCH_BACKEND_BUDGET", "9")
+        assert (
+            backend.require_backend(
+                "any_metric", _probe=lambda b, w: (0.01, 1, None)
+            )
+            is None
+        )
+
+    def test_timeout_zero_skips_probe(self, monkeypatch):
+        monkeypatch.setenv("BENCH_BACKEND_TIMEOUT", "0")
+
+        def exploding_probe(budget_s, retry_wait_s):  # pragma: no cover
+            raise AssertionError("probe must not run when skipped")
+
+        assert backend.require_backend("m", _probe=exploding_probe) is None
+
+    def test_unknown_metric_record_omits_last_good(self):
+        rec = backend.unavailable_record("no_such_metric", "s", 10.0, 1, "x")
+        assert rec["value"] is None and "last_good" not in rec
+
+
+class TestLastGoodStore:
+    def test_roundtrip(self, tmp_path, monkeypatch):
+        path = tmp_path / "docs" / "last_good.json"
+        monkeypatch.setattr(backend, "_last_good_path", lambda: str(path))
+        assert backend.load_last_good("m") is None
+        backend.record_last_good("m", 123.456, "frames/s")
+        rec = backend.load_last_good("m")
+        assert rec["value"] == 123.456 and rec["unit"] == "frames/s"
+        # update keeps other metrics
+        backend.record_last_good("m2", 1.0, "s")
+        assert backend.load_last_good("m")["value"] == 123.456
+
+    def test_committed_file_has_all_bench_metrics(self):
+        # every require_backend caller's metric has a committed fallback
+        for metric in (
+            "rgbd_detect_project_frames_per_sec_per_chip",
+            "two_map_align_match_wall_clock",
+            "e2e_two_scan_pipeline_seconds",
+        ):
+            rec = backend.load_last_good(metric)
+            assert rec is not None and rec["value"] > 0, metric
+
+
+class TestCompileCacheFingerprint:
+    def test_fingerprint_stable_and_machine_shaped(self):
+        a, b = backend.host_fingerprint(), backend.host_fingerprint()
+        assert a == b and "-" in a and len(a.split("-")[-1]) == 10
+
+    def test_cache_dir_keyed_by_fingerprint(self, tmp_path, monkeypatch):
+        import jax
+
+        prev = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path))
+        try:
+            backend.enable_compile_cache()
+            got = jax.config.jax_compilation_cache_dir
+            assert got.startswith(str(tmp_path))
+            assert got.endswith(backend.host_fingerprint())
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)

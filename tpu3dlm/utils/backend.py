@@ -1,10 +1,13 @@
 """Backend availability probe for benches and long-running entrypoints.
 
-The remote TPU backend (axon tunnel) can go UNAVAILABLE for hours — init
-hangs ~4 minutes and then errors (observed 2026-08-17). A bench that hangs
-on first dispatch tells the driver nothing; these helpers run a tiny
-device op under a deadline so callers can fail FAST with a diagnostic
-instead.
+The remote TPU backend (axon tunnel) can go UNAVAILABLE for a while — init
+hangs ~4 minutes and then errors (observed 2026-08-17), and a transient
+outage can span several such cycles (round 2's driver bench hit one and
+recorded a null artifact while the chip was healthy 40 minutes later).
+These helpers therefore probe a tiny device op in a RETRY LOOP under a
+generous total budget, and when the backend never comes back they emit a
+JSON diagnostic that still carries the last committed good measurement
+(``last_good``) so a null round is never evidence-free.
 
 The probe runs in a daemon thread because a dispatch stuck inside the
 runtime's C code cannot be cancelled from Python — on timeout the caller
@@ -20,6 +23,14 @@ import threading
 import time
 
 
+def _tiny_op() -> None:
+    """One device dispatch + host readback on the default backend."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.zeros((4,)) + 1.0)
+
+
 def probe_backend(deadline_s: float) -> float | None:
     """Dispatch a tiny op + host readback under ``deadline_s`` seconds.
 
@@ -27,13 +38,10 @@ def probe_backend(deadline_s: float) -> float | None:
     (backend unavailable or pathologically slow). A healthy remote-TPU
     first dispatch takes up to ~2 min; pass a deadline with margin.
     """
-    import jax.numpy as jnp
-    import numpy as np
-
     ok = threading.Event()
 
     def _probe():
-        np.asarray(jnp.zeros((4,)) + 1.0)  # host readback forces dispatch
+        _tiny_op()
         ok.set()
 
     t0 = time.perf_counter()
@@ -43,46 +51,187 @@ def probe_backend(deadline_s: float) -> float | None:
     return time.perf_counter() - t0
 
 
-def require_backend(metric: str, unit: str = "frames/s") -> None:
-    """Bench guard: probe the backend and hard-exit with a one-line JSON
-    diagnostic (value null, ``error`` set) when it is unavailable.
+def probe_backend_retrying(
+    budget_s: float, retry_wait_s: float = 30.0, _op=None
+) -> tuple[float | None, int, str | None]:
+    """Probe the backend repeatedly until success or ``budget_s`` expires.
 
-    Deadline comes from ``BENCH_BACKEND_TIMEOUT`` (seconds, default 360 —
-    clears the ~2 min worst-case healthy first dispatch); set it to 0 to
-    skip the probe entirely.
+    A single probe thread loops: dispatch the tiny op; on an ERROR (the
+    observed outage mode — init hangs ~4 min, then raises) sleep
+    ``retry_wait_s`` and try again. The main thread waits on the success
+    event for the whole budget, which also covers the worst mode where a
+    dispatch wedges inside C forever (no retry can help there; only the
+    budget bounds it).
+
+    Returns ``(seconds_to_success | None, attempts_started, last_error)``.
+    ``_op`` is injectable for tests (default: real tiny-op readback).
     """
-    deadline = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "360"))
-    if deadline <= 0:
-        return
-    took = probe_backend(deadline)
+    op = _op or _tiny_op
+    ok = threading.Event()
+    state = {"attempts": 0, "last_error": None}
+    stop = time.monotonic() + budget_s
+
+    def _loop():
+        while not ok.is_set() and time.monotonic() < stop:
+            state["attempts"] += 1
+            try:
+                op()
+                ok.set()
+                return
+            except Exception as e:  # noqa: BLE001 — any backend error retries
+                state["last_error"] = f"{type(e).__name__}: {e}"
+                time.sleep(min(retry_wait_s, max(0.0, stop - time.monotonic())))
+
+    t0 = time.perf_counter()
+    threading.Thread(target=_loop, daemon=True).start()
+    if not ok.wait(budget_s):
+        return None, state["attempts"], state["last_error"]
+    return time.perf_counter() - t0, state["attempts"], state["last_error"]
+
+
+def _last_good_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "docs",
+        "last_good.json",
+    )
+
+
+def load_last_good(metric: str) -> dict | None:
+    """Committed last-known-good measurement for ``metric`` (or None)."""
+    try:
+        with open(_last_good_path()) as f:
+            rec = json.load(f).get(metric)
+        return rec if isinstance(rec, dict) else None
+    except Exception:
+        return None
+
+
+def record_last_good(metric: str, value: float, unit: str) -> None:
+    """Best-effort update of docs/last_good.json after a live accelerator
+    measurement, so a later outage round still reports evidence. Only
+    meaningful for non-CPU backends — callers gate on that."""
+    path = _last_good_path()
+    try:
+        stored = {}
+        try:
+            with open(path) as f:
+                stored = json.load(f)
+        except Exception:
+            pass
+        stored[metric] = {
+            "value": round(float(value), 3),
+            "unit": unit,
+            "date": time.strftime("%Y-%m-%d"),
+            "source": "bench run (docs/last_good.json auto-update)",
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(stored, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def unavailable_record(
+    metric: str,
+    unit: str,
+    budget_s: float,
+    attempts: int,
+    last_error: str | None,
+) -> dict:
+    """The bench-shaped JSON record for an exhausted probe budget: value
+    null + diagnostic + the committed ``last_good`` measurement (if any)."""
+    rec = {
+        "metric": metric,
+        "value": None,
+        "unit": unit,
+        "vs_baseline": None,
+        "error": (
+            f"backend unavailable: tiny-op probe failed for {budget_s:.0f}s "
+            f"({attempts} attempt(s); last error: {last_error or 'probe hung'})"
+        ),
+    }
+    lg = load_last_good(metric)
+    if lg is not None:
+        rec["last_good"] = lg
+    return rec
+
+
+def require_backend(
+    metric: str, unit: str = "frames/s", _probe=None
+) -> dict | None:
+    """Bench guard: probe the backend with retries and hard-exit with a
+    one-line JSON diagnostic (value null, ``error`` + ``last_good`` set)
+    when it never comes back.
+
+    Budget comes from ``BENCH_BACKEND_BUDGET`` (total seconds across all
+    retries, default 1500 ≈ 25 min — sized so a transient outage like round
+    2's does not null the round's artifact); ``BENCH_BACKEND_TIMEOUT=0``
+    (the old single-probe knob) still skips the probe entirely.
+
+    Returns None on success. ``_probe`` is injectable for tests — the
+    normal path never returns on failure (``os._exit(2)``, because a probe
+    thread stuck in C cannot be joined).
+    """
+    if float(os.environ.get("BENCH_BACKEND_TIMEOUT", "360")) <= 0:
+        return None
+    budget = float(os.environ.get("BENCH_BACKEND_BUDGET", "1500"))
+    retry_wait = float(os.environ.get("BENCH_BACKEND_RETRY_WAIT", "30"))
+    probe = _probe or probe_backend_retrying
+    took, attempts, last_error = probe(budget, retry_wait)
     if took is None:
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": None,
-                    "unit": unit,
-                    "vs_baseline": None,
-                    "error": "backend unavailable: tiny-op probe did not "
-                    f"complete within {deadline:.0f}s",
-                }
-            )
-        )
+        rec = unavailable_record(metric, unit, budget, attempts, last_error)
+        print(json.dumps(rec))
         sys.stdout.flush()
+        if _probe is not None:
+            return rec  # test path: report instead of killing the runner
         os._exit(2)  # the probe thread is stuck in C code — hard exit
-    print(f"backend probe ok in {took:.1f}s", file=sys.stderr)
+    print(
+        f"backend probe ok in {took:.1f}s ({attempts} attempt(s))",
+        file=sys.stderr,
+    )
+    return None
+
+
+def host_fingerprint() -> str:
+    """Short hash of the host ISA surface (machine arch + CPU feature
+    flags). XLA:CPU AOT blobs encode CPU features of the COMPILING machine
+    and reload blindly — a persistent cache shared across heterogeneous
+    hosts can serve a blob whose ISA the current CPU lacks (SIGILL risk;
+    observed as `cpu_aot_loader` "+prefer-no-gather not supported" errors
+    in MULTICHIP_r02). Keying the cache dir by this fingerprint makes each
+    host population its own cache."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
+    return f"{platform.machine()}-{h}"
 
 
 def enable_compile_cache(default_dir: str = "/tmp/tpu3dlm_jax_cache") -> None:
     """Point JAX's persistent compilation cache at ``JAX_CACHE_DIR`` (or
-    the default). One home for the policy every bench/entrypoint shares —
-    remote-TPU compiles cost minutes, so all of them opt in. Safe to call
-    any time before the first compile; swallows config errors (older jax
-    or already-frozen config) exactly like the inline blocks it replaces.
+    the default), suffixed with a host fingerprint subdirectory. One home
+    for the policy every bench/entrypoint shares — remote-TPU compiles
+    cost minutes, so all of them opt in; the fingerprint keeps XLA:CPU AOT
+    blobs from crossing between machines with different ISA features (see
+    ``host_fingerprint``). Safe to call any time before the first compile;
+    swallows config errors (older jax or already-frozen config) exactly
+    like the inline blocks it replaces.
     """
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", default_dir)
+    cache_dir = os.path.join(
+        os.environ.get("JAX_CACHE_DIR", default_dir), host_fingerprint()
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
