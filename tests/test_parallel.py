@@ -344,3 +344,114 @@ class TestDistributedInit:
         for i, (p, (out, err)) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i} rc={p.returncode}: {err[-800:]}"
             assert f"proc {i} psum-ok" in out, (out, err[-400:])
+
+
+class TestPallasAttentionUnderMesh:
+    """VERDICT r2 item 2: the fused Pallas BEiT attention kernel must stay
+    active under multi-chip sharding (pipeline/fused.py used to silently
+    fall back to einsum for mesh_devices > 1). The sharded step now runs
+    the classify under shard_map, so the kernel partitions per-device."""
+
+    def _data(self, F, S, seed=3):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
+        depth = np.full((F, 64, 48), 2000.0, np.float32)
+        intr = np.tile(np.array([100.0, 100.0, 32.0, 32.0], np.float32), (F, 1))
+        rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
+        poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
+        return rgb, depth, intr, rgb_size, poses
+
+    def test_kernel_active_on_mesh_and_matches_einsum(self, mesh8, monkeypatch):
+        import dataclasses
+
+        from tpu3dlm.ops.pallas import attention
+        from tpu3dlm.parallel.inference import square_box_affine
+
+        calls = {"n": 0}
+        orig = attention.beit_attention_pallas
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(attention, "beit_attention_pallas", counting)
+        # run the REAL kernel (interpret mode) on the CPU mesh — not the
+        # einsum twin — so this validates the pallas_call inside shard_map
+        monkeypatch.setattr(attention, "FORCE_INTERPRET", True)
+
+        F, S = 8, 64
+        cfg_p = BeitConfig(
+            image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, num_labels=2, attn_impl="pallas",
+        )
+        cfg_e = dataclasses.replace(cfg_p, attn_impl="einsum")
+        yolo = YOLOv10(nc=3, variant="n")
+        beit_p = BeitClassifier(cfg_p)
+        beit_e = BeitClassifier(cfg_e)
+        rgb, depth, intr, rgb_size, poses = self._data(F, S)
+        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        # param structure is impl-independent — one tree drives both paths
+        beit_vars = beit_p.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+
+        affine = jnp.asarray(square_box_affine(rgb_size, S))
+        batch = shard_batch(
+            (jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(intr),
+             jnp.asarray(rgb_size), jnp.asarray(poses), affine),
+            mesh8,
+        )
+        yolo_r, beit_r = replicate(yolo_vars, mesh8), replicate(beit_vars, mesh8)
+
+        step_p = sharded_full_scan_step(mesh8, yolo, beit_p, img_size=S, max_det=4)
+        got = step_p(yolo_r, beit_r, *batch)
+        assert calls["n"] >= 1, "pallas kernel was not traced into the mesh program"
+        assert len(got["damage"].sharding.device_set) == 8
+
+        step_e = sharded_full_scan_step(mesh8, yolo, beit_e, img_size=S, max_det=4)
+        want = step_e(yolo_r, beit_r, *batch)
+        np.testing.assert_array_equal(
+            np.asarray(got["damage"]), np.asarray(want["damage"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["conf"]), np.asarray(want["conf"]), atol=1e-5
+        )
+
+    def test_fused_runner_no_longer_downgrades_attn_impl(self):
+        from tpu3dlm.pipeline.fused import FusedScanRunner
+
+        runner = FusedScanRunner(
+            img_size=64, max_det=4, nc=3, variant="n",
+            beit_config=BeitConfig(
+                image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+                intermediate_size=64, num_labels=2,
+            ),
+            mesh_devices=8,
+        )
+        assert runner.beit.cfg.attn_impl == "auto"
+
+    def test_shard_map_classify_pads_non_divisible_budget(self, mesh8):
+        """crop_budget not divisible by the mesh size must still work (the
+        shard_map wrapper pads the crop axis and trims the logits)."""
+        from tpu3dlm.parallel.inference import square_box_affine
+
+        F, S, BUDGET = 8, 64, 5  # 5 % 8 != 0
+        yolo = YOLOv10(nc=3, variant="n")
+        beit = BeitClassifier(
+            BeitConfig(image_size=32, hidden_size=32, num_layers=1,
+                       num_heads=2, intermediate_size=64, num_labels=2)
+        )
+        rgb, depth, intr, rgb_size, poses = self._data(F, S, seed=11)
+        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+        affine = jnp.asarray(square_box_affine(rgb_size, S))
+        step = sharded_full_scan_step(
+            mesh8, yolo, beit, img_size=S, max_det=4, conf_thresh=0.0,
+            crop_budget=BUDGET,
+        )
+        out = step(
+            replicate(yolo_vars, mesh8), replicate(beit_vars, mesh8),
+            *shard_batch((jnp.asarray(rgb), jnp.asarray(depth),
+                          jnp.asarray(intr), jnp.asarray(rgb_size),
+                          jnp.asarray(poses), affine), mesh8),
+        )
+        n_classified = int((np.asarray(out["damage"]) >= 0).sum())
+        assert 0 < n_classified <= BUDGET

@@ -67,13 +67,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     o_ref[:] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
+# Test hook: run the Pallas kernel in interpret mode on non-TPU backends so
+# the kernel path (not the einsum twin) can be exercised inside shard_map on
+# the virtual CPU mesh (tests/test_parallel.py). Never set in production.
+FORCE_INTERPRET = False
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def beit_attention_pallas(
     q: jax.Array,  # (h, B, N, d) — head-major so bias DMAs once per head
     k: jax.Array,  # (h, B, N, d)
     v: jax.Array,  # (h, B, N, d)
     bias: jax.Array,  # (h, N, N) f32 relative-position bias
     block_b: int = 16,
+    interpret: bool = False,
 ) -> jax.Array:  # (h, B, N, d) in q.dtype
     h, B, N, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -95,6 +102,7 @@ def beit_attention_pallas(
     )
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
+        interpret=interpret,
         grid=(h, nb),  # LAST dim iterates fastest → bias constant per sweep
         in_specs=[
             qkv_spec,
@@ -138,6 +146,8 @@ def beit_attention_reference(
 def _dispatch(q, k, v, bias):
     if jax.default_backend() == "tpu":
         return beit_attention_pallas(q, k, v, bias)
+    if FORCE_INTERPRET:
+        return beit_attention_pallas(q, k, v, bias, interpret=True)
     return beit_attention_reference(q, k, v, bias)
 
 

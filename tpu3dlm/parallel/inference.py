@@ -27,6 +27,7 @@ def full_scan_step_fn(
     max_det: int,
     conf_thresh: float,
     crop_budget: int = 128,
+    mesh: Mesh | None = None,
 ):
     """Builds the pure per-shard function: (params, frame-batch) → results.
 
@@ -44,7 +45,35 @@ def full_scan_step_fn(
     ultralytics-style letterbox is [s, s, pad_x, pad_y], so letterboxed
     scans (what converted finetuned checkpoints expect,
     data/dataset.py:150-156) run through the same fused program.
+
+    ``mesh``: when set, the BEiT classify sub-call runs under ``shard_map``
+    over the crop axis. This is what keeps the fused Pallas attention
+    kernel (ops/pallas/attention.py) usable on a multi-chip mesh: GSPMD
+    treats a ``pallas_call`` as opaque and would REPLICATE it (all-gather
+    its operands), but inside shard_map each device runs the per-shard
+    program — kernel included — on its local crops. Everything else in the
+    step stays GSPMD-partitioned (including the global crop top-k).
     """
+    classify = lambda bv, crops: beit.apply(bv, preprocess_crops(crops))  # noqa: E731
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        axis = mesh.axis_names[0]
+        classify_shard = shard_map(
+            classify,
+            mesh=mesh,
+            in_specs=(_P(), _P(axis)),
+            out_specs=_P(axis),
+            check_rep=False,  # pallas_call has no replication rule
+        )
+
+        def classify(bv, crops):  # noqa: F811 — shard_map-wrapped twin
+            kk = crops.shape[0]
+            pad = (-kk) % mesh.devices.size
+            if pad:
+                crops = jnp.pad(crops, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            return classify_shard(bv, crops)[:kk]
 
     def step(
         yolo_vars, beit_vars, rgb_u8, depth, intrinsics, rgb_size, poses, box_affine
@@ -99,7 +128,7 @@ def full_scan_step_fn(
             sel_frames, sel_boxes, (size, size)
         )
         sel = (sel_crops * 255.0).astype(jnp.uint8)
-        logits = beit.apply(beit_vars, preprocess_crops(sel))
+        logits = classify(beit_vars, sel)
         ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         damage = (
             jnp.full((F * D,), -1, jnp.int32)
@@ -136,8 +165,13 @@ def sharded_full_scan_step(
     NOTE: the crop top-k inside the step runs per shard under jit's SPMD
     partitioning — XLA keeps the selection consistent with the global
     result because the step is written over the full (sharded) frame axis.
+    The BEiT classify sub-call runs under shard_map (see full_scan_step_fn)
+    so the fused Pallas attention kernel partitions over the mesh instead
+    of forcing a fallback to the einsum path.
     """
-    step = full_scan_step_fn(yolo, beit, img_size, max_det, conf_thresh, crop_budget)
+    step = full_scan_step_fn(
+        yolo, beit, img_size, max_det, conf_thresh, crop_budget, mesh=mesh
+    )
     b = P(mesh.axis_names[0])
     rep = NamedSharding(mesh, P())
     sb = NamedSharding(mesh, b)

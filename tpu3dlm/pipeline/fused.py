@@ -86,15 +86,10 @@ class FusedScanRunner:
 
         self.yolo = YOLOv10(nc=nc, variant=variant, dtype=dtype)
         beit_cfg = beit_config or BeitConfig()
-        if mesh_devices > 1 and beit_cfg.attn_impl == "auto":
-            # GSPMD treats a pallas_call as opaque and would REPLICATE the
-            # attention (all-gathering its operands) instead of partitioning
-            # it over the mesh — under jit-sharding, keep the einsum path,
-            # which XLA partitions cleanly. Single-chip "auto" and shard_map
-            # paths (per-shard programs) still take the fused kernel.
-            import dataclasses
-
-            beit_cfg = dataclasses.replace(beit_cfg, attn_impl="einsum")
+        # mesh_devices > 1 no longer downgrades attn_impl: the sharded step
+        # runs the BEiT classify under shard_map (parallel/inference.py), so
+        # the fused Pallas attention kernel partitions over the mesh instead
+        # of being replicated by GSPMD (VERDICT r2 item 2).
         self.beit = BeitClassifier(beit_cfg, dtype=dtype)
         if yolo_variables is None:
             yolo_variables = self.yolo.init(
