@@ -13,9 +13,29 @@ import yaml
 
 
 def load_calibration(calibration_path: str) -> dict:
+    """Parse one calibration YAML; errors are pinned LOUD with the path.
+
+    A missing file raises FileNotFoundError (calibration is load-bearing
+    for 3D projection — silently substituting intrinsics would corrupt
+    every world coordinate); a file that parses but lacks the RTAB-Map
+    layout (no ``camera_matrix.data`` or a matrix shorter than the
+    row-major 3x3 the reference indexes, src/detector/dataset.py:102-121)
+    raises ValueError naming the file instead of an opaque KeyError.
+    """
     with open(calibration_path, "r") as f:
         data = yaml.safe_load(f)
-    cam = data["camera_matrix"]["data"]
+    try:
+        cam = data["camera_matrix"]["data"]
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"calibration YAML {calibration_path} has no camera_matrix.data "
+            "(not an RTAB-Map export?)"
+        ) from e
+    if not isinstance(cam, (list, tuple)) or len(cam) < 6:
+        raise ValueError(
+            f"calibration YAML {calibration_path}: camera_matrix.data must "
+            f"be a row-major 3x3 (got {cam!r})"
+        )
     return {
         "image_width": data.get("image_width"),
         "image_height": data.get("image_height"),

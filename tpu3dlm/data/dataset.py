@@ -126,10 +126,22 @@ def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarr
     - 16UC1 uint16: values already millimetres (common desktop/OpenNI
       RTAB-Map export); resized nearest-neighbour if the stored
       resolution differs from the calibration's.
+
+    Real iOS/LiDAR exports carry NaN/±inf float32 pixels for no-return
+    regions — they are sanitised to 0 mm (the invalid-depth sentinel the
+    projection's ``min_depth`` mask already rejects); left in place, one
+    NaN would poison whole rows of the MXU median-sampling matmul
+    (ops/geometry.bbox_sampled_median_depth).
+
+    Errors are pinned LOUD, and distinguish the two failure modes: a
+    missing file raises FileNotFoundError; a file that exists but does not
+    decode (truncated/corrupt PNG) raises ValueError naming the path.
     """
     raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if raw is None:
-        raise FileNotFoundError(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        raise ValueError(f"undecodable depth PNG (truncated/corrupt): {path}")
     if raw.ndim == 2 and raw.dtype == np.uint16:
         depth = raw.astype(np.float32)  # already millimetres
         if depth.shape != (depth_height, depth_width):
@@ -148,7 +160,15 @@ def load_depth_image(path: str, depth_height: int, depth_width: int) -> np.ndarr
     depth = np.ascontiguousarray(raw).reshape(raw.shape[0], raw.shape[1] * 4).view(
         np.float32
     )
+    # NaN/±inf no-return pixels → 0 mm (invalid sentinel) BEFORE the unit
+    # scale, so ±inf cannot survive the multiply
+    depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
     depth = depth * 1000.0  # metres → millimetres
+    if depth.size != depth_height * depth_width:
+        raise ValueError(
+            f"depth PNG {path} carries {depth.size} float32 pixels; "
+            f"calibration expects {depth_height}x{depth_width}"
+        )
     return depth.reshape(depth_height, depth_width)
 
 
@@ -156,7 +176,9 @@ def load_rgb_image(path: str, size_hw: tuple[int, int] | None = None) -> np.ndar
     """Load an RGB frame as (H, W, 3) uint8, optionally resized to (h, w)."""
     bgr = cv2.imread(path, cv2.IMREAD_COLOR)
     if bgr is None:
-        raise FileNotFoundError(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        raise ValueError(f"undecodable RGB image (truncated/corrupt): {path}")
     rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
     if size_hw is not None and rgb.shape[:2] != tuple(size_hw):
         rgb = cv2.resize(rgb, (size_hw[1], size_hw[0]), interpolation=cv2.INTER_LINEAR)

@@ -18,11 +18,36 @@ import numpy as np
 
 # ORDER BY pins the frame numbering to node id: without it SQLite's row
 # order is an implementation detail of the query plan, and a plan change
-# would silently re-pair every frame with the wrong pose row
+# would silently re-pair every frame with the wrong pose row. The id is
+# selected so duplicate-id rows (a broken export without the PRIMARY KEY
+# constraint fans out through the JOIN) can be deduplicated — without it a
+# duplicate would shift EVERY later frame's ordinal off its pose row.
 _QUERY = (
-    "SELECT Data.image, Data.depth FROM Data JOIN Node ON Data.id = Node.id "
-    "ORDER BY Data.id"
+    "SELECT Data.id, Data.image, Data.depth FROM Data JOIN Node "
+    "ON Data.id = Node.id ORDER BY Data.id"
 )
+
+
+def _iter_unique_rows(cursor):
+    """Yield (ordinal, image_blob, depth_blob) with duplicate-id JOIN rows
+    collapsed to the FIRST occurrence (warned). Ordinals number the
+    DISTINCT node ids 1..K in id order — the same positional pairing with
+    poses.txt rows real exports have (one pose row per node)."""
+    import logging
+
+    last_id, ordinal, dupes = None, 0, 0
+    for node_id, image_blob, depth_blob in cursor:
+        if node_id == last_id:
+            dupes += 1
+            continue
+        last_id = node_id
+        ordinal += 1
+        yield ordinal, image_blob, depth_blob
+    if dupes:
+        logging.getLogger(__name__).warning(
+            "%d duplicate node-id row(s) in the database JOIN were "
+            "collapsed to their first occurrence", dupes,
+        )
 
 
 class ImageExtractor:
@@ -57,7 +82,7 @@ class ImageExtractor:
         cursor.execute(_QUERY)
         count, skipped = 0, 0
         self.node_ordinals: list[int] = []
-        for ordinal, (image_blob, depth_blob) in enumerate(cursor, start=1):
+        for ordinal, image_blob, depth_blob in _iter_unique_rows(cursor):
             depth = None
             if depth_blob is not None:
                 depth = cv2.imdecode(
@@ -99,7 +124,7 @@ class ImageExtractor:
         # arrays with poses.txt rows positionally must index rows by
         # ordinal-1 when any node was skipped (see fetch_data docstring)
         self.node_ordinals = []
-        for ordinal, (image_blob, depth_blob) in enumerate(cursor, start=1):
+        for ordinal, image_blob, depth_blob in _iter_unique_rows(cursor):
             # rgb and depth are appended TOGETHER or not at all: appending
             # depth for an RGB-less row desynchronized every later pair
             # (rgbs[i] belonged to depths[i+1]) with no error
@@ -162,7 +187,10 @@ def reinterpret_depth(depth_raw: np.ndarray) -> np.ndarray:
             f"{depth_raw.shape} {depth_raw.dtype}"
         )
     h, w = depth_raw.shape[:2]
-    return np.ascontiguousarray(depth_raw).reshape(h, w * 4).view(np.float32)
+    depth = np.ascontiguousarray(depth_raw).reshape(h, w * 4).view(np.float32)
+    # real iOS exports carry NaN/±inf no-return pixels; 0 m is the invalid
+    # sentinel downstream consumers (projection min_depth mask) reject
+    return np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
 
 
 def encode_depth(depth_m: np.ndarray) -> np.ndarray:
