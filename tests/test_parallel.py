@@ -455,3 +455,29 @@ class TestPallasAttentionUnderMesh:
         )
         n_classified = int((np.asarray(out["damage"]) >= 0).sum())
         assert 0 < n_classified <= BUDGET
+
+
+@pytest.mark.slow
+def test_two_process_fused_and_finetune_steps():
+    """Full multi-controller exercise (VERDICT r2 item 4): 2 OS processes
+    through `jax.distributed.initialize` run the sharded fused scan step
+    AND one DP finetune step over the cross-process mesh; the script's
+    parent asserts parity with single-process results and prints one JSON
+    line with ok=true. See scripts/distributed_smoke.py."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "distributed_smoke.py")],
+        capture_output=True, text=True, timeout=1500, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] is True, rec
+    assert rec["fused_diffs"]["corners"] < 1e-4
+    assert rec["cross_process_param_divergence"] == 0.0
