@@ -215,3 +215,124 @@ class TestNativeNormals:
             want = pc.estimate_normals_grid(pts, voxel=0.25)
         agree = np.abs(np.einsum("ij,ij->i", got, want))
         assert (agree > 0.999).mean() > 0.999
+
+
+class TestNativeMarchAndSplat:
+    """C++ Poisson host legs (native/src/poisson.cpp) vs the numpy oracles
+    in mapper/meshing.py — same decomposition/case-table/winding/weld; the
+    vertex ORDER may differ, the triangle SET may not (VERDICT r2 item 7)."""
+
+    def _sphere_field(self, n=20, r=6.5):
+        g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+        return r - np.sqrt(((g - n / 2) ** 2).sum(axis=0))
+
+    def test_march_matches_numpy_triangle_set(self, lib):
+        from tpu3dlm.mapper.meshing import (
+            _marching_tetrahedra_np, marching_tetrahedra,
+        )
+
+        field = self._sphere_field()
+        origin = np.array([0.3, -1.2, 2.0], np.float32)
+        for toward in (True, False):
+            v1, f1 = _marching_tetrahedra_np(
+                field, 0.0, origin, 0.05, normals_toward_positive=toward
+            )
+            v2, f2 = marching_tetrahedra(
+                field, 0.0, origin, 0.05, normals_toward_positive=toward
+            )
+            assert v1.shape == v2.shape and f1.shape == f2.shape
+
+            def canon(v, f):
+                # order-independent triangle keys: each face's 3 vertices
+                # sorted, rounded well above the weld quantum
+                t = np.sort(np.round(v[f], 3), axis=1)
+                return set(map(tuple, t.reshape(len(f), 9).tolist()))
+
+            assert canon(v1, f1) == canon(v2, f2)
+            # winding parity: total signed volume agrees (orientation is
+            # part of the contract, not just the vertex positions)
+            def signed_vol(v, f):
+                t = v[f]
+                return float(np.einsum(
+                    "ij,ij->", np.cross(t[:, 0], t[:, 1]), t[:, 2]
+                ) / 6.0)
+
+            np.testing.assert_allclose(
+                signed_vol(v1, f1), signed_vol(v2, f2), rtol=1e-4
+            )
+
+    def test_march_nan_corners_skipped(self, lib):
+        from tpu3dlm.mapper.meshing import marching_tetrahedra
+
+        field = self._sphere_field()
+        field[10:, :, :] = np.nan  # unobserved half
+        v, f = marching_tetrahedra(field, 0.0, np.zeros(3), 0.1)
+        assert len(f) > 0
+        assert np.isfinite(v).all()
+        assert v[:, 0].max() <= 10 * 0.1 + 1e-6  # nothing meshed in the NaN half
+
+    def test_march_unwelded(self, lib):
+        from tpu3dlm.mapper.meshing import (
+            _marching_tetrahedra_np, marching_tetrahedra,
+        )
+
+        field = self._sphere_field(12, r=4.0)
+        v1, f1 = _marching_tetrahedra_np(field, 0.0, np.zeros(3), 0.1, weld=False)
+        v2, f2 = marching_tetrahedra(field, 0.0, np.zeros(3), 0.1, weld=False)
+        assert v1.shape == v2.shape and f1.shape == f2.shape
+
+    def test_splat_bit_exact_vs_numpy(self, lib, rng):
+        from tpu3dlm.mapper.meshing import trilinear_scatter
+        from tpu3dlm.native import native_trilinear_splat
+
+        pts = rng.uniform(-0.4, 2.3, (20_000, 3)).astype(np.float32)
+        vals = rng.normal(size=(20_000, 3)).astype(np.float32)
+        lo = np.array([-0.5, -0.5, -0.5], np.float32)
+        dims = (25, 30, 28)
+        got = native_trilinear_splat(pts, vals, lo, dims, 0.1)
+        # numpy fallback path (native disabled by empty check bypass):
+        from tpu3dlm.mapper import meshing as M
+
+        import tpu3dlm.native as N
+        orig = N.native_trilinear_splat
+        try:
+            N.native_trilinear_splat = lambda *a, **k: None
+            want = trilinear_scatter(pts, vals, lo, dims, 0.1)
+        finally:
+            N.native_trilinear_splat = orig
+        np.testing.assert_array_equal(got, want)
+        # scalar (unit-mass) mode conserves mass; border clamp keeps
+        # out-of-grid points
+        got_s = native_trilinear_splat(pts, None, lo, dims, 0.1)
+        np.testing.assert_allclose(got_s.sum(), len(pts), rtol=1e-9)
+
+    def test_cull_mask_matches_numpy(self, lib, rng):
+        from tpu3dlm.mapper.poisson import _cull_leakage
+        from tpu3dlm.native import native_cull_keep_mask
+
+        # a plane of points + a mesh with one far-away leakage triangle
+        pts = np.stack(
+            [rng.uniform(0, 2, 4000), rng.uniform(0, 2, 4000),
+             rng.normal(0, 0.002, 4000)], axis=1
+        ).astype(np.float32)
+        from tpu3dlm.mapper.meshing import marching_tetrahedra
+        from tpu3dlm.mapper.poisson import poisson_indicator
+
+        chi, origin, voxel, iso = poisson_indicator(pts, voxel=0.08)
+        verts, faces = marching_tetrahedra(
+            chi, iso, origin, voxel, normals_toward_positive=False
+        )
+        v1, f1 = _cull_leakage(verts, faces, pts, origin, cell=2 * voxel)
+        # numpy fallback for the keep mask
+        import tpu3dlm.native as N
+
+        orig = N.native_cull_keep_mask
+        try:
+            N.native_cull_keep_mask = lambda *a, **k: None
+            v2, f2 = _cull_leakage(verts, faces, pts, origin, cell=2 * voxel)
+        finally:
+            N.native_cull_keep_mask = orig
+        assert f1.shape == f2.shape
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(f1, f2)
+        assert len(f1) < len(faces)  # some leakage was actually culled

@@ -88,8 +88,40 @@ def marching_tetrahedra(
     voxel: float,
     weld: bool = True,
     normals_toward_positive: bool = True,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Iso-surface of `field` at `iso` → ((V, 3) vertices, (F, 3) faces).
+
+    Dispatches to the C++ single-pass implementation when the native
+    library is available (native/src/poisson.cpp — same decomposition,
+    case table, interpolation, winding and weld quantisation; vertex ORDER
+    may differ) and falls back to the vectorised numpy path below.
+    ``use_native=False`` forces the numpy path (parity tests).
+    """
+    if use_native:
+        from tpu3dlm.native import native_march_tets
+
+        out = native_march_tets(
+            np.asarray(field, np.float32), float(iso),
+            np.asarray(origin, np.float32), float(voxel), weld,
+            normals_toward_positive,
+        )
+        if out is not None:
+            return out
+    return _marching_tetrahedra_np(
+        field, iso, origin, voxel, weld, normals_toward_positive
+    )
+
+
+def _marching_tetrahedra_np(
+    field: np.ndarray,
+    iso: float,
+    origin: np.ndarray,
+    voxel: float,
+    weld: bool = True,
+    normals_toward_positive: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy marching tetrahedra (the portable fallback + parity oracle).
 
     Fully vectorised: all cubes × 6 tets classified at once; each non-trivial
     case batch emits its triangles via edge interpolation.
@@ -107,42 +139,57 @@ def marching_tetrahedra(
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
-    # cube corner values: (nx-1, ny-1, nz-1, 8)
-    cv = np.empty((nx - 1, ny - 1, nz - 1, 8), np.float32)
+    # crossing-cube detection with running min/max/finite accumulators over
+    # the 8 shifted corner views — materialising the full (cubes, 8) corner
+    # table up front cost ~45% of the march at default-voxel grids, and
+    # crossing cubes are typically <15% of the grid. NaN corners mark
+    # unobserved voxels (e.g. space occluded in every TSDF frame) — meshing
+    # through them would fabricate phantom back-surfaces, so they must fail
+    # the crossing test (np.minimum propagates the NaN; isfinite tracks it).
+    vmin = vmax = fin = None
     for k in range(8):
         dx, dy, dz = (int(v) for v in _CUBE_OFFSETS[k])
-        cv[..., k] = field[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
-    cv = cv.reshape(-1, 8)
-
-    # skip cubes the surface cannot cross; NaN corners mark unobserved
-    # voxels (e.g. space occluded in every TSDF frame) — meshing through
-    # them would fabricate phantom back-surfaces
+        sl = field[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+        if k == 0:
+            vmin, vmax, fin = sl.copy(), sl.copy(), np.isfinite(sl)
+        else:
+            np.minimum(vmin, sl, out=vmin)
+            np.maximum(vmax, sl, out=vmax)
+            fin &= np.isfinite(sl)
     with np.errstate(invalid="ignore"):
-        crossing = (
-            np.isfinite(cv).all(axis=1) & (cv.min(axis=1) <= iso) & (cv.max(axis=1) > iso)
-        )
-    cube_idx = np.nonzero(crossing)[0]
+        crossing = fin & (vmin <= iso) & (vmax > iso)
+    cube_idx = np.nonzero(crossing.reshape(-1))[0]
     if cube_idx.size == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    cv = cv[cube_idx]  # (C, 8)
 
     gx, gy = ny - 1, nz - 1
     ci = cube_idx // (gx * gy)
     cj = (cube_idx // gy) % gx
     ck = cube_idx % gy
+    # corner values for CROSSING cubes only: 8 gathers of C
+    cv = np.empty((cube_idx.size, 8), np.float32)
+    for k in range(8):
+        dx, dy, dz = (int(v) for v in _CUBE_OFFSETS[k])
+        cv[:, k] = field[ci + dx, cj + dy, ck + dz]
     base = np.stack([ci, cj, ck], axis=1).astype(np.float32)  # (C, 3)
-    corner_pos = base[:, None, :] + _CUBE_OFFSETS[None]  # (C, 8, 3) grid units
 
-    # per-tet values and positions: (C, 6, 4[, 3])
-    tv = cv[:, _TETS]
-    tp = corner_pos[:, _TETS]
-    tv = tv.reshape(-1, 4)
-    tp = tp.reshape(-1, 4, 3)
-
+    # classify ALL tets cheaply from values alone, then build positions and
+    # edge intersections only for tets that actually emit triangles (a
+    # crossing cube usually has 2-3 of its 6 tets trivial)
+    tv = cv[:, _TETS].reshape(-1, 4)  # (C·6, 4)
     inside = tv > iso
     case = (
         inside[:, 0] * 1 + inside[:, 1] * 2 + inside[:, 2] * 4 + inside[:, 3] * 8
     ).astype(np.int32)
+    keep = (case != 0) & (case != 15)
+    kept = np.nonzero(keep)[0]
+    if kept.size == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tv = tv[kept]
+    case = case[kept]
+    # (6, 4, 3) grid offsets of each tet's corners, precomputed once
+    tet_offs = _CUBE_OFFSETS[_TETS]
+    tp = base[kept // 6][:, None, :] + tet_offs[kept % 6]  # (T, 4, 3)
 
     # edge intersection points for every tet: (T, 6, 3)
     a = _TET_EDGES[:, 0]
@@ -183,9 +230,21 @@ def marching_tetrahedra(
     faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
     if weld:
         key = np.round(verts / (voxel * 1e-3)).astype(np.int64)
-        _, first, inv = np.unique(
-            key, axis=0, return_index=True, return_inverse=True
-        )
+        # pack the 3 quantised coords into ONE int64 — np.unique on a flat
+        # key is a plain sort, ~10× faster than the structured-view lexsort
+        # unique(axis=0) performs, and (being the same lexicographic order
+        # over shifted non-negative coords) yields the identical result
+        key -= key.min(axis=0)
+        span = key.max(axis=0) + 1
+        if int(span[0]) * int(span[1]) * int(span[2]) < 2**62:
+            flat = (key[:, 0] * span[1] + key[:, 1]) * span[2] + key[:, 2]
+            _, first, inv = np.unique(
+                flat, return_index=True, return_inverse=True
+            )
+        else:  # pathological grid spans: keep the exact row-unique
+            _, first, inv = np.unique(
+                key, axis=0, return_index=True, return_inverse=True
+            )
         verts = verts[first]
         faces = inv[faces].astype(np.int32)
         # drop degenerate triangles collapsed by welding
@@ -247,6 +306,18 @@ def trilinear_scatter(
     """
     pts = np.asarray(points, np.float32)
     nx, ny, nz = (int(d) for d in dims)
+    if pts.shape[0] > 0:
+        # C++ single-pass scatter when available (native/src/poisson.cpp) —
+        # the 24 bincount passes below were ~1 s at 1M points
+        from tpu3dlm.native import native_trilinear_splat
+
+        out_native = native_trilinear_splat(
+            pts,
+            None if values is None else np.asarray(values, np.float32),
+            np.asarray(lo, np.float32), (nx, ny, nz), float(voxel),
+        )
+        if out_native is not None:
+            return out_native
     size = nx * ny * nz
     scalar = values is None
     vals = None if scalar else np.asarray(values, np.float64)

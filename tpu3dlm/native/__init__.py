@@ -17,7 +17,10 @@ import numpy as np
 
 _logger = logging.getLogger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = [os.path.join(_HERE, "src", f) for f in ("dbscan.cpp", "scanpack.cpp", "normals.cpp")]
+_SRC = [
+    os.path.join(_HERE, "src", f)
+    for f in ("dbscan.cpp", "scanpack.cpp", "normals.cpp", "poisson.cpp")
+]
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
@@ -87,8 +90,159 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.c_double, ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.tpu3dlm_march_tets.restype = ctypes.c_int
+            lib.tpu3dlm_march_tets.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_double, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.tpu3dlm_trilinear_splat.restype = ctypes.c_int
+            lib.tpu3dlm_trilinear_splat.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.tpu3dlm_free.restype = None
+            lib.tpu3dlm_free.argtypes = [ctypes.c_void_p]
+            lib.tpu3dlm_cull_leakage.restype = ctypes.c_int
+            lib.tpu3dlm_cull_leakage.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _LIB = lib
     return _LIB
+
+
+def native_cull_keep_mask(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    points: np.ndarray,
+    origin: np.ndarray,
+    cell: float,
+    span_cells: np.ndarray,
+) -> np.ndarray | None:
+    """C++ dilated-occupancy keep mask for mapper/poisson._cull_leakage;
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or len(faces) == 0:
+        return None
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    p = np.ascontiguousarray(points, np.float32)
+    org = np.ascontiguousarray(origin, np.float32)
+    keep = np.empty(len(f), np.uint8)
+    rc = lib.tpu3dlm_cull_leakage(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(f)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(p)),
+        org.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_double(cell),
+        ctypes.c_int64(int(span_cells[0])),
+        ctypes.c_int64(int(span_cells[1])),
+        ctypes.c_int64(int(span_cells[2])),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return keep.astype(bool) if rc == 0 else None
+
+
+def native_march_tets(
+    field: np.ndarray,
+    iso: float,
+    origin: np.ndarray,
+    voxel: float,
+    weld: bool,
+    normals_toward_positive: bool,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ marching tetrahedra (same semantics as the numpy path in
+    mapper/meshing.py — vertex ORDER may differ, geometry is identical);
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(field, np.float32)
+    org = np.ascontiguousarray(origin, np.float32)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    faces_p = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.tpu3dlm_march_tets(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(f.shape[0]), ctypes.c_int64(f.shape[1]),
+        ctypes.c_int64(f.shape[2]), ctypes.c_double(iso),
+        ctypes.c_int(1 if normals_toward_positive else 0),
+        org.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_double(voxel), ctypes.c_int(1 if weld else 0),
+        ctypes.byref(verts_p), ctypes.byref(nv),
+        ctypes.byref(faces_p), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    try:
+        verts = (
+            np.ctypeslib.as_array(verts_p, shape=(nv.value, 3)).copy()
+            if nv.value
+            else np.zeros((0, 3), np.float32)
+        )
+        faces = (
+            np.ctypeslib.as_array(faces_p, shape=(nf.value, 3)).copy()
+            if nf.value
+            else np.zeros((0, 3), np.int32)
+        )
+    finally:
+        if nv.value:
+            lib.tpu3dlm_free(verts_p)
+        if nf.value:
+            lib.tpu3dlm_free(faces_p)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def native_trilinear_splat(
+    points: np.ndarray,
+    values: np.ndarray | None,
+    lo: np.ndarray,
+    dims: tuple[int, int, int],
+    voxel: float,
+) -> np.ndarray | None:
+    """C++ trilinear scatter (f64 accumulation, border clamp — the
+    meshing.trilinear_scatter semantics); None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    nx, ny, nz = (int(d) for d in dims)
+    scalar = values is None
+    channels = 1 if scalar else int(values.shape[1])
+    accum = np.zeros((nx * ny * nz, channels), np.float64)
+    vals_arg = ctypes.POINTER(ctypes.c_float)()
+    if not scalar:
+        values = np.ascontiguousarray(values, np.float32)
+        vals_arg = values.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lo32 = np.ascontiguousarray(lo, np.float32)
+    rc = lib.tpu3dlm_trilinear_splat(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(pts.shape[0]), vals_arg, ctypes.c_int64(channels),
+        lo32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_double(voxel), ctypes.c_int64(nx), ctypes.c_int64(ny),
+        ctypes.c_int64(nz),
+        accum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    shaped = accum.reshape(nx, ny, nz, channels).astype(np.float32)
+    return shaped[..., 0] if scalar else shaped
 
 
 def native_grid_normals(
