@@ -136,6 +136,7 @@ def _project_one_box(
     rgb_size: jax.Array,  # (2,) width, height
     pose: jax.Array,  # (7,)
     scale_depth: float,
+    median_samples: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """One box → (4, 3) world corners + validity."""
     hd, wd = depth.shape
@@ -149,7 +150,9 @@ def _project_one_box(
     scaled = G.scale_bbox(bbox, rgb_size, depth_wh)
     # sampled median: exact on planar sign regions, ~50× cheaper than the
     # full-image sort the exact median needs (see ops/geometry.py)
-    z_mm, z_valid = G.bbox_sampled_median_depth(depth, scaled)
+    z_mm, z_valid = G.bbox_sampled_median_depth(
+        depth, scaled, samples=median_samples
+    )
     z = z_mm / scale_depth  # mm → metres
 
     corners = G.bbox_corners_2d(scaled)  # (4, 2)
@@ -160,7 +163,7 @@ def _project_one_box(
     return world, box_valid & z_valid
 
 
-@partial(jax.jit, static_argnames=("scale_depth",))
+@partial(jax.jit, static_argnames=("scale_depth", "median_samples"))
 def project_boxes(
     boxes: jax.Array,  # (F, B, 4)
     box_mask: jax.Array,  # (F, B)
@@ -169,10 +172,22 @@ def project_boxes(
     rgb_size: jax.Array,  # (F, 2)
     poses: jax.Array,  # (F, 7)
     scale_depth: float = 1000.0,
+    median_samples: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused kernel: all frames × boxes → ((F, B, 4, 3) corners, (F, B) mask)."""
+    """Fused kernel: all frames × boxes → ((F, B, 4, 3) corners, (F, B) mask).
+
+    ``median_samples``: side of the depth-median sampling grid (see
+    bbox_sampled_median_depth). ANY grid size is exact on piecewise-
+    constant (planar-sign) regions — the workload's case — and a 16x16
+    grid keeps a 256-sample median on noisy depth while quartering the
+    per-box sort that dominated the projection stage (v5e-1 per-op ledger,
+    PERF.md round-5: sort 8.0% of device time at 32x32; 16x16 measured
+    +13.5% end-to-end detect+project throughput). Pass 32 to reproduce the
+    round-2..4 numbers bit-for-bit.
+    """
+    project = partial(_project_one_box, median_samples=median_samples)
     per_frame = jax.vmap(  # over boxes within a frame
-        _project_one_box, in_axes=(0, 0, None, None, None, None, None)
+        project, in_axes=(0, 0, None, None, None, None, None)
     )
     all_frames = jax.vmap(  # over frames
         per_frame, in_axes=(0, 0, 0, 0, 0, 0, None)
