@@ -241,11 +241,14 @@ def main():
                 # what was actually timed, not the request
                 nb = min(nb, int(arrays[0].shape[0]))
                 cpu_arrays = tuple(a[:nb] for a in arrays)
-                samples = [
+                # 5 samples, trimmed mean (drop min+max): the round-2
+                # 3-sample mean carried a 20%-of-mean spread into the
+                # headline vs_baseline denominator (ADVICE r2)
+                samples = sorted(
                     time_fps(step, variables, cpu_arrays, cpu, 1, jax)
-                    for _ in range(3)
-                ]
-                measured_cpu_fps = float(np.mean(samples))
+                    for _ in range(5)
+                )
+                measured_cpu_fps = float(np.mean(samples[1:-1]))
             else:
                 vs_baseline = 1.0
         except Exception as e:

@@ -13,6 +13,9 @@ from tpu3dlm.alignment.visualise import VisualiseAlignment
 from tpu3dlm.data import synthetic
 from tpu3dlm.data.ply import load_ply
 
+# whole-file slow tier: full-scale ICP registration legs (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def _world_T(angle=0.12, t=(0.8, -0.5, 0.3)):
     c, s = np.cos(angle), np.sin(angle)

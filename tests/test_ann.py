@@ -66,6 +66,7 @@ class TestBuild:
         assert c >= 64 and b >= 32 and c <= 1024
 
 
+@pytest.mark.slow  # large-cloud ANN recall sweeps
 class TestQueryRecall:
     def test_recall_on_scan_geometry(self, rng):
         tgt = jnp.asarray(_scan_like_cloud(rng, 65536))
@@ -154,6 +155,7 @@ class TestStaticShapes:
         # the property the serving path relies on (utils/shapes)
 
 
+@pytest.mark.slow  # full ICP runs through the ANN index
 class TestICPEquivalence:
     @staticmethod
     def _rigid(omega, t):

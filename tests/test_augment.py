@@ -9,6 +9,9 @@ import pytest
 
 from tpu3dlm.ops.augment import _crop_zoom, augment_detection_batch
 
+# whole-file slow tier: finetune/augment steps compile whole train programs (pyproject markers)
+pytestmark = pytest.mark.slow
+
 S = 64
 
 

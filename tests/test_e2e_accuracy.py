@@ -12,6 +12,9 @@ import os
 
 import pytest
 
+# whole-file slow tier: full-scale accuracy pipeline (pyproject markers)
+pytestmark = pytest.mark.slow
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 YOLO = os.path.join(FIXTURES, "yolo_synthetic.msgpack")
 BEIT = os.path.join(FIXTURES, "beit_synthetic.msgpack")

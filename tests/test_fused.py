@@ -41,6 +41,7 @@ SMALL_BEIT = BeitConfig(
 
 
 class TestFusedRunner:
+    @pytest.mark.slow  # full staged + fused pipelines
     def test_matches_staged_pipeline(self, scan):
         """Fused single-jit path must agree with the staged path (same
         weights, f32 both)."""

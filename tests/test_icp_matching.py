@@ -390,6 +390,7 @@ class TestAuction:
         assert np.asarray(rep["matched_rows"]).tolist() == [True, True]
         assert np.asarray(rep["unmatched_cols"]).tolist() == [False, False, True]
 
+    @pytest.mark.slow  # randomized 200-500 auction sweeps
     def test_stress_sweep_matches_scipy(self):
         """Randomized large instances with adversarial cost structure
         (uniform / clustered / near-tie) cross-checked against scipy's

@@ -187,6 +187,7 @@ class TestTSDF:
         assert len(faces) > 0
 
 
+@pytest.mark.slow  # full Pipeline mesh artifacts (~4 min each on 1 core)
 class TestPipelineMeshArtifact:
     @pytest.fixture(scope="class")
     def project(self, tmp_path_factory):
@@ -300,6 +301,7 @@ class TestPoissonReconstruction:
         r = np.linalg.norm(verts, axis=1)
         assert abs(float(r.mean()) - 1.0) < 0.02
 
+    @pytest.mark.slow  # dense Poisson quality gate
     def test_synthetic_cloud_two_sided_distance(self, scan_cloud):
         """On the synthetic scan's wall cloud: the mesh hugs the samples and
         covers them (both directions ≤ ~2 voxels mean), and the open-sheet

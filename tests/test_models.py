@@ -24,6 +24,7 @@ def yolo_n():
 
 
 class TestYOLOv10:
+    @pytest.mark.slow  # full 640px YOLO forward
     def test_forward_shapes(self, yolo_n):
         model, variables = yolo_n
         x = jnp.zeros((2, 128, 128, 3), jnp.float32)
@@ -32,6 +33,7 @@ class TestYOLOv10:
         for o, s in zip(out["one2one"], (8, 16, 32)):
             assert o.shape == (2, 128 // s, 128 // s, 4 * REG_MAX + 8)
 
+    @pytest.mark.slow  # full 640px postprocess
     def test_postprocess_static_shapes(self, yolo_n):
         model, variables = yolo_n
         x = jnp.zeros((2, 128, 128, 3), jnp.float32)
@@ -147,6 +149,7 @@ class TestYoloConverter:
 
 
 class TestUltralyticsCheckpointShim:
+    @pytest.mark.slow  # real torch checkpoint load
     def test_object_checkpoint_loads_without_package(self, tmp_path):
         """Real ultralytics best.pt files pickle the MODEL OBJECT
         (ultralytics.nn.tasks.DetectionModel); loading them must work with
@@ -215,6 +218,7 @@ class TestS2DStem:
             np.concatenate([np.asarray(x[0, i, j]) for i in (0, 1) for j in (0, 1)]),
         )
 
+    @pytest.mark.slow  # two full stem compiles
     def test_s2d_stem_output_shapes_match_conv(self):
         """The utilisation-experiment stem must be a drop-in: identical
         output shapes at every scale (weights differ — checkpoints require
@@ -322,6 +326,7 @@ class TestUltralyticsPackageGolden:
                 )
 
 
+@pytest.mark.slow  # multi-variant torch-golden forwards
 class TestYoloTorchGolden:
     """Numeric golden: ultralytics-format torch YOLOv10 → converter → Flax
     forward equivalence (VERDICT r1 item 3 — a wrong BN epsilon, padding, or
@@ -378,6 +383,7 @@ class TestYoloTorchGolden:
 
 
 class TestBeit:
+    @pytest.mark.slow  # HF torch golden forward
     def test_matches_hf_torch(self):
         """Random-weight HF torch BEiT vs converted Flax — logits must match."""
         torch = pytest.importorskip("torch")
@@ -421,6 +427,7 @@ class TestBeit:
         got = np.asarray(flax_model.apply(variables, jnp.array(img)))
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    @pytest.mark.slow  # full HF conversion
     def test_converter_covers_tree(self):
         torch = pytest.importorskip("torch")
         from transformers import BeitConfig as HFConfig
@@ -459,6 +466,7 @@ class TestBeit:
         x = preprocess_crops(jnp.zeros((1, 4, 4, 3), jnp.uint8))
         np.testing.assert_allclose(np.asarray(x), -1.0, atol=1e-6)
 
+    @pytest.mark.slow  # full-depth BEiT twice
     def test_bf16_fast_path_tracks_f32(self):
         """The bf16 inference path (bf16 QK logits before bias+softmax,
         BeitAttention) must agree with the golden-tested f32 path: same
@@ -565,6 +573,7 @@ class TestPallasAttention:
             atol=1e-2, rtol=1e-2,
         )
 
+    @pytest.mark.slow  # full-depth BEiT both impls
     def test_module_pallas_impl_matches_einsum(self):
         """attn_impl='pallas' reroutes through the head-major dispatcher
         (the einsum twin off-TPU): classification logits must match the

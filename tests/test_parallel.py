@@ -21,6 +21,23 @@ def mesh8():
     return make_mesh(8)
 
 
+TINY_BEIT_CFG = BeitConfig(
+    image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+    intermediate_size=64, num_labels=2,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    """Shared tiny YOLO+BEiT and their params: five classes used to pay an
+    identical init trace each (~3 s a piece on this 1-core host)."""
+    yolo = YOLOv10(nc=3, variant="n")
+    beit = BeitClassifier(TINY_BEIT_CFG)
+    yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    return yolo, beit, yolo_vars, beit_vars
+
+
 class TestMesh:
     def test_make_mesh(self, mesh8):
         assert mesh8.devices.size == 8
@@ -39,13 +56,9 @@ class TestMesh:
 
 
 class TestShardedInference:
-    def test_full_scan_step_8dev(self, mesh8):
+    def test_full_scan_step_8dev(self, mesh8, tiny_models):
         F, S = 8, 64
-        yolo = YOLOv10(nc=3, variant="n")
-        beit = BeitClassifier(
-            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
-                       intermediate_size=64, num_labels=2)
-        )
+        yolo, beit, yolo_vars, beit_vars = tiny_models
         rng = np.random.default_rng(0)
         rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
         depth = np.full((F, 64, 48), 2000.0, np.float32)
@@ -53,8 +66,6 @@ class TestShardedInference:
         rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
         poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
 
-        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
-        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
         from tpu3dlm.parallel.inference import square_box_affine
 
@@ -73,22 +84,16 @@ class TestShardedInference:
         # outputs are sharded over the mesh
         assert len(out["corners"].sharding.device_set) == 8
 
-    def test_sharded_matches_single_device(self, mesh8):
+    def test_sharded_matches_single_device(self, mesh8, tiny_models):
         """The mesh must not change numerics (modulo float noise)."""
         F, S = 8, 64
-        yolo = YOLOv10(nc=3, variant="n")
-        beit = BeitClassifier(
-            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
-                       intermediate_size=64, num_labels=2)
-        )
+        yolo, beit, yolo_vars, beit_vars = tiny_models
         rng = np.random.default_rng(1)
         rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
         depth = np.full((F, 64, 48), 2000.0, np.float32)
         intr = np.tile(np.array([100.0, 100.0, 32.0, 32.0], np.float32), (F, 1))
         rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
         poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
-        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
-        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
         from tpu3dlm.parallel.inference import full_scan_step_fn, square_box_affine
 
@@ -111,26 +116,20 @@ class TestShardedInference:
 
 
 class TestShardedCropBudget:
-    def test_budget_selection_matches_single_device(self, mesh8):
+    def test_budget_selection_matches_single_device(self, mesh8, tiny_models):
         """crop_budget < F·max_det under sharding: the global top-k crop
         selection + scatter must pick the SAME crops as the single-device
         program (VERDICT round-1 weak #3 — previously only tested at
         k = F·D where selection is a no-op). Relies on GSPMD lowering the
         program's global top-k correctly over the sharded frame axis."""
         F, S, D, BUDGET = 8, 64, 4, 6
-        yolo = YOLOv10(nc=3, variant="n")
-        beit = BeitClassifier(
-            BeitConfig(image_size=32, hidden_size=32, num_layers=1, num_heads=2,
-                       intermediate_size=64, num_labels=2)
-        )
+        yolo, beit, yolo_vars, beit_vars = tiny_models
         rng = np.random.default_rng(7)
         rgb = rng.integers(0, 255, size=(F, S, S, 3)).astype(np.uint8)
         depth = np.full((F, 64, 48), 2000.0, np.float32)
         intr = np.tile(np.array([100.0, 100.0, 32.0, 32.0], np.float32), (F, 1))
         rgb_size = np.tile(np.array([S, S], np.float32), (F, 1))
         poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
-        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
-        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
         from tpu3dlm.parallel.inference import full_scan_step_fn, square_box_affine
 
@@ -361,7 +360,7 @@ class TestPallasAttentionUnderMesh:
         poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (F, 1))
         return rgb, depth, intr, rgb_size, poses
 
-    def test_kernel_active_on_mesh_and_matches_einsum(self, mesh8, monkeypatch):
+    def test_kernel_active_on_mesh_and_matches_einsum(self, mesh8, monkeypatch, tiny_models):
         import dataclasses
 
         from tpu3dlm.ops.pallas import attention
@@ -385,13 +384,12 @@ class TestPallasAttentionUnderMesh:
             intermediate_size=64, num_labels=2, attn_impl="pallas",
         )
         cfg_e = dataclasses.replace(cfg_p, attn_impl="einsum")
-        yolo = YOLOv10(nc=3, variant="n")
+        # param structure is impl-independent — the shared fixture's tree
+        # drives both attention paths
+        yolo, _, yolo_vars, beit_vars = tiny_models
         beit_p = BeitClassifier(cfg_p)
         beit_e = BeitClassifier(cfg_e)
         rgb, depth, intr, rgb_size, poses = self._data(F, S)
-        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
-        # param structure is impl-independent — one tree drives both paths
-        beit_vars = beit_p.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
 
         affine = jnp.asarray(square_box_affine(rgb_size, S))
         batch = shard_batch(
@@ -416,32 +414,33 @@ class TestPallasAttentionUnderMesh:
         )
 
     def test_fused_runner_no_longer_downgrades_attn_impl(self):
+        from tpu3dlm.models.weights import init_template
         from tpu3dlm.pipeline.fused import FusedScanRunner
 
+        # zero-compile param templates — this asserts config handling only,
+        # so paying a cold yolo.init compile (~25 s) would be pure waste
+        cfg = BeitConfig(
+            image_size=32, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, num_labels=2,
+        )
+        yolo = YOLOv10(nc=3, variant="n")
+        beit = BeitClassifier(cfg)
         runner = FusedScanRunner(
-            img_size=64, max_det=4, nc=3, variant="n",
-            beit_config=BeitConfig(
-                image_size=32, hidden_size=32, num_layers=1, num_heads=2,
-                intermediate_size=64, num_labels=2,
-            ),
+            img_size=64, max_det=4, nc=3, variant="n", beit_config=cfg,
+            yolo_variables=init_template(yolo, jnp.zeros((1, 64, 64, 3))),
+            beit_variables=init_template(beit, jnp.zeros((1, 32, 32, 3))),
             mesh_devices=8,
         )
         assert runner.beit.cfg.attn_impl == "auto"
 
-    def test_shard_map_classify_pads_non_divisible_budget(self, mesh8):
+    def test_shard_map_classify_pads_non_divisible_budget(self, mesh8, tiny_models):
         """crop_budget not divisible by the mesh size must still work (the
         shard_map wrapper pads the crop axis and trims the logits)."""
         from tpu3dlm.parallel.inference import square_box_affine
 
         F, S, BUDGET = 8, 64, 5  # 5 % 8 != 0
-        yolo = YOLOv10(nc=3, variant="n")
-        beit = BeitClassifier(
-            BeitConfig(image_size=32, hidden_size=32, num_layers=1,
-                       num_heads=2, intermediate_size=64, num_labels=2)
-        )
+        yolo, beit, yolo_vars, beit_vars = tiny_models
         rgb, depth, intr, rgb_size, poses = self._data(F, S, seed=11)
-        yolo_vars = yolo.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
-        beit_vars = beit.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
         affine = jnp.asarray(square_box_affine(rgb_size, S))
         step = sharded_full_scan_step(
             mesh8, yolo, beit, img_size=S, max_det=4, conf_thresh=0.0,

@@ -11,6 +11,9 @@ import pytest
 from tpu3dlm.data import synthetic
 from tpu3dlm.utils.config import ConfigLoader, write_default_config
 
+# whole-file slow tier: full two-scan pipelines (pyproject markers)
+pytestmark = pytest.mark.slow
+
 TEST_OVERRIDES = """
 [default]
 img_size = 128

@@ -97,6 +97,7 @@ class TestDamageDetector:
 
 
 class TestJitCache:
+    @pytest.mark.slow  # traces several full stages
     def test_equivalent_stages_share_traced_programs(self):
         """Two stages with identical static config must reuse one traced
         program (utils/jitcache.py) — re-tracing costs seconds per pipeline

@@ -19,6 +19,10 @@ import pytest
 from tpu3dlm.models.beit import BeitClassifier, BeitConfig, preprocess_crops
 from tpu3dlm.ops.quant import dense_int8, int8_matmul, quantize_rows, quantize_weight
 
+# whole-file slow tier: the int8 path ships gated off (beit_quant; PERF.md
+# rejection on v5e) — full-model compiles belong in the CI/full run
+pytestmark = pytest.mark.slow
+
 TOY = dict(
     image_size=32, patch_size=16, hidden_size=64, num_layers=2,
     num_heads=4, intermediate_size=128, num_labels=3,
@@ -154,6 +158,7 @@ class TestQuantizeBeitVariables:
 
 
 class TestInt8Model:
+    @pytest.mark.slow  # full int8 + f32 models
     def test_int8_tracks_f32(self):
         """Same bar as the bf16 fast path: identical top-1 on decisive
         crops, bounded softmax drift, against the f32 golden path."""
@@ -187,6 +192,7 @@ class TestInt8Model:
             f"int8 flipped a decisive top-1: margins {margin[~agree]}"
         )
 
+    @pytest.mark.slow  # full int8 model compile
     def test_int8_bf16_activations(self):
         """quant composes with the bf16 fast path (dequant casts back to
         the module dtype)."""

@@ -17,6 +17,9 @@ import pytest
 
 from tpu3dlm.utils.shapes import next_bucket, pad_axis0
 
+# whole-file slow tier: multi-capture serving pipelines (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def rng():

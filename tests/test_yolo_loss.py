@@ -16,6 +16,9 @@ from tpu3dlm.models.yolo_loss import (
 )
 from tpu3dlm.models.yolov10 import REG_MAX, YOLOv10, make_anchors
 
+# whole-file slow tier: whole-model loss/gradient compiles (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 class TestIoU:
     def test_identical_boxes(self):

@@ -56,7 +56,7 @@ def full_scan_step_fn(
     """
     classify = lambda bv, crops: beit.apply(bv, preprocess_crops(crops))  # noqa: E731
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as _P
 
         axis = mesh.axis_names[0]
@@ -65,7 +65,7 @@ def full_scan_step_fn(
             mesh=mesh,
             in_specs=(_P(), _P(axis)),
             out_specs=_P(axis),
-            check_rep=False,  # pallas_call has no replication rule
+            check_vma=False,  # pallas_call has no replication rule
         )
 
         def classify(bv, crops):  # noqa: F811 — shard_map-wrapped twin
