@@ -60,7 +60,18 @@ def make_step(img_size: int, max_det: int, variant: str = "n"):
     yolo = YOLOv10(nc=80, variant=variant, dtype=dtype, stem=stem)
 
     def step(variables, rgb_u8, depth, intrinsics, rgb_size, poses):
-        x = rgb_u8.astype(jnp.float32) / 255.0
+        # BENCH_INPUT_CAST=bf16 probes casting u8 straight to the compute
+        # dtype: u8→bf16 is exact (0-255 fits the 8-bit mantissa) and the
+        # /255 then rounds once to bf16 — numerically equivalent to
+        # f32/255→bf16 up to 1 ulp double-rounding — while skipping the
+        # f32 materialization of the 630 MB input batch (per-op ledger:
+        # m0 convert_element_type 6.3% of device time)
+        in_dtype = (
+            dtype
+            if os.environ.get("BENCH_INPUT_CAST", "f32") == "bf16"
+            else jnp.float32
+        )
+        x = rgb_u8.astype(in_dtype) / 255.0
         raw = yolo.apply(variables, x)["one2one"]
         det = postprocess(raw, img_size=img_size, max_det=max_det)
         sx = (rgb_size[:, 0] / img_size)[:, None]
@@ -306,6 +317,9 @@ def main():
         and num_frames >= 256
         and img_size == 640
         and os.environ.get("BENCH_STEM", "conv") == "conv"
+        and os.environ.get("BENCH_INPUT_CAST", "f32") == "f32"
+        and os.environ.get("BENCH_MEDIAN_SAMPLES", "16") == "16"
+        and os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
     ):
         # refresh the committed last-known-good so a future outage round
         # still carries evidence (utils/backend.unavailable_record) — but
