@@ -188,11 +188,13 @@ def main():
     # bottlenecked the step and 128 was the sweet spot (PERF.md)
     num_frames = int(os.environ.get("BENCH_FRAMES", "256"))
     img_size = int(os.environ.get("BENCH_IMG", "640"))
-    # 10 queued iterations per timed window: the round-5 per-op ledger
+    # 40 queued iterations per timed window: the round-5 per-op ledger
     # showed 3 iterations leave the chip idle 25.7% of the trace (enqueue
-    # edges); at depth 10 idle drops to 10.2% and the same program measures
-    # 3.1k → 4.0k fps. Sustained throughput — a full queue — is the metric.
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # edges). Knee study on v5e-1 (same program): depth 3 → 3.1k fps,
+    # 10 → 4.0k (idle 10.2%), 20 → 4.7k, 40 → 5.0k, 80 → 5.04k (+0.9%).
+    # Sustained throughput — a full queue, the serving pattern — is the
+    # metric; 40 sits at the knee without inflating the window.
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
     variant = os.environ.get("BENCH_VARIANT", "n")
 
     arrays = build_inputs(num_frames, img_size)
