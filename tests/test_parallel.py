@@ -433,13 +433,24 @@ class TestPallasAttentionUnderMesh:
         )
         assert runner.beit.cfg.attn_impl == "auto"
 
-    def test_shard_map_classify_pads_non_divisible_budget(self, mesh8, tiny_models):
+    def test_shard_map_classify_pads_non_divisible_budget(
+        self, mesh8, tiny_models, monkeypatch
+    ):
         """crop_budget not divisible by the mesh size must still work (the
-        shard_map wrapper pads the crop axis and trims the logits)."""
+        shard_map wrapper pads the crop axis and trims the logits). The
+        wrapper only engages for the pallas attention path — einsum stays
+        plain GSPMD — so force the kernel (interpret mode on CPU)."""
+        import dataclasses
+
+        from tpu3dlm.ops.pallas import attention
         from tpu3dlm.parallel.inference import square_box_affine
 
+        monkeypatch.setattr(attention, "FORCE_INTERPRET", True)
         F, S, BUDGET = 8, 64, 5  # 5 % 8 != 0
-        yolo, beit, yolo_vars, beit_vars = tiny_models
+        yolo, _, yolo_vars, beit_vars = tiny_models
+        beit = BeitClassifier(
+            dataclasses.replace(TINY_BEIT_CFG, attn_impl="pallas")
+        )
         rgb, depth, intr, rgb_size, poses = self._data(F, S, seed=11)
         affine = jnp.asarray(square_box_affine(rgb_size, S))
         step = sharded_full_scan_step(

@@ -46,15 +46,32 @@ def full_scan_step_fn(
     scans (what converted finetuned checkpoints expect,
     data/dataset.py:150-156) run through the same fused program.
 
-    ``mesh``: when set, the BEiT classify sub-call runs under ``shard_map``
-    over the crop axis. This is what keeps the fused Pallas attention
-    kernel (ops/pallas/attention.py) usable on a multi-chip mesh: GSPMD
-    treats a ``pallas_call`` as opaque and would REPLICATE it (all-gather
-    its operands), but inside shard_map each device runs the per-shard
-    program — kernel included — on its local crops. Everything else in the
-    step stays GSPMD-partitioned (including the global crop top-k).
+    ``mesh``: when set AND the BEiT attention resolves to the Pallas
+    kernel, the classify sub-call runs under ``shard_map`` over the crop
+    axis. This is what keeps the fused kernel (ops/pallas/attention.py)
+    usable on a multi-chip mesh: GSPMD treats a ``pallas_call`` as opaque
+    and would REPLICATE it (all-gather its operands), but inside shard_map
+    each device runs the per-shard program — kernel included — on its
+    local crops. Everything else in the step stays GSPMD-partitioned
+    (including the global crop top-k). When the attention resolves to the
+    einsum path (non-TPU backends, f32), the wrap is SKIPPED: GSPMD
+    partitions einsums cleanly, and the wrap's crop reshard costs real
+    time for no benefit (measured 1.9× on the 8-device CPU-mesh strong-
+    scaling leg).
     """
     classify = lambda bv, crops: beit.apply(bv, preprocess_crops(crops))  # noqa: E731
+    if mesh is not None:
+        # same resolution rule as models/beit.BeitAttention "auto"
+        impl = beit.cfg.attn_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if beit.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                else "einsum"
+            )
+        if impl != "pallas":
+            mesh = None  # einsum path: plain GSPMD partitioning
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as _P
