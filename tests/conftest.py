@@ -18,8 +18,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeat suite runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpu3dlm_jax_cache_tests")
+# persistent compilation cache: repeat suite runs skip recompiles. The dir
+# is host-fingerprinted like every other entrypoint's (utils/backend) so a
+# stale XLA:CPU AOT blob from another toolchain/machine state is never
+# blind-loaded (cpu_aot_loader feature-mismatch warnings / SIGILL risk).
+from tpu3dlm.utils.backend import host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/tpu3dlm_jax_cache_tests/" + host_fingerprint(),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

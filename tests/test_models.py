@@ -625,3 +625,94 @@ class TestPallasAttention:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
             )
+
+
+class TestPackedPallasAttention:
+    """Packed-layout fused attention (ops/pallas/attention.py::
+    beit_attention_packed_*): the kernel reads the raw (B, N, h·d) Dense
+    outputs — no head-major transposes exist in the program (PERF.md
+    round 5: those transposes cost 78% of the head-major kernel's
+    runtime). Correctness in interpret mode; the module now routes its
+    pallas path through this kernel."""
+
+    def _qkvb(self, rng, B, N, h, d, dtype=jnp.float32):
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)
+        return (
+            mk(B, N, h * d), mk(B, N, h * d), mk(B, N, h * d),
+            jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32),
+        )
+
+    @pytest.mark.parametrize(
+        "shape,bb",
+        [
+            ((3, 5, 2, 64), 8),   # hp=2 lane-aligned pairs; B < block_b
+            ((5, 7, 4, 32), 2),   # hp=4; B % block_b != 0 → zero-pad path
+            ((4, 33, 3, 16), 4),  # h=3: hp falls back to a divisor (3)
+            ((2, 9, 12, 64), 16), # BEiT-base head layout
+        ],
+    )
+    def test_packed_matches_reference_interpret(self, rng, shape, bb):
+        if jax.default_backend() == "tpu":
+            pytest.skip("interpret-mode check is a CPU-suite test")
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention_packed_pallas,
+            beit_attention_packed_reference,
+        )
+
+        B, N, h, d = shape
+        q, k, v, bias = self._qkvb(rng, B, N, h, d)
+        out = beit_attention_packed_pallas(
+            q, k, v, bias, h, block_b=bb, interpret=True
+        )
+        ref = beit_attention_packed_reference(q, k, v, bias, h)
+        assert out.shape == (B, N, h * d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_packed_matches_headmajor_kernel(self, rng):
+        """The packed and head-major kernels are the same math — pin them
+        against each other through their layouts."""
+        if jax.default_backend() == "tpu":
+            pytest.skip("interpret-mode check is a CPU-suite test")
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention_packed_pallas, beit_attention_pallas,
+        )
+
+        B, N, h, d = 3, 11, 2, 32
+        q, k, v, bias = self._qkvb(rng, B, N, h, d)
+        packed = beit_attention_packed_pallas(q, k, v, bias, h, interpret=True)
+
+        def split(t):
+            return t.reshape(B, N, h, d).transpose(2, 0, 1, 3)
+
+        hm = beit_attention_pallas(
+            split(q), split(k), split(v), bias, interpret=True
+        )
+        hm_packed = hm.transpose(1, 2, 0, 3).reshape(B, N, h * d)
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(hm_packed), atol=1e-5, rtol=1e-5
+        )
+
+    def test_packed_custom_vjp_matches_reference_grads(self, rng):
+        from tpu3dlm.ops.pallas.attention import (
+            beit_attention_packed, beit_attention_packed_reference,
+        )
+
+        B, N, h, d = 2, 7, 2, 8
+        q, k, v, bias = self._qkvb(rng, B, N, h, d)
+
+        def loss_kernel(q_, k_, v_, b_):
+            return (beit_attention_packed(q_, k_, v_, b_, h) ** 2).sum()
+
+        def loss_ref(q_, k_, v_, b_):
+            return (
+                beit_attention_packed_reference(q_, k_, v_, b_, h) ** 2
+            ).sum()
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )

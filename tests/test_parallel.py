@@ -367,13 +367,13 @@ class TestPallasAttentionUnderMesh:
         from tpu3dlm.parallel.inference import square_box_affine
 
         calls = {"n": 0}
-        orig = attention.beit_attention_pallas
+        orig = attention.beit_attention_packed_pallas
 
         def counting(*a, **kw):
             calls["n"] += 1
             return orig(*a, **kw)
 
-        monkeypatch.setattr(attention, "beit_attention_pallas", counting)
+        monkeypatch.setattr(attention, "beit_attention_packed_pallas", counting)
         # run the REAL kernel (interpret mode) on the CPU mesh — not the
         # einsum twin — so this validates the pallas_call inside shard_map
         monkeypatch.setattr(attention, "FORCE_INTERPRET", True)

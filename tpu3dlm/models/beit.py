@@ -186,19 +186,19 @@ class BeitAttention(nn.Module):
             )
         if impl == "pallas":
             # fused kernel: scores never leave VMEM (and are f32 for free),
-            # the (h, N, N) bias is DMA'd once per head instead of being
-            # broadcast through HBM per batch row. Head-major layout so the
-            # kernel's grid can order heads outermost.
-            from tpu3dlm.ops.pallas.attention import beit_attention
+            # the (hp, N, N) bias block is DMA'd once per head group instead
+            # of being broadcast through HBM per batch row. PACKED layout:
+            # the kernel reads the q/k/v Dense outputs as-is and slices
+            # heads out of lane-aligned blocks — the earlier head-major
+            # layout spent 78% of the kernel's runtime on its four
+            # (B,N,H)↔(h,B,N,d) transposes per layer (PERF.md round 5).
+            from tpu3dlm.ops.pallas.attention import beit_attention_packed
 
-            def split_h(t):
-                return t.reshape(B, N, c.num_heads, hd).transpose(2, 0, 1, 3)
-
-            out = beit_attention(
-                split_h(q), split_h(k), split_h(v),
+            out = beit_attention_packed(
+                q, k, v,
                 bias.transpose(2, 0, 1).astype(jnp.float32),
+                c.num_heads,
             )
-            out = out.transpose(1, 2, 0, 3).reshape(B, N, c.hidden_size)
             return _encoder_dense(c, c.hidden_size, True, self.dtype, "output")(out)
 
         def split(t):

@@ -125,6 +125,167 @@ def beit_attention_pallas(
     return out.reshape(h, Bp, N, d)[:, :B]
 
 
+def _attn_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, d: int
+):
+    """Like _attn_kernel but over PACKED blocks: the last axis carries
+    ``hp`` heads of width d side by side (hp·d = 128 lanes for d=64), and
+    the bias block carries the matching hp heads. Heads are processed
+    sequentially so only one (bb, N, N) f32 score tile is live at a time."""
+    hp = q_ref.shape[-1] // d
+    for i in range(hp):
+        sl = slice(i * d, (i + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias_ref[i]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_b", "interpret")
+)
+def beit_attention_packed_pallas(
+    q: jax.Array,  # (B, N, H) — the RAW q Dense output, H = h·d
+    k: jax.Array,  # (B, N, H)
+    v: jax.Array,  # (B, N, H)
+    bias: jax.Array,  # (h, N, N) f32 relative-position bias
+    num_heads: int,
+    block_b: int = 16,
+    interpret: bool = False,
+) -> jax.Array:  # (B, N, H) in q.dtype
+    """Packed-layout twin of beit_attention_pallas.
+
+    The head-major kernel needs (B,N,H) → (h,B,N,d) transposes on q/k/v
+    and one back on the output — 4 materialised HBM round trips per layer
+    that the per-op ledger measured at 78% of the kernel's own runtime
+    (PERF.md round 5). Here the kernel reads the Dense outputs AS-IS:
+    each program DMAs a (block_b, N, hp·d) slice whose last axis is hp
+    consecutive heads (hp = 128 // d keeps blocks lane-aligned), computes
+    them sequentially in VMEM, and writes the output back in packed
+    layout, ready for the output projection. No transpose ops exist in
+    the program at all.
+    """
+    B, N, H = q.shape
+    h = num_heads
+    d = H // h
+    hp = max(1, 128 // d)
+    while h % hp:
+        hp -= 1
+    scale = 1.0 / math.sqrt(d)
+    bb = min(block_b, B)
+    pad = (-B) % bb
+    if pad:
+        zeros = ((0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, zeros), jnp.pad(k, zeros), jnp.pad(v, zeros)
+    Bp = B + pad
+    nb = Bp // bb
+
+    qkv_spec = pl.BlockSpec(
+        (bb, N, hp * d), lambda hi, bi: (bi, 0, hi),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, d=d),
+        interpret=interpret,
+        grid=(h // hp, nb),  # LAST dim fastest → bias constant per sweep
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec(
+                (hp, N, N), lambda hi, bi: (hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, N, H), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * Bp * N * N * d * 2,
+            bytes_accessed=(
+                4 * Bp * N * H * q.dtype.itemsize + h * N * N * 4
+            ),
+            transcendentals=h * Bp * N * N,
+        ),
+    )(q, k, v, bias.astype(jnp.float32))
+    return out[:B]
+
+
+def beit_attention_packed_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
+    num_heads: int,
+) -> jax.Array:
+    """XLA twin of the packed kernel with its exact numerics (f32 scores /
+    softmax, probabilities cast back for the AV matmul) — backward
+    recompute + parity oracle."""
+    B, N, H = q.shape
+    h = num_heads
+    d = H // h
+    qh = q.reshape(B, N, h, d)
+    kh = k.reshape(B, N, h, d)
+    vh = v.reshape(B, N, h, d)
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
+    )
+    s = s / jnp.float32(math.sqrt(d)) + bias.astype(jnp.float32)[None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum(
+        "bhnm,bmhd->bnhd", p.astype(vh.dtype), vh,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    return o.reshape(B, N, H)
+
+
+def _dispatch_packed(q, k, v, bias, num_heads):
+    if jax.default_backend() == "tpu":
+        return beit_attention_packed_pallas(q, k, v, bias, num_heads)
+    if FORCE_INTERPRET:
+        return beit_attention_packed_pallas(
+            q, k, v, bias, num_heads, interpret=True
+        )
+    return beit_attention_packed_reference(q, k, v, bias, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def beit_attention_packed(
+    q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
+    num_heads: int,
+) -> jax.Array:
+    """(B, N, h·d) packed fused attention: Pallas on TPU, einsum elsewhere."""
+    return _dispatch_packed(q, k, v, bias, num_heads)
+
+
+def _beit_attention_packed_fwd(q, k, v, bias, num_heads):
+    return _dispatch_packed(q, k, v, bias, num_heads), (q, k, v, bias)
+
+
+def _beit_attention_packed_bwd(num_heads, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: beit_attention_packed_reference(
+            q_, k_, v_, b_, num_heads
+        ),
+        q, k, v, bias,
+    )
+    return vjp(g)
+
+
+beit_attention_packed.defvjp(
+    _beit_attention_packed_fwd, _beit_attention_packed_bwd
+)
+
+
 def beit_attention_reference(
     q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array
 ) -> jax.Array:
