@@ -454,3 +454,46 @@ class TestGoldBootstrapSafety:
             assert os.path.exists(
                 os.path.join(watcher.data_root, f, DONE_SENTINEL)
             )
+
+
+@pytest.mark.slow  # real pipeline (gold bootstrap + failing maintenance)
+def test_corrupt_capture_quarantined_by_real_pipeline(tmp_path):
+    """Integration of the adversarial-ingestion contract with serving: a
+    capture whose calibration YAML is malformed raises the loud
+    ValueError inside the REAL pipeline (the extract stage regenerates
+    depth PNGs from the db, so calibration is the export defect that
+    reaches load_scan), and the watcher quarantines that capture
+    (sentinel carries the error) while the healthy gold capture
+    completes — the service keeps running past a bad export."""
+    import numpy as np  # noqa: F401 — make_project pulls synthetic deps
+
+    from tpu3dlm.pipeline.evaluate import make_project
+    from tpu3dlm.pipeline.watch import ScanWatcher
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    cfg_path, data_root, _, _ = make_project(
+        str(tmp_path),
+        os.path.join(fixtures, "yolo_synthetic.msgpack"),
+        os.path.join(fixtures, "beit_synthetic.msgpack"),
+        num_frames=4,
+        cloud_points_per_m2=500,
+    )
+    calib = os.path.join(
+        data_root, "maintenance", "rtabmap_extract", "calibration", "2.yaml"
+    )
+    with open(calib, "w") as f:
+        f.write("image_width: 640\n# camera_matrix lost in export\n")
+
+    w = ScanWatcher(cfg_path, poll_interval=0.01)
+    w.max_attempts = 1  # quarantine on first failure
+    failed = os.path.join(data_root, "maintenance", FAILED_SENTINEL)
+    for _ in range(8):
+        w.run_once()
+        if os.path.exists(failed):
+            break
+    assert os.path.exists(
+        os.path.join(data_root, "gold_std", DONE_SENTINEL)
+    ), "healthy gold capture must complete"
+    assert os.path.exists(failed), "corrupt capture must be quarantined"
+    msg = open(failed).read()
+    assert "camera_matrix" in msg and "2.yaml" in msg
