@@ -106,6 +106,7 @@ def main():
         rows = BBoxComparison(
             base_boxes, aligned, None,
             csv_output_file=os.path.join("/tmp", "bench_align_comparison.csv"),
+            precomputed_match=align.last_match,
         ).match_bboxes()
         return align, rows
 

@@ -522,3 +522,116 @@ class TestTargetBucketPadding:
         p, n = pad_target_bucket(pts, nrm)
         assert p.shape == n.shape == (1024, 3)
         np.testing.assert_array_equal(n[:700], nrm)
+
+
+class TestFusedCompareUnits:
+    """Unit parity for the pieces the round-4 single-dispatch compare moved
+    on-device (alignment/align.py::_fused_compare_program)."""
+
+    def _records(self, rng, n, label_of=None):
+        recs = []
+        for i in range(n):
+            c = rng.uniform(-2, 2, (4, 3)).astype(np.float32)
+            recs.append(
+                {
+                    "frame": 0,
+                    "corners": c,
+                    "damage": 0,
+                    "conf": 0.9,
+                    "label": int(label_of(i)) if label_of else i % 3,
+                }
+            )
+        return recs
+
+    def test_box_anchor_residuals_match_host(self, rng):
+        """The device box-anchor scorer must reproduce the host
+        ``Alignment._box_residual`` (its semantic reference) — including
+        the all-label fallback when a comparison label is absent on the
+        base side."""
+        from tpu3dlm.alignment.align import (
+            Alignment,
+            _box_anchor_residuals,
+            _pad_box_arrays,
+        )
+
+        base = self._records(rng, 5)
+        # label 7 exists only on the comparison side → fallback pool
+        comp = self._records(rng, 4, label_of=lambda i: 7 if i == 2 else i % 3)
+        align = Alignment(
+            np.zeros((1, 7), np.float32), np.zeros((1, 7), np.float32), {}, {}
+        )
+        align.base_records = base
+        align.comparison_records = comp
+
+        Ts = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [np.eye(4, dtype=np.float32) for _ in range(2)]
+        )
+        Ts[1, :3, 3] = [0.3, -0.2, 0.1]
+        Ts[2, :3, :3] = np.asarray(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+        )
+        want = np.asarray([align._box_residual(Ts[k]) for k in range(3)])
+        got = np.asarray(
+            _box_anchor_residuals(
+                jnp.asarray(Ts), *_pad_box_arrays(base), *_pad_box_arrays(comp)
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_target_moments_cache_identical(self, rng):
+        """centroid/PCA inits from cached ``target_moments_np`` must be
+        bit-identical to the direct computation (same subsample seed)."""
+        from tpu3dlm.ops.icp import (
+            centroid_align_np,
+            pca_init_candidates_np,
+            target_moments_np,
+        )
+
+        src = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        tgt = rng.uniform(-1, 1, (700, 3)).astype(np.float32) + 0.5
+        moments = target_moments_np(tgt)
+        np.testing.assert_array_equal(
+            centroid_align_np(src, tgt),
+            centroid_align_np(src, tgt, target_moments=moments),
+        )
+        np.testing.assert_array_equal(
+            pca_init_candidates_np(src, tgt),
+            pca_init_candidates_np(src, tgt, target_moments=moments),
+        )
+
+    def test_precomputed_match_short_circuits(self, rng, tmp_path, monkeypatch):
+        """A valid ``precomputed_match`` must produce the same report rows
+        with ZERO auction dispatches; any metadata mismatch falls back to
+        the solver."""
+        from tpu3dlm.alignment import comparison as cmp_mod
+        from tpu3dlm.alignment.comparison import BBoxComparison
+
+        quad = lambda off: [  # noqa: E731
+            np.array([i * 0.1 + off, 0, 3], np.float32) for i in range(4)
+        ]
+        base = {0: [quad(0.0) + [0, 0.9, 1], quad(5.0) + [0, 0.9, 2]]}
+        comp = {0: [quad(0.05) + [0, 0.9, 1]]}
+
+        ref_rows = BBoxComparison(
+            base, comp, None, csv_output_file=str(tmp_path / "ref.csv")
+        ).match_bboxes()
+
+        def boom(*a, **k):
+            raise AssertionError("auction must not run on the precomputed path")
+
+        monkeypatch.setattr(cmp_mod, "auction_assign", boom)
+        pm = {"assign": np.asarray([0, -1]), "threshold": 0.5, "n": 2, "m": 1}
+        rows = BBoxComparison(
+            base, comp, None, csv_output_file=str(tmp_path / "pm.csv"),
+            precomputed_match=pm,
+        ).match_bboxes()
+        assert rows == ref_rows
+
+        # threshold mismatch (pm solved at 0.5, this instance wants 0.7) →
+        # must fall back to the (boom'd) solver
+        with pytest.raises(AssertionError, match="auction must not run"):
+            BBoxComparison(
+                base, comp, None, csv_output_file=str(tmp_path / "bad.csv"),
+                dist_threshold=0.7, precomputed_match=pm,
+            ).match_bboxes()

@@ -169,12 +169,15 @@ class TestProjectionPadding:
         scan, det = self._scan_det(rng, F)
         gb = project_detections(scan, det)
         corners, mask = project_boxes(
+            # median_samples=16 matches project_detections' serving default
+            # (the raw kernel's library default is 32)
             jnp.asarray(det.boxes),
             jnp.asarray(det.mask),
             jnp.asarray(scan.depth),
             jnp.asarray(scan.intrinsics),
             jnp.asarray(scan.rgb_size),
             jnp.asarray(scan.poses),
+            median_samples=16,
         )
         np.testing.assert_allclose(
             np.asarray(gb.corners), np.asarray(corners), atol=1e-5
@@ -325,6 +328,9 @@ class TestServingNoRetrace:
             "icp": icp_mod.icp,
             "icp_point_to_plane": icp_mod.icp_point_to_plane,
             "init_residuals_batched": icp_mod.init_residuals_batched,
+            # the round-4 single-dispatch compare program: per-capture box
+            # counts / cloud sizes must all land in the warmed buckets
+            "fused_compare": align_mod._fused_compare_program,
         }
         before = {k: f._cache_size() for k, f in tracked.items()}
 

@@ -23,12 +23,14 @@ multi-resolution subsample, the final stage at full size.
 from __future__ import annotations
 
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpu3dlm.mapper.projection import GlobalBoxes
+from tpu3dlm.ops.geometry import PRECISE
 from tpu3dlm.ops.icp import (
     icp,
     icp_point_to_plane,
@@ -124,6 +126,129 @@ def _records_to_frame_dict(records: list[dict]) -> dict[int, list[list]]:
     return out
 
 
+def _pad_box_arrays(records: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(centroids (Nb, 3), labels (Nb,), mask (Nb,)) bucket-padded so one
+    compiled fused-compare program serves every capture's box count
+    (utils/shapes.next_bucket — same policy as the auction padding)."""
+    from tpu3dlm.utils.shapes import next_bucket
+
+    n = len(records)
+    nb = next_bucket(max(n, 1), 16)
+    cent = np.zeros((nb, 3), np.float32)
+    lab = np.full((nb,), -1, np.int32)
+    mask = np.zeros((nb,), bool)
+    for i, r in enumerate(records):
+        cent[i] = r["corners"].mean(axis=0)
+        lab[i] = r["label"]
+        mask[i] = True
+    return cent, lab, mask
+
+
+def _box_anchor_residuals(Ts, bc, bl, bm, cc, cl, cm):
+    """Device twin of the host ``Alignment._box_residual`` semantics: per
+    candidate transform, the mean over (masked) comparison boxes of the
+    distance from the moved centroid to the nearest same-label base-box
+    centroid, falling back to the nearest ANY-label base centroid when the
+    label is absent on the base side. Runs inside the fused compare program
+    so candidate selection needs no host round-trip."""
+    same = (cl[:, None] == bl[None, :]) & bm[None, :]  # (Nc, Nb)
+    anyb = jnp.broadcast_to(bm[None, :], same.shape)
+    has_same = jnp.any(same, axis=1, keepdims=True)
+    pool = jnp.where(has_same, same, anyb)  # (Nc, Nb)
+
+    def per_T(T):
+        moved = jnp.matmul(cc, T[:3, :3].T, precision=PRECISE) + T[:3, 3]
+        d = jnp.linalg.norm(bc[None, :, :] - moved[:, None, :], axis=-1)
+        dmin = jnp.min(jnp.where(pool, d, jnp.inf), axis=1)  # (Nc,)
+        w = cm.astype(jnp.float32)
+        return jnp.sum(jnp.where(cm, dmin, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+    return jax.vmap(per_T)(Ts.astype(jnp.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("global_init", "dists", "iterations", "use_pallas", "ann_top_p"),
+)
+def _fused_compare_program(
+    T_cands,  # (K, 4, 4) — row 0 = centroid init, rows 1: = PCA candidates
+    angles,  # (K-1,) rotation angle (degrees) of each PCA candidate
+    score_q,  # (n_score, 3) | None — init-scoring query subsample
+    score_t,  # (m_score, 3) | None — init-scoring target subsample
+    anchors,  # None | (base_cent, base_lab, base_mask, comp_cent, comp_lab, comp_mask)
+    stages,  # per-ICP-stage (query, target, normals|None, AnchorIndex|None)
+    match,  # None | (base_cent, base_lab, base_mask, comp_cent, comp_lab, comp_mask, unmatch_cost)
+    *,
+    global_init: str,
+    dists: tuple,
+    iterations: int,
+    use_pallas: bool,
+    ann_top_p: int = 4,
+):
+    """The whole warm-path compare as ONE device program (round-4 fusion).
+
+    Before this, a steady-state compare dispatched ≥5 separate groups —
+    init scoring, one per ICP stage, the auction matching — each paying the
+    remote tunnel's per-dispatch round trip, leaving the device ~75% idle
+    across the leg (PERF.md round-5 xprof). Fusing them into a single jit
+    also lets XLA dead-code-eliminate the non-final stages' exact
+    measurement sweeps (their rmse/inlier outputs are unused), which were
+    the most expensive ops in the old per-stage programs.
+
+    Returns a dict; keys vary with the static mode flags:
+      T, steps, rmse, inlier              — always
+      init_res, init_best, init_use_pca   — when global_init != "centroid"
+      match_assign, match_matched         — when ``match`` is provided
+    """
+    out = {}
+    if global_init == "centroid":
+        T = T_cands[0]
+    else:
+        res = init_residuals_batched(score_q, score_t, T_cands, use_pallas=use_pallas)
+        if anchors is not None:
+            res = res + _box_anchor_residuals(T_cands, *anchors)
+        best = jnp.argmin(res[1:])
+        if global_init == "pca":
+            use_pca = jnp.asarray(True)
+        else:
+            # auto: PCA only when it clearly beats centroid AND implies a
+            # large rotation (small rotations are already in the ICP basin)
+            use_pca = (res[1:][best] < 0.7 * res[0]) & (angles[best] > 30.0)
+        T = jnp.where(use_pca, T_cands[1:][best], T_cands[0])
+        out.update(init_res=res, init_best=best, init_use_pca=use_pca)
+
+    steps = []
+    res_icp = None
+    for (qj, tj, nj, t_index), d in zip(stages, dists):
+        kw = dict(
+            init_transform=T,
+            max_correspondence_dist=float(d),
+            iterations=iterations,
+            use_pallas=use_pallas,
+            target_index=t_index,
+            ann_top_p=ann_top_p,
+        )
+        if nj is not None:
+            res_icp = icp_point_to_plane(qj, tj, nj, **kw)
+        else:
+            res_icp = icp(qj, tj, **kw)
+        steps.append(res_icp.step_transforms)
+        T = res_icp.transform  # chains to the next stage with no host sync
+    out.update(T=T, steps=tuple(steps), rmse=res_icp.rmse, inlier=res_icp.inlier_frac)
+
+    if match is not None:
+        from tpu3dlm.ops.matching import auction_assign
+
+        mb_c, mb_l, mb_m, mc_c, mc_l, mc_m, thr = match
+        moved = jnp.matmul(mc_c, T[:3, :3].T, precision=PRECISE) + T[:3, 3]
+        d = jnp.linalg.norm(mb_c[:, None, :] - moved[None, :, :], axis=-1)
+        ok = (mb_l[:, None] == mc_l[None, :]) & mb_m[:, None] & mc_m[None, :]
+        cost = jnp.where(ok, d, jnp.inf).astype(jnp.float32)
+        assign, matched = auction_assign(cost, unmatch_cost=thr)
+        out.update(match_assign=assign, match_matched=matched)
+    return out
+
+
 def _subsample(points: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
     if points.shape[0] == 0:
         # a bare ZeroDivisionError from the tiling below is a terrible
@@ -160,6 +285,13 @@ class Alignment:
         coarse_target_cap: int = 262_144,
         global_init: str = "auto",  # "centroid" | "pca" | "auto"
         ann: str = "auto",  # "auto" | "on" | "off" — anchor-bucketed NN
+        # when set, the fused compare program also solves the bipartite
+        # box assignment (base records vs aligned comparison records) at
+        # this unmatch threshold, exposed as ``self.last_match`` — so a
+        # following BBoxComparison with the same threshold costs zero
+        # device dispatches (pass it as ``precomputed_match``). None
+        # disables the fused matching.
+        match_dist_threshold: float | None = 0.5,
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -181,6 +313,8 @@ class Alignment:
         if ann not in ("auto", "on", "off"):
             raise ValueError(f"unknown ann {ann!r}")
         self.ann = ann
+        self.match_dist_threshold = match_dist_threshold
+        self.last_match: dict | None = None
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -228,86 +362,49 @@ class Alignment:
             ds.append(float(np.linalg.norm(pool - c, axis=1).min()))
         return float(np.mean(ds))
 
-    def _choose_init(self, comp_s: np.ndarray, base_s: np.ndarray,
-                     init_t=None):
-        """Coarse initialisation per ``global_init``.
+    def _init_candidates(self, comp_s: np.ndarray, base_s: np.ndarray, gold: dict):
+        """Host-side candidate generation for the coarse initialisation.
 
-        Returns (T_init, pending): T_init is a DEVICE 4×4 (the ICP stages
-        consume it on device without a host round-trip — the candidate
-        *selection* runs on device too, so compare() needs no mid-pipeline
-        sync for it); ``pending`` carries what _resolve_init_steps needs to
-        reconstruct the recorded animation steps after the single
-        end-of-compare batched readback. For global_init="centroid" the
-        decision is host-static and pending resolves immediately
-        ("static_steps").
+        Returns (T_cands (K, 4, 4), angles (K-1,), pending): row 0 of
+        T_cands is the centroid translation, the rest the principal-axes
+        candidates; the *scoring and selection* among them run inside the
+        fused compare program (``_fused_compare_program``), so compare()
+        needs no mid-pipeline sync. ``pending`` carries what
+        ``_resolve_init_steps`` needs to reconstruct the recorded animation
+        steps after the single end-of-compare batched readback; for
+        global_init="centroid" it resolves immediately ("static_steps").
 
-        "centroid": translation only (ICP must already be in-basin).
-        "pca": best principal-axes candidate (ops/icp.py) by residual.
-        "auto": PCA only when it beats the centroid init's residual by a
-        clear margin AND implies a large rotation — unrotated scans keep
-        the exact centroid behavior, turned-around scans get a rotation
-        basin.
+        centroid/PCA moments are host-numpy (full clouds arrive at a
+        different size per capture — a device version would retrace +
+        remote-compile per scan, ops/icp.centroid_align_np); the gold-side
+        moments are cached per gold cloud (``gold["moments"]``), so the
+        per-capture cost is the comparison-side 16k-subsample moments only.
 
-        The residual is clipped-mean cloud NN distance PLUS the box-anchor
-        term (_box_residual): geometry alone cannot distinguish a 180°
-        flip of a near-symmetric planar scan, the labeled sign boxes can.
+        The candidate score is clipped-mean cloud NN distance PLUS the
+        box-anchor term (_box_anchor_residuals / _box_residual): geometry
+        alone cannot distinguish a 180° flip of a near-symmetric planar
+        scan, the labeled sign boxes can.
         """
         from tpu3dlm.ops.icp import centroid_align_np, pca_init_candidates_np
 
+        moments = gold.get("moments")
+        Tc = centroid_align_np(comp_s, base_s, target_moments=moments)
         if self.global_init == "centroid":
-            Tc = centroid_align_np(comp_s, base_s)
-            return jnp.asarray(Tc), {"static_steps": [Tc]}
-
-        # score candidates by clipped-mean NN distance on cheap subsamples —
-        # one batched dispatch for all 5 (remote dispatch is ~20 ms each).
-        # Fixed sizes (tiling small clouds up, _subsample) so one compiled
-        # init_residual program serves every scan — a size-dependent shape
-        # would retrace per distinct cloud size. Duplicated target points
-        # leave NN distances unchanged; duplicated query points only reweight
-        # the mean negligibly (ranking heuristic, not a measurement).
-        # centroid/PCA moments are host-numpy (full clouds arrive at a
-        # different size per capture — a device version would retrace +
-        # remote-compile per scan, ops/icp.centroid_align_np); the scoring
-        # AND the argmin/threshold selection stay on device so nothing here
-        # forces a ~90 ms tunnel readback (utils/host) mid-pipeline.
-        q = jnp.asarray(_subsample(comp_s, 2048))
-        t = init_t if init_t is not None else jnp.asarray(
-            _subsample(base_s, 65536, seed=1)
-        )
-        Tc = centroid_align_np(comp_s, base_s)
-        cands = pca_init_candidates_np(comp_s, base_s)
-        Ts = np.concatenate([Tc[None], cands])
-        res = init_residuals_batched(
-            q, t, jnp.asarray(Ts), use_pallas=self.use_pallas
-        )
-        box = [self._box_residual(Ts[i]) for i in range(len(Ts))]
-        if box[0] is not None:
-            res = res + jnp.asarray(np.asarray(box, np.float32))
+            return (
+                Tc[None].astype(np.float32),
+                np.zeros((0,), np.float32),
+                {"static_steps": [Tc]},
+            )
+        cands = pca_init_candidates_np(comp_s, base_s, target_moments=moments)
+        T_cands = np.concatenate([Tc[None], cands]).astype(np.float32)
         # candidate geometry (rotation angles) is host math on the host Ts
         cos = (np.trace(cands[:, :3, :3], axis1=1, axis2=2) - 1.0) / 2.0
         angles = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))).astype(np.float32)
-        best = jnp.argmin(res[1:])
-        # auto: take the PCA init only when it clearly beats centroid AND
-        # implies a big rotation — small rotations are inside the ICP basin
-        # already, and keeping centroid there makes the recorded-transform
-        # trace deterministic (no sampling-noise-dependent extra step)
-        if self.global_init == "pca":
-            use_pca = jnp.asarray(True)
-        else:
-            use_pca = (res[1:][best] < 0.7 * res[0]) & (
-                jnp.asarray(angles)[best] > 30.0
-            )
-        T_init = jnp.where(use_pca, jnp.asarray(cands)[best], jnp.asarray(Tc))
-        pending = {
-            "Tc": Tc,
-            "cands": cands,
-            "angles": angles,
-            "center": base_s.mean(axis=0).astype(np.float32),
-            "res": res,
-            "best": best,
-            "use_pca": use_pca,
-        }
-        return T_init, pending
+        center = (
+            moments[0] if moments is not None else base_s.mean(axis=0)
+        ).astype(np.float32)
+        pending = {"Tc": Tc, "cands": cands, "angles": angles, "center": center}
+        return T_cands, angles, pending
 
     def _resolve_init_steps(self, pending: dict, host_vals) -> list:
         """Animation-contract init steps, built from the readback values.
@@ -396,10 +493,16 @@ class Alignment:
                 from tpu3dlm.ops.pointcloud import estimate_normals_grid
 
                 normals_np = estimate_normals_grid(base_s)
+            from tpu3dlm.ops.icp import target_moments_np
+
             entry = {
                 "fp": fp,
                 "full": self._place_target(*pad_target_bucket(base_s, normals_np)),
                 "init_t": jnp.asarray(_subsample(base_s, 65536, seed=1)),
+                # f64 moments of the gold cloud (subsampled per
+                # ops/icp._moment_sample) — feed the per-capture host init
+                # candidates without re-running the 256k f64 passes
+                "moments": target_moments_np(base_s),
                 "_normals_np": normals_np,
                 "coarse": None,
             }
@@ -479,11 +582,28 @@ class Alignment:
 
         # coarse init: centroid translation, plus a principal-axes rotation
         # when the scan arrives badly rotated (global_init="auto"|"pca").
-        # The candidate choice stays ON DEVICE; its animation record joins
-        # the single end-of-compare readback (_resolve_init_steps)
-        T_init, init_pending = self._choose_init(
-            comp_s, base_s, init_t=gold["init_t"]
-        )
+        # Candidate GENERATION is host math (cached gold moments); the
+        # scoring and choice run inside the fused program below, and the
+        # animation record joins the single end-of-compare readback
+        # (_resolve_init_steps)
+        T_cands, angles, init_pending = self._init_candidates(comp_s, base_s, gold)
+        score_q = score_t = None
+        if self.global_init != "centroid":
+            # fixed sizes (tiling small clouds up, _subsample) so one
+            # compiled program serves every scan; duplicated target points
+            # leave NN distances unchanged, duplicated query points only
+            # reweight the mean negligibly (ranking heuristic)
+            score_q = jnp.asarray(_subsample(comp_s, 2048))
+            score_t = gold["init_t"]
+        box_arrays = None
+        if self.base_records and self.comparison_records:
+            box_arrays = (
+                _pad_box_arrays(self.base_records),
+                _pad_box_arrays(self.comparison_records),
+            )
+        anchors = None
+        if box_arrays is not None and self.global_init != "centroid":
+            anchors = (*box_arrays[0], *box_arrays[1])
 
         # fine: coarse-to-fine ICP stages — shrinking the correspondence
         # radius escapes the planar-scene local minima a single loose radius
@@ -496,6 +616,7 @@ class Alignment:
         dists = self.max_correspondence_dist
         if isinstance(dists, (int, float)):
             dists = (float(dists),)
+        dists = tuple(float(x) for x in dists)  # hashable static jit arg
         coarse = None  # ((qj, tj, nj), target fingerprint)
         if len(dists) > 1 and (
             comp_s.shape[0] > self.coarse_query_cap
@@ -507,97 +628,78 @@ class Alignment:
         tj_f, nj_f = gold["full"]
         full = ((self._place_query(comp_s), tj_f, nj_f), gold["fp"])
 
-        # anchor-bucketed NN (ops/ann.py): one index build per distinct
-        # stage target, amortised over every ICP iteration — the fine stage
-        # drops from ~47 ms to single-digit ms per sweep at 1M-pt targets.
-        # "auto" engages it only where the exact sweep is expensive; the
-        # measurement pass inside the solvers stays exact either way, so
-        # reported rmse/inliers are exact for the returned transform.
-        # Indexes are cached ACROSS compare calls keyed by target content:
-        # in serving, every capture registers against the same gold cloud,
-        # so the ~150 ms of per-capture index builds amortises to zero.
-        # (fp is the already-computed fingerprint of the unpadded target —
-        # the gold entry carries it, so no per-capture recompute.)
-        def _index_for(tj, fp):
-            if self.ann == "off":
-                return None
-            m = int(tj.shape[0])
-            if self.ann == "auto" and m < 131_072:
-                return None
-            from tpu3dlm.ops.ann import build_anchor_index, default_index_shape
-
-            c, b = default_index_shape(m)
-            if c > m:
-                return None
-            key = (fp, m, c, b, self.use_pallas, mesh_key)
-            with _CACHE_LOCK:
-                cached = _ANN_INDEX_CACHE.get(key)
-                if cached is not None:
-                    _ANN_INDEX_CACHE.move_to_end(key)
-                    return cached
-                index = build_anchor_index(
-                    tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
-                )
-                _ANN_INDEX_CACHE[key] = index
-                while len(_ANN_INDEX_CACHE) > _ANN_CACHE_MAX:
-                    _ANN_INDEX_CACHE.popitem(last=False)
-                return index
-
+        # per-stage (query, target, normals, index) — the indexes come from
+        # the cross-capture content-keyed cache (_index_for)
         indices = {}  # id(target placement) → AnchorIndex | None
-
-        self.transformations = []
-        T = jnp.asarray(T_init)
-        res = None
-        stage_steps = []
+        stages = []
         for si, d in enumerate(dists):
             final = si == len(dists) - 1 or coarse is None
             (qj, tj, nj), tgt_fp = full if final else coarse
             key = id(tj)
             if key not in indices:
-                indices[key] = _index_for(tj, tgt_fp)
-            t_index = indices[key]
-            if nj is not None:
-                res = icp_point_to_plane(
-                    qj, tj, nj,
-                    init_transform=T,
-                    max_correspondence_dist=float(d),
-                    iterations=self.icp_iterations,
-                    use_pallas=self.use_pallas,
-                    target_index=t_index,
-                )
-            else:
-                res = icp(
-                    qj, tj,
-                    init_transform=T,
-                    max_correspondence_dist=float(d),
-                    iterations=self.icp_iterations,
-                    use_pallas=self.use_pallas,
-                    target_index=t_index,
-                )
-            stage_steps.append(res.step_transforms)
-            T = res.transform  # chains to the next stage ON DEVICE
-        # one batched readback for every stage's increments + final state
-        # (the loop itself never needs host values; reading per stage paid
-        # one ~90 ms tunnel sync per resolution level, utils/host)
+                indices[key] = self._index_for(tj, tgt_fp, mesh_key)
+            stages.append((qj, tj, nj, indices[key]))
+
+        # fused matching: solve the bipartite assignment of base records vs
+        # the ALIGNED comparison records inside the same program, so a
+        # following BBoxComparison (same threshold) dispatches nothing
+        match_args = None
+        if self.match_dist_threshold is not None and box_arrays is not None:
+            match_args = (
+                *box_arrays[0],
+                *box_arrays[1],
+                jnp.float32(self.match_dist_threshold),
+            )
+
+        # ONE device dispatch for the whole warm path: init scoring +
+        # candidate selection + every ICP stage + the final exact
+        # measurement + the box assignment (``_fused_compare_program``) —
+        # then ONE batched readback. Before the fusion the same leg paid
+        # ≥5 dispatch groups' worth of tunnel round-trips (PERF.md).
+        out = _fused_compare_program(
+            jnp.asarray(T_cands),
+            jnp.asarray(angles),
+            score_q,
+            score_t,
+            anchors,
+            tuple(stages),
+            match_args,
+            global_init=self.global_init,
+            dists=dists,
+            iterations=self.icp_iterations,
+            use_pallas=self.use_pallas,
+        )
         from tpu3dlm.utils.host import to_host
 
-        init_dev = ()
+        host = to_host(out)
+
+        init_host = ()
         if "static_steps" not in init_pending:
-            init_dev = (
-                init_pending["res"],
-                init_pending["best"],
-                init_pending["use_pca"],
-            )
-        stage_steps, T_h, rmse, inlier, init_host = to_host(
-            (stage_steps, T, res.rmse, res.inlier_frac, init_dev)
-        )
+            init_host = (host["init_res"], host["init_best"], host["init_use_pca"])
         self.transformations = self._resolve_init_steps(init_pending, init_host)
-        for steps in stage_steps:
+        for steps in host["steps"]:
             self.transformations += [steps[i] for i in range(steps.shape[0])]
-        self.final_transform = T_h
+        self.final_transform = host["T"]
         self.logger.info(
-            "ICP done: rmse=%.4f inliers=%.1f%%", float(rmse), 100 * float(inlier)
+            "ICP done: rmse=%.4f inliers=%.1f%%",
+            float(host["rmse"]), 100 * float(host["inlier"]),
         )
+
+        self.last_match = None
+        if match_args is not None:
+            n_real = len(self.base_records)
+            m_real = len(self.comparison_records)
+            a = host["match_assign"]
+            ok = host["match_matched"]
+            # trim the bucket padding on BOTH axes (same policy as
+            # BBoxComparison): padded rows drop, an assignment to a padded
+            # column counts as unmatched
+            self.last_match = {
+                "assign": np.where(ok & (a < m_real), a, -1)[:n_real].astype(np.int64),
+                "threshold": float(self.match_dist_threshold),
+                "n": n_real,
+                "m": m_real,
+            }
 
         # apply the final transform to every comparison box corner
         T = self.final_transform
@@ -610,3 +712,39 @@ class Alignment:
 
         comp_aligned = comp @ T[:3, :3].T + T[:3, 3]
         return aligned_bboxes, self.transformations, base, comp_aligned
+
+    def _index_for(self, tj, fp, mesh_key):
+        """Anchor-bucketed NN index (ops/ann.py) for one stage target: one
+        index build per distinct target, amortised over every ICP iteration
+        — the fine stage drops from ~47 ms to single-digit ms per sweep at
+        1M-pt targets. "auto" engages it only where the exact sweep is
+        expensive; the measurement pass inside the solvers stays exact
+        either way, so reported rmse/inliers are exact for the returned
+        transform. Indexes are cached ACROSS compare calls keyed by target
+        content: in serving, every capture registers against the same gold
+        cloud, so the ~150 ms of per-capture index builds amortises to
+        zero. (``fp`` is the already-computed fingerprint of the unpadded
+        target — the gold entry carries it, so no per-capture recompute.)"""
+        if self.ann == "off":
+            return None
+        m = int(tj.shape[0])
+        if self.ann == "auto" and m < 131_072:
+            return None
+        from tpu3dlm.ops.ann import build_anchor_index, default_index_shape
+
+        c, b = default_index_shape(m)
+        if c > m:
+            return None
+        key = (fp, m, c, b, self.use_pallas, mesh_key)
+        with _CACHE_LOCK:
+            cached = _ANN_INDEX_CACHE.get(key)
+            if cached is not None:
+                _ANN_INDEX_CACHE.move_to_end(key)
+                return cached
+            index = build_anchor_index(
+                tj, n_anchors=c, bucket_cap=b, use_pallas=self.use_pallas
+            )
+            _ANN_INDEX_CACHE[key] = index
+            while len(_ANN_INDEX_CACHE) > _ANN_CACHE_MAX:
+                _ANN_INDEX_CACHE.popitem(last=False)
+            return index

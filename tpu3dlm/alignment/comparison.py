@@ -32,6 +32,7 @@ class BBoxComparison:
         csv_output_file: str = "comparison_output.csv",
         dist_threshold: float = 0.5,
         id2damage: dict[int, str] | None = None,
+        precomputed_match: dict | None = None,
     ):
         self.base_records = _boxes_to_records(base_optimised_bboxes)
         self.comparison_records = _boxes_to_records(aligned_comparison_bboxes)
@@ -40,6 +41,13 @@ class BBoxComparison:
         self.csv_output_file = csv_output_file
         self.dist_threshold = dist_threshold
         self.id2damage = id2damage or {}
+        # Alignment.last_match — the assignment already solved inside the
+        # fused compare program (alignment/align.py). Validated against this
+        # instance's record counts + threshold in match_bboxes; on any
+        # mismatch the auction solve runs as before, so a stale or
+        # differently-thresholded carry-over can only cost a dispatch,
+        # never a wrong report.
+        self.precomputed_match = precomputed_match
         self.logger = logging.getLogger(__name__)
 
     def _centroids(self, records) -> np.ndarray:
@@ -55,7 +63,18 @@ class BBoxComparison:
 
         rows: list[dict] = []
         assign = np.full(n, -1, np.int64)
-        if n and m:
+        pm = self.precomputed_match
+        if (
+            pm is not None
+            and n
+            and m
+            and pm.get("n") == n
+            and pm.get("m") == m
+            and float(pm.get("threshold", float("nan"))) == float(self.dist_threshold)
+            and np.shape(pm.get("assign", ()))[0:1] == (n,)
+        ):
+            assign = np.asarray(pm["assign"], np.int64)
+        elif n and m:
             dist = np.linalg.norm(base_c[:, None, :] - comp_c[None, :, :], axis=-1)
             labels_b = np.array([r["label"] for r in self.base_records])
             labels_c = np.array([r["label"] for r in self.comparison_records])

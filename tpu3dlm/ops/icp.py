@@ -375,35 +375,55 @@ def _moment_sample(x, cap: int = _MOMENT_SAMPLE_CAP, seed: int = 0):
     return x[idx]
 
 
-def centroid_align_np(source, target):
+def target_moments_np(target):
+    """(mu, C) f64 moments of the (``_moment_sample``-subsampled) cloud —
+    exactly the values ``centroid_align_np`` / ``pca_init_candidates_np``
+    derive from their ``target`` argument, exposed so a serving cache can
+    compute them ONCE per gold cloud (alignment/align._GOLD_CACHE) instead
+    of re-running the 256k-sample f64 passes on every capture."""
+    import numpy as np
+
+    t = np.asarray(_moment_sample(target), np.float64)
+    mu = t.mean(axis=0)
+    tc = t - mu
+    return mu, tc.T @ tc / t.shape[0]
+
+
+def centroid_align_np(source, target, target_moments=None):
     """Host-numpy twin of ``centroid_align`` — moment math on (subsampled,
     see _moment_sample) clouds is ~ms on the host but forces a
     per-cloud-size retrace + remote compile on device (every capture has a
     different point count), so the serving path computes inits on the
-    host. Cross-checked vs the JAX version in tests/test_icp_matching.py."""
+    host. Cross-checked vs the JAX version in tests/test_icp_matching.py.
+
+    ``target_moments``: optional precomputed ``target_moments_np(target)``
+    (numerically identical — same subsample seed)."""
     import numpy as np
 
-    t = np.mean(np.asarray(_moment_sample(target), np.float64), axis=0) - np.mean(
-        np.asarray(_moment_sample(source), np.float64), axis=0
+    mu_t = (
+        target_moments[0]
+        if target_moments is not None
+        else np.mean(np.asarray(_moment_sample(target), np.float64), axis=0)
     )
+    t = mu_t - np.mean(np.asarray(_moment_sample(source), np.float64), axis=0)
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = t.astype(np.float32)
     return T
 
 
-def pca_init_candidates_np(source, target):
+def pca_init_candidates_np(source, target, target_moments=None):
     """Host-numpy twin of ``pca_init_candidates`` (same eigh/sign recipe);
-    see centroid_align_np for why this exists."""
+    see centroid_align_np for why this exists (and for ``target_moments``)."""
     import numpy as np
 
     src = np.asarray(_moment_sample(source), np.float64)
-    tgt = np.asarray(_moment_sample(target), np.float64)
     mu_s = src.mean(axis=0)
-    mu_t = tgt.mean(axis=0)
     sc = src - mu_s
-    tc = tgt - mu_t
     Cs = sc.T @ sc / src.shape[0]
-    Ct = tc.T @ tc / tgt.shape[0]
+    if target_moments is not None:
+        mu_t, Ct = target_moments
+    else:
+        mu_t, Ct = target_moments_np(target)
     _, Vs = np.linalg.eigh(Cs)
     _, Vt = np.linalg.eigh(Ct)
     Vs[:, 0] *= np.sign(np.linalg.det(Vs)) or 1.0

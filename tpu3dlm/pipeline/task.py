@@ -428,6 +428,10 @@ class Pipeline:
             visualise=self.cfg.comparison_vis,
             csv_output_file=self.cfg.csv_output,
             id2damage={i: lab for i, lab in enumerate(labels)},
+            # the fused compare program already solved this assignment
+            # (alignment/align.py::Alignment.last_match) — zero extra
+            # dispatches when the thresholds/record counts line up
+            precomputed_match=align.last_match,
         )
         rows = compare.match_bboxes()
         self.data_to_save["comparison_rows"] = rows
