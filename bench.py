@@ -73,7 +73,12 @@ def make_step(img_size: int, max_det: int, variant: str = "n"):
         )
         x = rgb_u8.astype(in_dtype) / 255.0
         raw = yolo.apply(variables, x)["one2one"]
-        det = postprocess(raw, img_size=img_size, max_det=max_det)
+        det = postprocess(
+            raw, img_size=img_size, max_det=max_det,
+            # BENCH_POSTPROCESS=concat A/Bs the pre-round-4 whole-tensor
+            # concat path (bit-identical outputs; see models/yolov10.py)
+            per_level=os.environ.get("BENCH_POSTPROCESS", "per_level") != "concat",
+        )
         sx = (rgb_size[:, 0] / img_size)[:, None]
         sy = (rgb_size[:, 1] / img_size)[:, None]
         boxes_px = jnp.stack(
@@ -233,11 +238,17 @@ def main():
 
     # Baseline: the same jitted program on host CPU — the reference pipeline
     # is CPU-bound Python (SURVEY.md §2c), so CPU throughput of the identical
-    # computation bounds it from above. ≥8 frames × 3 timed iterations with
-    # the spread recorded (VERDICT round-1 item 7: a 2-frame × 1-iter leg
-    # carried first-call and small-sample noise into the denominator).
-    # BENCH_CPU_BASELINE=0 skips it and reports the last stored measurement
-    # (BENCH_BASELINE.json, written on every live CPU measurement).
+    # computation bounds it from above. 5 single-iteration samples over ≥8
+    # frames, trimmed mean (drop min+max) — the earlier 3-sample mean carried
+    # a 20%-of-mean spread into the headline denominator (ADVICE r2). Note
+    # the asymmetry folded into vs_baseline: the device leg measures
+    # sustained queued throughput (BENCH_ITERS-deep queue, the serving
+    # pattern) while the CPU denominator runs depth-1 — documented here and
+    # in BENCH_BASELINE.json rather than "fixed", because queueing is the
+    # deployment pattern on the accelerator and is meaningless on the
+    # in-process CPU backend. BENCH_CPU_BASELINE=0 skips the live leg and
+    # reports the last stored measurement (BENCH_BASELINE.json, written on
+    # every live CPU measurement).
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
     # non-default variants store under their own key — a BENCH_VARIANT=m run
@@ -249,19 +260,29 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             if cpu != default_dev:
-                nb = max(8, int(os.environ.get("BENCH_CPU_FRAMES", "8")))
-                # a short BENCH_FRAMES run can't supply 8 frames — record
-                # what was actually timed, not the request
-                nb = min(nb, int(arrays[0].shape[0]))
-                cpu_arrays = tuple(a[:nb] for a in arrays)
-                # 5 samples, trimmed mean (drop min+max): the round-2
-                # 3-sample mean carried a 20%-of-mean spread into the
-                # headline vs_baseline denominator (ADVICE r2)
-                samples = sorted(
-                    time_fps(step, variables, cpu_arrays, cpu, 1, jax)
-                    for _ in range(5)
-                )
-                measured_cpu_fps = float(np.mean(samples[1:-1]))
+                # the forced-CPU compile runs under an EPHEMERAL cache dir:
+                # loading persistent XLA:CPU AOT blobs logs a
+                # `cpu_aot_loader` "machine mismatch … SIGILL" wall into
+                # the driver artifact even on a same-host reload (the
+                # dryrun got this fix first — __graft_entry__.py); the
+                # persistent cache is restored right after for any
+                # remaining accelerator compiles (mfu cost analysis)
+                from tpu3dlm.utils.backend import ephemeral_compile_cache
+
+                ephemeral_compile_cache()
+                try:
+                    nb = max(8, int(os.environ.get("BENCH_CPU_FRAMES", "8")))
+                    # a short BENCH_FRAMES run can't supply 8 frames —
+                    # record what was actually timed, not the request
+                    nb = min(nb, int(arrays[0].shape[0]))
+                    cpu_arrays = tuple(a[:nb] for a in arrays)
+                    samples = sorted(
+                        time_fps(step, variables, cpu_arrays, cpu, 1, jax)
+                        for _ in range(5)
+                    )
+                    measured_cpu_fps = float(np.mean(samples[1:-1]))
+                finally:
+                    enable_compile_cache()
             else:
                 vs_baseline = 1.0
         except Exception as e:

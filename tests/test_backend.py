@@ -97,8 +97,11 @@ class TestRequireBackend:
 
 class TestLastGoodStore:
     def test_roundtrip(self, tmp_path, monkeypatch):
+        # the supported deployment override (ADVICE r3: a pip install must
+        # not auto-write into site-packages — TPU3DLM_LAST_GOOD_PATH is the
+        # explicit opt-in outside a repo checkout)
         path = tmp_path / "docs" / "last_good.json"
-        monkeypatch.setattr(backend, "_last_good_path", lambda: str(path))
+        monkeypatch.setenv("TPU3DLM_LAST_GOOD_PATH", str(path))
         assert backend.load_last_good("m") is None
         backend.record_last_good("m", 123.456, "frames/s")
         rec = backend.load_last_good("m")
@@ -106,6 +109,16 @@ class TestLastGoodStore:
         # update keeps other metrics
         backend.record_last_good("m2", 1.0, "s")
         assert backend.load_last_good("m")["value"] == 123.456
+
+    def test_no_autowrite_outside_checkout(self, tmp_path, monkeypatch):
+        """Without the env override, record_last_good must refuse to write
+        when the default path is not inside a repo checkout (stray
+        site-packages/../docs writes, ADVICE r3)."""
+        path = tmp_path / "docs" / "last_good.json"
+        monkeypatch.delenv("TPU3DLM_LAST_GOOD_PATH", raising=False)
+        monkeypatch.setattr(backend, "_last_good_path", lambda: str(path))
+        backend.record_last_good("m", 1.0, "s")
+        assert not path.exists()
 
     def test_committed_file_has_all_bench_metrics(self):
         # every require_backend caller's metric has a committed fallback

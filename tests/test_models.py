@@ -46,6 +46,18 @@ class TestYOLOv10:
         conf = np.asarray(post["conf"])
         assert (np.diff(conf, axis=1) <= 1e-6).all()
 
+    def test_postprocess_per_level_bit_identical(self, yolo_n, rng):
+        """The round-4 per-level postprocess (reductions before any concat
+        — the ledger's 5.8% concat cost) must be BIT-identical to the
+        original whole-tensor-concat path on random activations."""
+        model, variables = yolo_n
+        x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32))
+        raw = model.apply(variables, x)["one2one"]
+        a = postprocess(raw, img_size=128, max_det=20, per_level=True)
+        b = postprocess(raw, img_size=128, max_det=20, per_level=False)
+        for k in ("boxes", "conf", "label"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
     def test_anchors(self):
         anchors, strides = make_anchors(128)
         n = (128 // 8) ** 2 + (128 // 16) ** 2 + (128 // 32) ** 2

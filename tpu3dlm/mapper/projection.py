@@ -136,7 +136,7 @@ def _project_one_box(
     rgb_size: jax.Array,  # (2,) width, height
     pose: jax.Array,  # (7,)
     scale_depth: float,
-    median_samples: int = 16,
+    median_samples: int = 32,
 ) -> tuple[jax.Array, jax.Array]:
     """One box → (4, 3) world corners + validity."""
     hd, wd = depth.shape
@@ -172,18 +172,20 @@ def project_boxes(
     rgb_size: jax.Array,  # (F, 2)
     poses: jax.Array,  # (F, 7)
     scale_depth: float = 1000.0,
-    median_samples: int = 16,
+    median_samples: int = 32,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused kernel: all frames × boxes → ((F, B, 4, 3) corners, (F, B) mask).
 
     ``median_samples``: side of the depth-median sampling grid (see
     bbox_sampled_median_depth). ANY grid size is exact on piecewise-
-    constant (planar-sign) regions — the workload's case — and a 16x16
-    grid keeps a 256-sample median on noisy depth while quartering the
-    per-box sort that dominated the projection stage (v5e-1 per-op ledger,
-    PERF.md round-5: sort 8.0% of device time at 32x32; 16x16 measured
-    +13.5% end-to-end detect+project throughput). Pass 32 to reproduce the
-    round-2..4 numbers bit-for-bit.
+    constant (planar-sign) regions — the workload's case. The LIBRARY
+    default stays 32 (the round-2..4 numerics, the denser median for noisy
+    real depth); the serving/bench entrypoints pass 16 explicitly
+    (project_detections, parallel/inference.full_scan_step_fn, bench.py) —
+    a 256-sample median that quarters the per-box sort which dominated the
+    projection stage (v5e-1 per-op ledger, PERF.md round-5: sort 8.0% of
+    device time at 32x32; 16x16 measured +13.5% end-to-end detect+project
+    throughput, placement gates unchanged).
     """
     project = partial(_project_one_box, median_samples=median_samples)
     per_frame = jax.vmap(  # over boxes within a frame
@@ -204,9 +206,15 @@ def project_boxes(
 
 
 def project_detections(
-    scan: Scan, det: Detections, scale_depth: float = 1000.0
+    scan: Scan, det: Detections, scale_depth: float = 1000.0,
+    median_samples: int = 16,
 ) -> GlobalBoxes:
     """Scan + 2D Detections → GlobalBoxes (world-frame quads).
+
+    ``median_samples`` defaults to the SERVING grid (16 — see
+    project_boxes: this entrypoint is the pipeline's staged path, measured
+    at +13.5% step throughput with placement gates unchanged); the raw
+    kernel's library default stays 32.
 
     The frame axis is padded to a bucket (utils/shapes) so captures of
     different lengths reuse one compiled program in a long-lived serving
@@ -227,6 +235,7 @@ def project_detections(
         jnp.asarray(pad_axis0(scan.rgb_size, Fb, fill=1)),
         jnp.asarray(poses_p),
         scale_depth=scale_depth,
+        median_samples=median_samples,
     )
     # stage boundary goes to host in ONE batched readback (the fused path's
     # _finalize does the same); trimming the bucket on device would compile

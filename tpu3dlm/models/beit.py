@@ -68,6 +68,26 @@ class BeitConfig:
         return self.grid * self.grid
 
 
+def resolve_attn_impl(cfg: BeitConfig, dtype) -> str:
+    """The ONE resolution rule for ``BeitConfig.attn_impl == "auto"``:
+    the fused Pallas kernel only on the TPU bf16 fast path, einsum
+    everywhere else (f32 golden-parity path, every CPU/GPU backend).
+
+    Shared by ``BeitAttention`` (which emits the pallas_call) and
+    ``parallel/inference.full_scan_step_fn`` (which must wrap the classify
+    in ``shard_map`` exactly when the kernel is active — GSPMD would
+    replicate an opaque pallas_call). Keeping the rule in one place is what
+    guarantees those two decisions can never drift apart."""
+    impl = cfg.attn_impl
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            else "einsum"
+        )
+    return impl
+
+
 def relative_position_index(grid: int) -> np.ndarray:
     """(N+1, N+1) int32 index into the relative-position-bias table.
 
@@ -176,14 +196,7 @@ class BeitAttention(nn.Module):
         index = relative_position_index(c.grid)
         bias = table[index.reshape(-1)].reshape(N, N, c.num_heads)
 
-        impl = c.attn_impl
-        if impl == "auto":
-            impl = (
-                "pallas"
-                if self.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
-                else "einsum"
-            )
+        impl = resolve_attn_impl(c, self.dtype)
         if impl == "pallas":
             # fused kernel: scores never leave VMEM (and are f32 for free),
             # the (hp, N, N) bias block is DMA'd once per head group instead

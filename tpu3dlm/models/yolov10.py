@@ -281,22 +281,65 @@ def decode_raw(raw: Sequence[jax.Array], img_size: int) -> tuple[jax.Array, jax.
     return boxes, cls_logits
 
 
-@partial(jax.jit, static_argnames=("img_size", "max_det"))
+@partial(jax.jit, static_argnames=("img_size", "max_det", "per_level"))
 def postprocess(
     raw_one2one: Sequence[jax.Array],
     img_size: int,
     max_det: int = 300,
+    per_level: bool = True,
 ) -> dict[str, jax.Array]:
     """NMS-free selection from the one-to-one head.
 
     Per anchor: max class prob + argmax label; top-`max_det` anchors by
     confidence. Static output shapes: boxes (B, D, 4), conf (B, D),
     label (B, D). Caller thresholds by conf (reference conf_thresh).
+
+    ``per_level=True`` (round 4): reductions run PER FPN LEVEL before any
+    concatenation. The original path concatenated the three raw maps into
+    one (B, A, 4·REG_MAX + nc) tensor just to slice it apart again — at
+    batch 256 / 640² that materialises ~620 MB (bf16) through HBM, and
+    the per-op ledger charged the postprocess/detect concats 5.8% of
+    device time (PERF.md round 5). Per-level, only the reduced (B, A, 4)
+    boxes and (B, A) conf/label concatenate (~24× less concat traffic).
+    Outputs are bit-identical — same level-major anchor order, same math
+    (pinned in tests/test_models.py) — so False exists purely as the A/B
+    baseline.
     """
-    boxes, cls_logits = decode_raw(raw_one2one, img_size)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = probs.max(axis=-1)
-    label = probs.argmax(axis=-1).astype(jnp.int32)
+    if not per_level:
+        boxes, cls_logits = decode_raw(raw_one2one, img_size)
+        probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        conf = probs.max(axis=-1)
+        label = probs.argmax(axis=-1).astype(jnp.int32)
+    else:
+        if img_size % 32:
+            raise ValueError(f"img_size must be a multiple of 32, got {img_size}")
+        bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+        conf_l, label_l, boxes_l = [], [], []
+        for r, s in zip(raw_one2one, STRIDES):
+            B = r.shape[0]
+            flat = r.reshape(B, -1, r.shape[-1])
+            n = flat.shape[1]
+            box_logits = flat[..., : 4 * REG_MAX].reshape(B, n, 4, REG_MAX)
+            cls_logits = flat[..., 4 * REG_MAX :]
+            probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+            conf_l.append(probs.max(axis=-1))
+            label_l.append(probs.argmax(axis=-1).astype(jnp.int32))
+            dist = jnp.einsum(
+                "band,d->ban",
+                jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1),
+                bins,
+                precision=jax.lax.Precision.HIGHEST,  # sub-pixel box decode
+            )
+            h = w = img_size // s
+            ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+            xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+            a = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+            x1y1 = (a[None] - dist[..., :2]) * float(s)
+            x2y2 = (a[None] + dist[..., 2:]) * float(s)
+            boxes_l.append(jnp.concatenate([x1y1, x2y2], axis=-1))
+        conf = jnp.concatenate(conf_l, axis=1)
+        label = jnp.concatenate(label_l, axis=1)
+        boxes = jnp.concatenate(boxes_l, axis=1)
     k = min(max_det, boxes.shape[1])
     top_conf, idx = jax.lax.top_k(conf, k)
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)

@@ -167,7 +167,11 @@ def native_march_tets(
     normals_toward_positive: bool,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """C++ marching tetrahedra (same semantics as the numpy path in
-    mapper/meshing.py — vertex ORDER may differ, geometry is identical);
+    mapper/meshing.py — vertex ORDER may differ, and geometry matches up
+    to f32/f64 interpolation round-off: the C++ computes edge
+    interpolation and weld keys in double while the numpy oracle works in
+    float32, so vertices can drift ~1 ulp and weld merges can disagree on
+    exact round-half boundaries; the parity test pins agreement at 1e-3);
     None when the native library is unavailable."""
     lib = get_lib()
     if lib is None:

@@ -6,9 +6,13 @@
 // reconstruction (VERDICT r2 item 7): the vectorised numpy march builds
 // ~500 MB of edge-point temporaries and the splat pays 24 bincount passes,
 // while a single fused pass over the grid needs neither. Semantics match
-// mapper/meshing.py exactly: same 6-tet cube decomposition around diagonal
-// 0-7, same 16-case table, same edge interpolation and winding rule, same
-// weld quantisation (round-half-even at voxel*1e-3).
+// mapper/meshing.py: same 6-tet cube decomposition around diagonal 0-7,
+// same 16-case table, same edge interpolation and winding rule, same weld
+// quantisation (round-half-even at voxel*1e-3). Precision caveat: this
+// file interpolates and builds weld keys in double while the numpy oracle
+// works in float32, so vertices agree only up to f32/f64 round-off (~1 ulp)
+// and weld merges can differ on exact round-half boundaries — the parity
+// tests therefore compare at 1e-3, not bit-exactly.
 
 #include <cmath>
 #include <cstdint>

@@ -61,16 +61,9 @@ def full_scan_step_fn(
     """
     classify = lambda bv, crops: beit.apply(bv, preprocess_crops(crops))  # noqa: E731
     if mesh is not None:
-        # same resolution rule as models/beit.BeitAttention "auto"
-        impl = beit.cfg.attn_impl
-        if impl == "auto":
-            impl = (
-                "pallas"
-                if beit.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
-                else "einsum"
-            )
-        if impl != "pallas":
+        from tpu3dlm.models.beit import resolve_attn_impl
+
+        if resolve_attn_impl(beit.cfg, beit.dtype) != "pallas":
             mesh = None  # einsum path: plain GSPMD partitioning
     if mesh is not None:
         from jax import shard_map
@@ -154,7 +147,9 @@ def full_scan_step_fn(
             .reshape(F, D)
         )
         corners, valid = project_boxes(
-            boxes_px, mask, depth, intrinsics, rgb_size, poses
+            boxes_px, mask, depth, intrinsics, rgb_size, poses,
+            # serving grid (library default is 32 — see project_boxes)
+            median_samples=16,
         )
         return {
             "boxes": boxes_px,

@@ -90,6 +90,13 @@ def probe_backend_retrying(
 
 
 def _last_good_path() -> str:
+    """docs/last_good.json next to the repo checkout, overridable with
+    ``TPU3DLM_LAST_GOOD_PATH`` (for pip-installed deployments, where the
+    default would resolve into site-packages — see record_last_good's
+    checkout guard)."""
+    env = os.environ.get("TPU3DLM_LAST_GOOD_PATH")
+    if env:
+        return env
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "docs",
@@ -112,6 +119,22 @@ def record_last_good(metric: str, value: float, unit: str) -> None:
     measurement, so a later outage round still reports evidence. Only
     meaningful for non-CPU backends — callers gate on that."""
     path = _last_good_path()
+    # Auto-write ONLY inside a repo checkout (or at an explicit override):
+    # for a pip-installed package the default path resolves to a stray
+    # site-packages/../docs/last_good.json, and a bench run must not mutate
+    # the install tree as a side effect.
+    if "TPU3DLM_LAST_GOOD_PATH" not in os.environ:
+        root = os.path.dirname(os.path.dirname(path))
+        if not (
+            os.path.exists(os.path.join(root, "pyproject.toml"))
+            or os.path.exists(os.path.join(root, ".git"))
+        ):
+            print(
+                f"record_last_good: {path} is not inside a repo checkout; "
+                "set TPU3DLM_LAST_GOOD_PATH to persist bench evidence",
+                file=sys.stderr,
+            )
+            return
     try:
         stored = {}
         try:
@@ -215,6 +238,27 @@ def host_fingerprint() -> str:
         pass
     h = hashlib.sha256(f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
     return f"{platform.machine()}-{h}"
+
+
+def ephemeral_compile_cache(prefix: str = "tpu3dlm_ephemeral_cache_") -> None:
+    """Point the compile cache at a FRESH per-run directory, so no AOT
+    blob is ever *loaded*. XLA:CPU AOT blobs record CPU-tuning flags as
+    required target features and log `cpu_aot_loader` "machine mismatch …
+    SIGILL" walls even on a same-host reload (see host_fingerprint) — the
+    dryrun's CPU phase uses this policy (__graft_entry__), and bench.py
+    applies it around its forced-CPU baseline leg so the driver artifact's
+    tail stays the result line. Pair with ``enable_compile_cache()`` to
+    restore the persistent cache afterwards."""
+    import tempfile
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", tempfile.mkdtemp(prefix=prefix)
+        )
+    except Exception:
+        pass
 
 
 def enable_compile_cache(default_dir: str = "/tmp/tpu3dlm_jax_cache") -> None:
