@@ -72,7 +72,9 @@ def make_step(img_size: int, max_det: int, variant: str = "n"):
             else jnp.float32
         )
         x = rgb_u8.astype(in_dtype) / 255.0
-        raw = yolo.apply(variables, x)["one2one"]
+        # the SPLIT head output: XLA DCEs the unused concatenated maps
+        # (and their box/cls concat op) out of the program entirely
+        raw = yolo.apply(variables, x)["one2one_split"]
         det = postprocess(
             raw, img_size=img_size, max_det=max_det,
             # BENCH_POSTPROCESS=concat A/Bs the pre-round-4 whole-tensor

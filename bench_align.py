@@ -129,11 +129,29 @@ def main():
     # coin flip between the modes, so the headline is the MEDIAN of
     # BENCH_ALIGN_REPS runs, with the spread reported alongside.
     reps = max(1, int(os.environ.get("BENCH_ALIGN_REPS", "5")))
-    samples = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        align, rows = run_once()
-        samples.append(time.perf_counter() - t0)
+    trace_dir = os.environ.get("BENCH_ALIGN_PROFILE", "")
+
+    def steady_runs():
+        nonlocal align, rows
+        out = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            align, rows = run_once()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    if trace_dir:
+        # xprof capture of the warm steady-state legs (device-busy
+        # fraction is the fusion design's success metric — PERF.md
+        # "Round-4 fusion")
+        try:
+            with jax.profiler.trace(trace_dir):
+                samples = steady_runs()
+        except Exception as e:
+            print(f"profiler unavailable ({e})", file=sys.stderr)
+            samples = steady_runs()
+    else:
+        samples = steady_runs()
     wall = float(np.median(samples))
 
     # sanity: the recovered transform must invert the applied one

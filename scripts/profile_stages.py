@@ -83,7 +83,7 @@ def main() -> None:
     @jax.jit
     def yolo_post(yv, rgb):
         x = rgb.astype(jnp.float32) / 255.0
-        raw = yolo.apply(yv, x)["one2one"]
+        raw = yolo.apply(yv, x)["one2one_split"]
         return postprocess(raw, img_size=S, max_det=args.max_det)
 
     @jax.jit

@@ -58,6 +58,26 @@ class TestYOLOv10:
         for k in ("boxes", "conf", "label"):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
+    def test_postprocess_split_head_bit_identical(self, yolo_n, rng):
+        """The pre-concat (box, cls) head output ("one2one_split" — lets
+        XLA DCE the head concat) must postprocess bit-identically to the
+        concatenated maps, in both per_level modes."""
+        model, variables = yolo_n
+        x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)).astype(np.float32))
+        out = model.apply(variables, x)
+        # the split tuples ARE the concat's operands
+        for (b, c), r in zip(out["one2one_split"], out["one2one"]):
+            np.testing.assert_array_equal(
+                np.asarray(jnp.concatenate([b, c], axis=-1)), np.asarray(r)
+            )
+        for per_level in (True, False):
+            a = postprocess(out["one2one"], img_size=128, max_det=20,
+                            per_level=per_level)
+            s = postprocess(out["one2one_split"], img_size=128, max_det=20,
+                            per_level=per_level)
+            for k in ("boxes", "conf", "label"):
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(s[k]))
+
     def test_anchors(self):
         anchors, strides = make_anchors(128)
         n = (128 // 8) ** 2 + (128 // 16) ** 2 + (128 // 32) ** 2

@@ -89,7 +89,8 @@ def full_scan_step_fn(
         yolo_vars, beit_vars, rgb_u8, depth, intrinsics, rgb_size, poses, box_affine
     ):
         x = rgb_u8.astype(jnp.float32) / 255.0
-        raw = yolo.apply(yolo_vars, x)["one2one"]
+        # split head output → XLA DCEs the box/cls concat (PERF.md r4)
+        raw = yolo.apply(yolo_vars, x)["one2one_split"]
         det = postprocess(raw, img_size=img_size, max_det=max_det)
         boxes_sq = det["boxes"]  # (F, D, 4) in detector pixels
         mask = det["conf"] >= conf_thresh

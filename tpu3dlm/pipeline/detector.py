@@ -78,7 +78,8 @@ class ObjectDetector:
             @partial(jax.jit, static_argnames=())
             def _detect_batch(variables, images_u8):
                 x = images_u8.astype(jnp.float32) / 255.0
-                raw = model.apply(variables, x)["one2one"]
+                # split head output → XLA DCEs the box/cls concat
+                raw = model.apply(variables, x)["one2one_split"]
                 return postprocess(raw, img_size=img_size_, max_det=max_det_)
 
             return _detect_batch

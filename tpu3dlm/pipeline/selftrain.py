@@ -139,7 +139,7 @@ def evaluate_yolo_map(
 
     @jax.jit
     def _detect(variables, images):
-        raw = yolo.apply(variables, images)["one2one"]
+        raw = yolo.apply(variables, images)["one2one_split"]
         return postprocess(raw, img_size=img_size, max_det=max_det)
 
     out = jax.device_get(_detect(variables, images_f32))
