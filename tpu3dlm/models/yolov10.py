@@ -350,9 +350,14 @@ def postprocess(
                 n = flat.shape[1]
                 box_logits = flat[..., : 4 * REG_MAX].reshape(B, n, 4, REG_MAX)
                 cls_logits = flat[..., 4 * REG_MAX :]
-            probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-            conf_l.append(probs.max(axis=-1))
-            label_l.append(probs.argmax(axis=-1).astype(jnp.int32))
+            # sigmoid is monotone increasing, so max/argmax commute with it:
+            # reduce the raw logits first and apply ONE sigmoid to the (B, n)
+            # winners instead of materialising sigmoid over all nc classes —
+            # bit-identical (same winning logit value, same tie order;
+            # pinned against the per_level=False path in tests)
+            logits32 = cls_logits.astype(jnp.float32)
+            conf_l.append(jax.nn.sigmoid(logits32.max(axis=-1)))
+            label_l.append(logits32.argmax(axis=-1).astype(jnp.int32))
             dist = jnp.einsum(
                 "band,d->ban",
                 jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1),
