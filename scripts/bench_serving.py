@@ -197,6 +197,7 @@ def overlap_main(n_captures: int, concurrency: int):
 
 
 def tracked_jits():
+    from tpu3dlm.alignment import align as align_mod
     from tpu3dlm.mapper import nms3d, projection
     from tpu3dlm.ops import icp as icp_mod
     from tpu3dlm.ops import matching
@@ -208,6 +209,8 @@ def tracked_jits():
         "icp": icp_mod.icp,
         "icp_point_to_plane": icp_mod.icp_point_to_plane,
         "init_residuals_batched": icp_mod.init_residuals_batched,
+        # the round-4 single-dispatch compare program
+        "fused_compare": align_mod._fused_compare_program,
     }
 
 
