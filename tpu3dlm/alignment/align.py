@@ -22,6 +22,7 @@ multi-resolution subsample, the final stage at full size.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from functools import partial
 
@@ -86,6 +87,59 @@ def _target_fingerprint(x: np.ndarray) -> tuple:
         hashlib.blake2b(sample.tobytes(), digest_size=16).digest(),
         moments,
     )
+
+
+@dataclasses.dataclass
+class RegistrationVerdict:
+    """Registration-confidence verdict, computed from values the fused
+    compare program already reads back (VERDICT r4 weak #4: rmse /
+    inlier_frac were measured and then only logged — a degenerate or
+    out-of-basin capture silently poisoned the comparison CSV with false
+    MISSING rows). Zero extra device dispatches: every input is either in
+    the single end-of-compare readback or cheap host numpy.
+
+    Failure modes covered (thresholds from the measured convergence
+    envelope, docs/ALIGNMENT_ENVELOPE.md):
+
+      low_overlap       inlier_frac below floor — the scans share too
+                        little geometry for the transform to be trusted
+                        (partial captures, wrong room);
+      high_rmse         converged far from the surface — out-of-basin
+                        init or non-rigid disagreement;
+      box_mismatch      the aligned signage does not land on the gold
+                        signage (mean same-label centroid distance above
+                        the match threshold) — geometry locked onto a
+                        symmetric/flipped basin the semantic anchors
+                        reject (the 180°-flip incident, PERF.md);
+      ambiguous_init    another init candidate with a large relative
+                        rotation scored within ``init_margin_min`` of the
+                        chosen one — the scan is too symmetric for the
+                        init choice to be trusted;
+      degenerate_geometry  near-planar query cloud with NO box anchors on
+                        one/both sides: a featureless plane constrains
+                        neither in-plane translation nor in-plane
+                        rotation, so even a perfect rmse is meaningless.
+    """
+
+    ok: bool
+    reasons: tuple[str, ...]
+    rmse: float
+    inlier_frac: float
+    box_residual_m: float | None  # None when either side has no boxes
+    init_margin: float | None  # runner-up/chosen residual ratio (rot>45°)
+    planarity: float  # λ_min/λ_max of the query-cloud covariance
+    n_anchor_boxes: int
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _relative_angles_deg(T_cands: np.ndarray, chosen: np.ndarray) -> np.ndarray:
+    """Rotation angle (deg) of each candidate RELATIVE to the chosen
+    transform — ambiguity only matters between candidates that disagree."""
+    R_rel = T_cands[:, :3, :3] @ chosen[:3, :3].T
+    cos = (np.trace(R_rel, axis1=1, axis2=2) - 1.0) / 2.0
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
 
 
 def _poses_to_array(pose_df) -> np.ndarray:
@@ -292,6 +346,16 @@ class Alignment:
         # device dispatches (pass it as ``precomputed_match``). None
         # disables the fused matching.
         match_dist_threshold: float | None = 0.5,
+        # registration-confidence gate thresholds (RegistrationVerdict).
+        # Defaults derive from the measured convergence envelope
+        # (docs/ALIGNMENT_ENVELOPE.md, scripts/alignment_envelope.py):
+        # passing synthetic captures measure inlier_frac ≈ 1.0 and rmse
+        # ≈ 1e-2 m; the failure scenes (30% overlap, 90° out-of-basin,
+        # featureless plane) separate by >2× on at least one signal.
+        verdict_inlier_floor: float = 0.35,
+        verdict_rmse_ceiling: float = 0.08,
+        verdict_planarity_floor: float = 1e-4,
+        verdict_init_margin_min: float = 1.15,
     ):
         self.base_poses = _poses_to_array(base_pose_df)
         self.comparison_poses = _poses_to_array(comparison_pose_df)
@@ -315,6 +379,11 @@ class Alignment:
         self.ann = ann
         self.match_dist_threshold = match_dist_threshold
         self.last_match: dict | None = None
+        self.verdict_inlier_floor = verdict_inlier_floor
+        self.verdict_rmse_ceiling = verdict_rmse_ceiling
+        self.verdict_planarity_floor = verdict_planarity_floor
+        self.verdict_init_margin_min = verdict_init_margin_min
+        self.last_verdict: RegistrationVerdict | None = None
         self.logger = logging.getLogger(__name__)
 
         # registration point sets: full clouds when available, else the
@@ -684,6 +753,18 @@ class Alignment:
             "ICP done: rmse=%.4f inliers=%.1f%%",
             float(host["rmse"]), 100 * float(host["inlier"]),
         )
+        self.last_verdict = self._registration_verdict(
+            host, T_cands, comp_s, init_pending
+        )
+        if not self.last_verdict.ok:
+            self.logger.warning(
+                "ALIGNMENT SUSPECT (%s): rmse=%.4f inliers=%.2f "
+                "box_residual=%s init_margin=%s planarity=%.2e",
+                ",".join(self.last_verdict.reasons),
+                self.last_verdict.rmse, self.last_verdict.inlier_frac,
+                self.last_verdict.box_residual_m,
+                self.last_verdict.init_margin, self.last_verdict.planarity,
+            )
 
         self.last_match = None
         if match_args is not None:
@@ -712,6 +793,74 @@ class Alignment:
 
         comp_aligned = comp @ T[:3, :3].T + T[:3, 3]
         return aligned_bboxes, self.transformations, base, comp_aligned
+
+    def _registration_verdict(
+        self, host: dict, T_cands: np.ndarray, comp_s: np.ndarray,
+        init_pending: dict,
+    ) -> RegistrationVerdict:
+        """Build the registration-confidence verdict (class docstring of
+        RegistrationVerdict). Host math only — every device value is
+        already in the single end-of-compare readback."""
+        reasons: list[str] = []
+        rmse = float(host["rmse"])
+        inlier = float(host["inlier"])
+        if inlier < self.verdict_inlier_floor:
+            reasons.append("low_overlap")
+        if rmse > self.verdict_rmse_ceiling:
+            reasons.append("high_rmse")
+
+        # semantic-anchor consistency of the FINAL transform (host numpy
+        # over <=64 box centroids)
+        box_res = self._box_residual(self.final_transform)
+        n_boxes = min(len(self.base_records), len(self.comparison_records))
+        thr = self.match_dist_threshold or 0.5
+        if box_res is not None and box_res > thr:
+            reasons.append("box_mismatch")
+
+        # init ambiguity: a candidate rotated >45° away from the chosen
+        # transform scoring within init_margin_min of it means geometry
+        # alone could not disambiguate the basin (near-symmetric scan)
+        init_margin = None
+        if "static_steps" not in init_pending and "init_res" in host:
+            res = np.asarray(host["init_res"], np.float64)
+            chosen = (
+                T_cands[1:][int(host["init_best"])]
+                if bool(host["init_use_pca"])
+                else T_cands[0]
+            )
+            rel = _relative_angles_deg(T_cands, np.asarray(chosen))
+            chosen_res = float(
+                res[1:][int(host["init_best"])]
+                if bool(host["init_use_pca"]) else res[0]
+            )
+            far = rel > 45.0
+            if far.any() and chosen_res > 0:
+                init_margin = float(res[far].min() / max(chosen_res, 1e-9))
+                # only *ambiguous* when the anchors could not break the tie
+                # either: with same-label boxes present the anchor term
+                # already separated the flips inside the fused program
+                if init_margin < self.verdict_init_margin_min and n_boxes == 0:
+                    reasons.append("ambiguous_init")
+
+        # degenerate geometry: near-planar query with no semantic anchors —
+        # in-plane translation/rotation is unconstrained, so rmse/inliers
+        # can look perfect while the transform is arbitrary
+        c = comp_s - comp_s.mean(axis=0)
+        ev = np.linalg.eigvalsh((c.T @ c) / max(len(c), 1))
+        planarity = float(ev[0] / max(ev[-1], 1e-12))
+        if n_boxes == 0 and planarity < self.verdict_planarity_floor:
+            reasons.append("degenerate_geometry")
+
+        return RegistrationVerdict(
+            ok=not reasons,
+            reasons=tuple(reasons),
+            rmse=rmse,
+            inlier_frac=inlier,
+            box_residual_m=None if box_res is None else float(box_res),
+            init_margin=init_margin,
+            planarity=planarity,
+            n_anchor_boxes=n_boxes,
+        )
 
     def _index_for(self, tj, fp, mesh_key):
         """Anchor-bucketed NN index (ops/ann.py) for one stage target: one

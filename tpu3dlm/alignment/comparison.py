@@ -33,6 +33,7 @@ class BBoxComparison:
         dist_threshold: float = 0.5,
         id2damage: dict[int, str] | None = None,
         precomputed_match: dict | None = None,
+        alignment_verdict: dict | None = None,
     ):
         self.base_records = _boxes_to_records(base_optimised_bboxes)
         self.comparison_records = _boxes_to_records(aligned_comparison_bboxes)
@@ -48,6 +49,14 @@ class BBoxComparison:
         # differently-thresholded carry-over can only cost a dispatch,
         # never a wrong report.
         self.precomputed_match = precomputed_match
+        # Alignment.last_verdict.to_dict() — when provided, every report
+        # row carries an `alignment` column ("ok" or
+        # "suspect:<reason|reason>"): a MISSING row produced under a
+        # suspect registration is a statement about the alignment, not the
+        # asset, and must never read as a trustworthy finding (VERDICT r4
+        # weak #4). None (the library default) keeps the historical CSV
+        # schema byte-identical.
+        self.alignment_verdict = alignment_verdict
         self.logger = logging.getLogger(__name__)
 
     def _centroids(self, records) -> np.ndarray:
@@ -151,6 +160,16 @@ class BBoxComparison:
                     }
                 )
 
+        if self.alignment_verdict is not None:
+            v = self.alignment_verdict
+            flag = (
+                "ok"
+                if v.get("ok", True)
+                else "suspect:" + "|".join(v.get("reasons", ()))
+            )
+            for r in rows:
+                r["alignment"] = flag
+
         self._write_csv(rows)
         n_missing = sum(1 for r in rows if r["status"] == "missing")
         n_damaged = sum(1 for r in rows if r["status"] == "damaged")
@@ -168,6 +187,8 @@ class BBoxComparison:
             "base_id", "frame", "label", "status", "comparison_id",
             "distance", "base_damage", "comparison_damage",
         ]
+        if rows and "alignment" in rows[0]:
+            fields.append("alignment")
         with open(self.csv_output_file, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields)
             writer.writeheader()

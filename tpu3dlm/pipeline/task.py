@@ -413,12 +413,19 @@ class Pipeline:
             # where the backend is TPU; false = force the XLA fallback
             # everywhere (escape hatch for Pallas/Mosaic issues)
             use_pallas=(None if getattr(self.cfg, "use_pallas", True) else False),
+            # registration-confidence gate (RegistrationVerdict); floors
+            # derived from the measured convergence envelope
+            # (docs/ALIGNMENT_ENVELOPE.md)
+            verdict_inlier_floor=getattr(self.cfg, "align_inlier_floor", 0.35),
+            verdict_rmse_ceiling=getattr(self.cfg, "align_rmse_ceiling", 0.08),
         )
         aligned_bboxes, transformations, base_map, comp_map = align.compare(
             self.data_folder
         )
         self.data_to_save["transformations"] = transformations
         self.data_to_save["aligned_bboxes"] = aligned_bboxes
+        verdict = align.last_verdict.to_dict() if align.last_verdict else None
+        self.data_to_save["alignment_verdict"] = verdict
 
         labels = getattr(self.cfg, "damage_labels", "undamaged,damaged").split(",")
         compare = BBoxComparison(
@@ -432,6 +439,9 @@ class Pipeline:
             # (alignment/align.py::Alignment.last_match) — zero extra
             # dispatches when the thresholds/record counts line up
             precomputed_match=align.last_match,
+            # every CSV row carries the registration-confidence flag: a
+            # MISSING row under a suspect alignment is not a finding
+            alignment_verdict=verdict,
         )
         rows = compare.match_bboxes()
         self.data_to_save["comparison_rows"] = rows

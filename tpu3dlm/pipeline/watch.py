@@ -24,7 +24,13 @@ long-running service:
   while a genuinely corrupt one converges to quarantine;
 - failures of the SHARED gold baseline (bootstrap error, gold pickle
   unreadable) are never blamed on the maintenance capture being
-  processed: the capture is deferred and retried next cycle, unpenalised.
+  processed: the capture is deferred and retried next cycle, unpenalised;
+- captures whose registration flunks the confidence gate
+  (alignment/align.RegistrationVerdict: low overlap, out-of-basin/flipped
+  transform, degenerate geometry) are quarantined with
+  ``.tpu3dlm_alignment_suspect`` + the verdict JSON — their comparison
+  CSV exists but is flagged, so a bad registration can never silently
+  publish false MISSING rows.
 
 TPU-native payoff: every scan reuses the SAME compiled stage programs and
 device-resident weights (utils/jitcache + task._cached_device_weights) —
@@ -47,6 +53,14 @@ import traceback
 
 DONE_SENTINEL = ".tpu3dlm_done"
 FAILED_SENTINEL = ".tpu3dlm_failed"
+# registration-confidence quarantine (RegistrationVerdict, VERDICT r4 weak
+# #4): the capture PROCESSED — but its alignment failed the confidence
+# gate, so the comparison CSV's missing/damage rows are not trustworthy.
+# Distinct from FAILED because retrying won't help (the verdict is
+# deterministic for the capture) and an operator should review the capture
+# (partial scan? wrong room? featureless geometry?) rather than the
+# pipeline.
+SUSPECT_SENTINEL = ".tpu3dlm_alignment_suspect"
 
 
 def _folder_fingerprint(path: str) -> tuple:
@@ -118,6 +132,7 @@ class ScanWatcher:
         self._retry_after: dict[str, float] = {}
         self._warned_gold_failed = False
         self.processed: list[str] = []
+        self.suspect: list[str] = []  # alignment-suspect quarantined
 
     # -- discovery ---------------------------------------------------------
 
@@ -130,8 +145,10 @@ class ScanWatcher:
             path = os.path.join(self.data_root, name)
             if not os.path.isdir(path) or not _is_capture(path):
                 continue
-            if os.path.exists(os.path.join(path, DONE_SENTINEL)) or os.path.exists(
-                os.path.join(path, FAILED_SENTINEL)
+            if (
+                os.path.exists(os.path.join(path, DONE_SENTINEL))
+                or os.path.exists(os.path.join(path, FAILED_SENTINEL))
+                or os.path.exists(os.path.join(path, SUSPECT_SENTINEL))
             ):
                 continue
             if name in self._inflight:
@@ -249,6 +266,32 @@ class ScanWatcher:
             record["missing"] = sum(
                 1 for r in rows if r.get("status") == "missing"
             )
+        verdict = pipeline.data_to_save.get("alignment_verdict")
+        if verdict is not None and not verdict.get("ok", True):
+            # registration-confidence quarantine: the pipeline ran, but the
+            # alignment flunked the gate — its missing/damage report must
+            # not be consumed as a finding. Sentinel carries the verdict so
+            # an operator sees WHY (low overlap? flipped basin? degenerate
+            # geometry?) without re-running anything.
+            record["alignment_verdict"] = verdict
+            try:
+                with open(os.path.join(path, SUSPECT_SENTINEL), "w") as f:
+                    json.dump(record, f, indent=1)
+            except OSError:
+                self.logger.exception(
+                    "scan %s alignment-suspect but sentinel write failed",
+                    folder,
+                )
+            self.suspect.append(folder)
+            # counts as handled for max_scans bookkeeping (a sentinel was
+            # written; the folder will never be rediscovered) — it is the
+            # REPORT that is untrusted, not the service loop
+            self.processed.append(folder)
+            self.logger.warning(
+                "scan %s QUARANTINED: alignment suspect (%s)",
+                folder, ",".join(verdict.get("reasons", ())),
+            )
+            return True
         try:
             with open(os.path.join(path, DONE_SENTINEL), "w") as f:
                 json.dump(record, f, indent=1)
