@@ -39,6 +39,14 @@ FULL_SCALE_REPORT = os.path.join(
 HARD_EVAL_REPORT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "docs", "ACCURACY_HARD_EVAL.json"
 )
+HARD_EVAL_FULL_REPORT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs",
+    "ACCURACY_HARD_EVAL_FULL.json"
+)
+DAMAGE_EVAL_REPORT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs",
+    "ACCURACY_DAMAGE_EVAL.json"
+)
 
 
 def check_full_scale_report() -> dict:
@@ -69,16 +77,21 @@ def check_full_scale_report() -> dict:
     }
 
 
-def check_hard_eval_report() -> dict:
-    """Regression-gate the committed hard-eval artifact
-    (docs/ACCURACY_HARD_EVAL.json, produced by scripts/hard_eval.py):
+def check_hard_eval_report(path: str = HARD_EVAL_REPORT) -> dict:
+    """Regression-gate a committed hard-eval artifact
+    (docs/ACCURACY_HARD_EVAL.json fixture-scale — and, round 5, the SAME
+    check over docs/ACCURACY_HARD_EVAL_FULL.json at the production 640²
+    operating point; both produced by scripts/hard_eval.py):
     the flagship 'combined' mAP50 must sit inside the gate band recorded
     in the artifact — ABOVE the floor (a regression pushes it down) and
     BELOW ceiling (a saturated 1.0 means the corpus stopped being able to
     see regressions at all, which is exactly the failure VERDICT r3 weak
     #2 called out), and every single-stress axis must clear its own floor.
-    """
-    with open(HARD_EVAL_REPORT) as f:
+    Round-5 artifacts additionally carry statistical-power requirements:
+    every axis must pool >= gate["min_n_gt_per_axis"] ground-truth boxes
+    across the eval seeds (a 17-box axis moves ~5 points per flipped
+    detection — more than the gate margins)."""
+    with open(path) as f:
         rep = json.load(f)
     gate = rep["gate"]
     combined = rep["axes"]["combined"]["map50"]
@@ -89,6 +102,14 @@ def check_hard_eval_report() -> dict:
         if rep["axes"][a]["map50"] < floor
     }
     ok = ok and not axis_fails
+    min_gt = gate.get("min_n_gt_per_axis")
+    gt_fails = {}
+    if min_gt:
+        gt_fails = {
+            a: e["n_gt"] for a, e in rep["axes"].items()
+            if e.get("n_gt", 0) < min_gt
+        }
+        ok = ok and not gt_fails
     pmax = gate.get("placement_max_m")
     if pmax is not None:
         worst = max(
@@ -98,14 +119,58 @@ def check_hard_eval_report() -> dict:
         ok = ok and worst <= pmax
     if not ok:
         print(
-            f"SANITY FAILURE: hard-eval artifact outside gate "
-            f"(combined {combined} vs [{gate['combined_map50_min']}, "
-            f"{gate['combined_map50_max']}], axis fails {axis_fails})",
+            f"SANITY FAILURE: hard-eval artifact {os.path.basename(path)} "
+            f"outside gate (combined {combined} vs "
+            f"[{gate['combined_map50_min']}, {gate['combined_map50_max']}], "
+            f"axis fails {axis_fails}, n_gt fails {gt_fails})",
             file=sys.stderr,
         )
     return {
         "combined_map50": combined,
         "base_map50": rep["axes"]["base"]["map50"],
+        "gate": gate,
+        "ok": ok,
+    }
+
+
+def check_damage_eval_report(path: str = DAMAGE_EVAL_REPORT) -> dict:
+    """Regression-gate the committed damage-classifier stress artifact
+    (docs/ACCURACY_DAMAGE_EVAL.json, produced by scripts/hard_eval.py —
+    VERDICT r4 weak #3: the detector had a stress curve, the classifier
+    had none). Per-axis accuracy floors (clean high; no stress axis
+    collapsed), a pooled macro-F1 floor on the clean axis, and a
+    statistical-power floor on matched pairs per axis."""
+    with open(path) as f:
+        rep = json.load(f)
+    gate = rep["gate"]
+    axis_fails = {
+        a: rep["axes"][a]["accuracy"]
+        for a, floor in gate.get("axis_accuracy_min", {}).items()
+        if rep["axes"][a]["accuracy"] < floor
+    }
+    ok = not axis_fails
+    f1_min = gate.get("macro_f1_min")
+    if f1_min is not None:
+        ok = ok and rep["axes"]["clean"]["macro_f1"] >= f1_min
+    min_pairs = gate.get("min_pairs_per_axis")
+    pair_fails = {}
+    if min_pairs:
+        pair_fails = {
+            a: e["n_pairs"] for a, e in rep["axes"].items()
+            if e.get("n_pairs", 0) < min_pairs
+        }
+        ok = ok and not pair_fails
+    if not ok:
+        print(
+            f"SANITY FAILURE: damage-eval artifact outside gate "
+            f"(axis fails {axis_fails}, pair fails {pair_fails})",
+            file=sys.stderr,
+        )
+    return {
+        "clean_accuracy": rep["axes"]["clean"]["accuracy"],
+        "worst_axis_accuracy": min(
+            e["accuracy"] for e in rep["axes"].values()
+        ),
         "gate": gate,
         "ok": ok,
     }

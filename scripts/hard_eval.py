@@ -19,11 +19,14 @@ Usage:
     # full production scale (YOLOv10-n @ 640) — trains on TPU, ~15 min
     PYTHONPATH=. python scripts/hard_eval.py --train --full-scale
 
-Training corpus (--train): THREE scans of the same scene class with
-different trajectories/frame counts plus in-jit augmentation (flip, color
-jitter, crop-zoom — ops/augment.py), so the detector learns the signs
-rather than the five exact training viewpoints the old single-scan recipe
-overfit to (its base-axis mAP50 off the training trajectory was ~0.67).
+Training corpus (--train): ``training_specs()`` — 14 domain-randomized
+scenes (jittered sign geometry/colors covering the eval jitter, occluders,
+distractors, desaturation, oblique sweeps, depth noise) plus in-jit
+augmentation (flip, color jitter, crop-zoom, random erasing —
+ops/augment.py), so the detector learns the sign CLASS rather than one
+scene instance. The round-4 fixed-scene recipe scored mAP50 0.0-0.36 on
+the round-5 multi-seed corpus — pure memorization of exact colors and
+positions; this recipe exists to fix that.
 """
 
 from __future__ import annotations
@@ -40,9 +43,79 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
 
+def training_specs(n_scenes: int = 14, rng_seed: int = 5000) -> list[dict]:
+    """Domain-randomized training corpus (round 5).
+
+    The round-4 recipe trained on FOUR fixed trajectories over the exact
+    default scene — and the multi-seed eval corpus exposed that as
+    memorization: the fixture detector scored mAP50 0.0-0.36 on scenes
+    whose sign positions/sizes/colors were jittered by amounts the eval
+    axes now draw per seed (pipeline/hardeval.axis_kwargs). This generator
+    builds ``n_scenes`` scenes whose randomization COVERS the eval jitter
+    (wider position/size/color ranges), mixing in occluders, distractors,
+    color desaturation, oblique sweeps, and depth noise at train time with
+    positions/strengths drawn from a seed space (SeedSequence([rng_seed,
+    i])) disjoint from the eval seeds (hardeval.EVAL_SEEDS streams).
+    """
+    import numpy as np
+
+    from tpu3dlm.data.synthetic import Sign, default_signs
+    from tpu3dlm.pipeline.hardeval import (
+        distractor_set,
+        jitter_signs,
+        occluder_set,
+    )
+
+    specs = []
+    for i in range(n_scenes):
+        rng = np.random.default_rng(np.random.SeedSequence([rng_seed, i]))
+        # wider than eval jitter (pos .06 / size .08 / color 14)
+        signs = jitter_signs(
+            default_signs(), rng, pos=0.1, size=0.12, color=20.0
+        )
+        blend = float(rng.choice([0.0, 0.0, 0.2, 0.35, 0.5]))
+        if blend:
+            signs = [
+                Sign(
+                    s.x0, s.y0, s.x1, s.y1, s.z,
+                    tuple(
+                        int(round(v + blend * (180 - v))) for v in s.color
+                    ),
+                    label=s.label, damage=s.damage,
+                )
+                for s in signs
+            ]
+        oblique = bool(rng.uniform() < 0.3)
+        dx = float(rng.uniform(-0.2, 0.2))
+        span = (-1.1 + dx, 2.2 + dx) if oblique else (-0.5 + dx, 1.6 + dx)
+        kw = dict(
+            num_frames=int(rng.integers(5, 10)),
+            seed=1000 + i,
+            signs=signs,
+            yaw_phase=float(rng.uniform(0.0, 2 * np.pi)),
+            yaw_amplitude=0.35 if oblique else float(rng.uniform(0.05, 0.2)),
+            x_span=span,
+        )
+        r = float(rng.uniform())
+        if r < 0.35:
+            kw["distractors"] = jitter_signs(
+                distractor_set(), rng, pos=0.15, size=0.15, color=15.0
+            )
+        if 0.25 < r < 0.65:
+            kw["occluders"] = jitter_signs(
+                occluder_set(), rng, pos=0.1, size=0.12, color=12.0
+            )
+        if rng.uniform() < 0.3:
+            kw["depth_noise_m"] = 0.02
+            kw["depth_dropout"] = 0.15
+        specs.append(kw)
+    return specs
+
+
 def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
-                      beit_steps: int, full_scale: bool):
-    """Multi-trajectory augmented finetune → (yolo_ckpt, beit_ckpt)."""
+                      beit_steps: int, full_scale: bool,
+                      n_scenes: int = 14):
+    """Domain-randomized augmented finetune → (yolo_ckpt, beit_ckpt)."""
     import numpy as np
 
     from tpu3dlm.data import synthetic
@@ -58,23 +131,8 @@ def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
         yolo_training_arrays,
     )
 
-    from tpu3dlm.pipeline.hardeval import confusable_signs
-
     root = tempfile.mkdtemp(prefix="tpu3dlm_hard_train_")
-    # four trajectories over the same scene class: the default sweep, a
-    # wider oblique sweep, a shifted closer pass, and a MILDLY desaturated
-    # variant (strength 0.3 — the detector otherwise learns a hard color
-    # cliff and the confusable axis reads 0.0 instead of degrading) —
-    # augmentation handles the rest of the photometric variation, the
-    # trajectories the viewpoint variation. Evaluation scans use a
-    # DIFFERENT frame count (run_hard_eval num_frames=7), so the eval
-    # viewpoints are never the training viewpoints.
-    specs = [
-        dict(num_frames=6, seed=0),
-        dict(num_frames=8, seed=3, yaw_amplitude=0.25, x_span=(-1.0, 2.1)),
-        dict(num_frames=6, seed=5, x_span=(-0.2, 1.2)),
-        dict(num_frames=6, seed=9, signs=confusable_signs(0.3)),
-    ]
+    specs = training_specs(n_scenes)
     arrays = []
     crops_all, dmg_all = [], []
     beit_kw = FULL_BEIT_KW if full_scale else BEIT_KW
@@ -102,9 +160,18 @@ def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
     )
     logging.info("training corpus: %d frames, %d gt boxes",
                  images.shape[0], int(mask.sum()))
+    # round-5 recipe: random erasing ON (the occlusion-robustness
+    # augmentation), stronger photometric jitter (the confusable axis
+    # desaturates colors), cosine schedule + EMA for the longer runs, and
+    # a bounded in-jit minibatch at 640 (full-batch would hold ~90 frames
+    # of 640² activations)
+    aug = dict(erase_p=0.5, erase_count=2, erase_max=0.35,
+               brightness=0.3, contrast=0.3)
     yolo_vars = finetune_yolo(
         images, boxes, labels, mask, nc=nc, img_size=img_size,
-        steps=steps, augment=True,
+        steps=steps, augment=aug,
+        schedule="cosine", ema_decay=0.995,
+        sample_batch=16 if full_scale else None,
     )
     beit_cfg = BeitConfig(num_labels=2, **{k: v for k, v in beit_kw.items()
                                            if k != "num_labels"})
@@ -133,6 +200,11 @@ def main():
     ap.add_argument("--beit-steps", type=int, default=None)
     ap.add_argument("--yolo-ckpt", default=None,
                     help="evaluate this checkpoint instead of training/fixtures")
+    ap.add_argument("--beit-ckpt", default=None,
+                    help="damage-eval this BEiT checkpoint (default: the "
+                         "trained/fixture one)")
+    ap.add_argument("--skip-damage", action="store_true",
+                    help="skip the damage-classifier stress eval")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "ACCURACY_HARD_EVAL.json"))
     ap.add_argument("--out-dir", default=os.path.join(
@@ -155,10 +227,13 @@ def main():
 
     img_size = 640 if args.full_scale else 128
     nc = 2
-    steps = args.steps or (1500 if args.full_scale else 600)
-    beit_steps = args.beit_steps or (120 if args.full_scale else 80)
+    # round-5 corpus is ~3.5x larger and domain-randomized — the old 600
+    # full-batch steps underfit it
+    steps = args.steps or (3000 if args.full_scale else 2000)
+    beit_steps = args.beit_steps or (160 if args.full_scale else 120)
 
     t0 = time.time()
+    beit_ckpt = args.beit_ckpt
     if args.yolo_ckpt:
         yolo_ckpt = args.yolo_ckpt
     elif args.train:
@@ -173,6 +248,7 @@ def main():
             logging.info("fixtures updated in %s", FIXTURES)
     else:
         yolo_ckpt = os.path.join(FIXTURES, "yolo_synthetic.msgpack")
+        beit_ckpt = beit_ckpt or os.path.join(FIXTURES, "beit_synthetic.msgpack")
     train_s = time.time() - t0
 
     from tpu3dlm.pipeline.hardeval import run_hard_eval, write_report
@@ -196,7 +272,10 @@ def main():
         # and BELOW ceiling (a saturated 1.0 means the corpus stopped
         # measuring — the round-3 failure this corpus exists to fix);
         # per-axis floors catch a single-mode collapse the combined mean
-        # could average away. Floors sit ~0.2 under the recorded values.
+        # could average away. Round-5 floors sit >= 3x the measured
+        # across-seed spread under the recorded means
+        # (tests/test_accuracy_gates.py pins the margin property), and
+        # min_n_gt_per_axis pins the corpus's statistical power.
         gate={
             "combined_map50_min": 0.60,
             "combined_map50_max": 0.97,
@@ -205,6 +284,7 @@ def main():
                 "oblique": 0.50, "confusable": 0.50, "depth_noise": 0.70,
             },
             "placement_max_m": 0.1,
+            "min_n_gt_per_axis": 150,
         },
     )
     write_report(report, args.out)
@@ -212,6 +292,44 @@ def main():
     combined = report["axes"]["combined"]["map50"]
     base = report["axes"]["base"]["map50"]
     print(f"base mAP50={base} combined mAP50={combined}", file=sys.stderr)
+
+    if not args.skip_damage and beit_ckpt:
+        from tpu3dlm.pipeline.evaluate import BEIT_KW, FULL_BEIT_KW
+        from tpu3dlm.pipeline.hardeval import run_damage_hard_eval
+
+        t0 = time.time()
+        beit_kw = FULL_BEIT_KW if args.full_scale else BEIT_KW
+        dmg = run_damage_hard_eval(
+            yolo_ckpt, beit_ckpt,
+            tempfile.mkdtemp(prefix="tpu3dlm_damage_eval_"),
+            img_size=img_size, nc=nc, conf=0.5,
+            beit_kw={k: v for k, v in beit_kw.items() if k != "num_labels"},
+        )
+        dmg.update(
+            hardware=report["hardware"],
+            date=report["date"],
+            checkpoint=os.path.basename(beit_ckpt),
+            scale=report["scale"],
+            eval_seconds=round(time.time() - t0, 1),
+            # bench_e2e.check_damage_eval_report: per-axis accuracy floors
+            # (clean must stay high; each stress axis must not collapse)
+            # plus pooled-pair statistical power
+            gate={
+                "axis_accuracy_min": {
+                    "clean": 0.90, "blur": 0.75, "exposure": 0.75,
+                    "crop_occlusion": 0.70, "box_jitter": 0.80,
+                },
+                "macro_f1_min": 0.70,
+                "min_pairs_per_axis": 120,
+            },
+        )
+        suffix = "_FULL" if args.full_scale else ""
+        dmg_out = os.path.join(REPO, "docs",
+                               f"ACCURACY_DAMAGE_EVAL{suffix}.json")
+        write_report(dmg, dmg_out)
+        print(json.dumps(
+            {a: {"accuracy": e["accuracy"], "n_pairs": e["n_pairs"]}
+             for a, e in dmg["axes"].items()}, indent=1))
 
 
 if __name__ == "__main__":

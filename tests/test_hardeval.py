@@ -140,3 +140,92 @@ class TestHardAxes:
         np.testing.assert_array_equal(a.poses, b.poses)
         da, db = _load_depth(root, "x"), _load_depth(root, "y")
         np.testing.assert_array_equal(da, db)
+
+
+class TestSeededCorpus:
+    """Round-5 multi-seed corpus invariants (hardeval.axis_kwargs)."""
+
+    def test_axis_kwargs_deterministic_per_seed(self):
+        a = hardeval.axis_kwargs("combined", 11)
+        b = hardeval.axis_kwargs("combined", 11)
+        assert str(a) == str(b)
+
+    def test_axis_kwargs_vary_across_seeds(self):
+        a = hardeval.axis_kwargs("base", 11)
+        b = hardeval.axis_kwargs("base", 23)
+        assert str(a["signs"]) != str(b["signs"])
+        assert a["yaw_phase"] != b["yaw_phase"]
+
+    def test_occluders_still_cross_signs(self):
+        """The bounded jitter must preserve the structural invariant the
+        occlusion axis depends on: each panel's x-range stays inside the
+        x-range of the sign it was placed to occlude."""
+        for seed in hardeval.EVAL_SEEDS:
+            kw = hardeval.axis_kwargs("occlusion", seed)
+            signs, occ = kw["signs"], kw["occluders"]
+            for o, s in zip(occ, (signs[0], signs[2])):
+                assert o.x0 < s.x1 and o.x1 > s.x0, (seed, o, s)
+
+    def test_generated_scan_deterministic(self, root):
+        a = hardeval.generate_axis_scan(root, "base", num_frames=2, seed=11)
+        b = hardeval.generate_axis_scan(
+            root + "/again", "base", num_frames=2, seed=11
+        )
+        assert a.gt_boxes_2d == b.gt_boxes_2d
+        np.testing.assert_array_equal(a.poses, b.poses)
+        pa = os.path.join(root, "base_s11", "rtabmap_extract", "data_rgb", "1.jpg")
+        pb = os.path.join(root, "again", "base_s11", "rtabmap_extract",
+                          "data_rgb", "1.jpg")
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+    def test_gt_volume_meets_power_floor(self, root):
+        """5 seeds x 14 frames must pool >= 150 GT boxes on the gated axes
+        (spot-checked on the two that lose boxes: occlusion, combined)."""
+        for axis in ("occlusion", "combined"):
+            tot = sum(
+                sum(len(v) for v in hardeval.generate_axis_scan(
+                    root, axis, num_frames=14, seed=s
+                ).gt_boxes_2d.values())
+                for s in hardeval.EVAL_SEEDS
+            )
+            assert tot >= 150, (axis, tot)
+
+
+class TestDamagePerturbations:
+    def test_blur_and_exposure_change_pixels_not_shape(self):
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+        for axis in ("blur", "exposure"):
+            out = hardeval._perturb_scan_rgb(rgb, axis, np.random.default_rng(1))
+            assert out.shape == rgb.shape and out.dtype == np.uint8
+            assert not np.array_equal(out, rgb)
+
+    def test_crop_occlusion_paints_inside_boxes(self):
+        class _Scan:
+            letterbox = None
+            rgb_size = np.array([[64.0, 64.0], [64.0, 64.0]])
+            rgb = np.zeros((2, 64, 64, 3), np.uint8)
+
+        rgb = np.full((2, 64, 64, 3), 200, np.uint8)
+        gt = {0: [[8.0, 8.0, 40.0, 40.0, 0.9, 0]], 1: []}
+        out = hardeval._perturb_scan_rgb(
+            rgb, "crop_occlusion", np.random.default_rng(2),
+            gt_boxes_px=gt, scan=_Scan(),
+        )
+        changed = np.nonzero((out[0] != 200).any(-1))
+        assert changed[0].size > 0
+        assert changed[0].min() >= 7 and changed[0].max() <= 41
+        assert changed[1].min() >= 7 and changed[1].max() <= 41
+        np.testing.assert_array_equal(out[1], rgb[1])  # no gt, untouched
+
+    def test_box_jitter_bounded_and_masked(self):
+        rng = np.random.default_rng(3)
+        boxes = np.tile(np.array([10.0, 10.0, 30.0, 30.0], np.float32),
+                        (2, 4, 1))
+        mask = np.zeros((2, 4), bool)
+        mask[0, :2] = True
+        out = hardeval._jitter_boxes(boxes, mask, rng, frac=0.1)
+        moved = np.abs(out - boxes)
+        assert moved[mask].max() <= 2.0 + 1e-5  # 10% of the 20-px size
+        np.testing.assert_array_equal(out[~mask], boxes[~mask])
+        assert (moved[mask] > 0).any()

@@ -211,6 +211,7 @@ def generate_scan(
     depth_dropout: float = 0.0,
     yaw_amplitude: float = 0.08,
     x_span: tuple[float, float] = (-0.5, 1.6),
+    yaw_phase: float = 0.0,
 ) -> SyntheticScene:
     """Generate a full synthetic scan under <root>/<data_folder>/.
 
@@ -231,7 +232,11 @@ def generate_scan(
         zero-depth holes on the rendered depth maps (3D placement stress;
         2D ground truth unaffected);
       ``yaw_amplitude`` / ``x_span`` — oblique viewing: larger yaw sweeps
-        foreshorten the signs and push them to the frame edges.
+        foreshorten the signs and push them to the frame edges;
+      ``yaw_phase`` — phase offset of the sinusoidal yaw sweep, so two
+        scans of the same scene view it from genuinely different angles
+        (the multi-seed eval corpus draws it per seed; default 0 keeps
+        every existing fixture bit-identical).
     When distractors or occluders are present the per-frame ground truth is
     derived from the rendered owner mask (pixel-quantised, occlusion-aware)
     instead of corner projection.
@@ -265,7 +270,9 @@ def generate_scan(
     # Trajectory: translate along x, sinusoidal yaw (hard-eval "oblique"
     # axis raises the amplitude)
     xs = np.linspace(x_span[0], x_span[1], num_frames)
-    yaws = yaw_amplitude * np.sin(np.linspace(0, 2 * np.pi, num_frames))
+    yaws = yaw_amplitude * np.sin(
+        np.linspace(0, 2 * np.pi, num_frames) + yaw_phase
+    )
     poses = np.zeros((num_frames, 7), np.float32)
     timestamps = 1700000000.0 + np.arange(num_frames) * 0.5
     for f in range(num_frames):

@@ -90,6 +90,34 @@ def _crop_zoom(key, img, boxes, mask, p: float, zoom_min: float):
     return img, boxes, mask
 
 
+def _erase_one(key, img, max_frac: float):
+    """One random-erase rectangle: a uniformly-colored patch drawn over the
+    image (boxes untouched — the detector must still predict the object
+    under partial cover, which is exactly the occlusion-axis failure mode
+    the hard-eval corpus stresses)."""
+    kx, ky, kw, kh, kc = jax.random.split(key, 5)
+    S = img.shape[0]
+    w = jax.random.uniform(kw, (), minval=0.08, maxval=max_frac) * S
+    h = jax.random.uniform(kh, (), minval=0.08, maxval=max_frac) * S
+    x0 = jax.random.uniform(kx, ()) * (S - w)
+    y0 = jax.random.uniform(ky, ()) * (S - h)
+    color = jax.random.uniform(kc, (3,))
+    xs = jnp.arange(S, dtype=jnp.float32)[None, :, None]
+    ys = jnp.arange(S, dtype=jnp.float32)[:, None, None]
+    inside = (xs >= x0) & (xs < x0 + w) & (ys >= y0) & (ys < y0 + h)
+    return jnp.where(inside, color[None, None, :], img)
+
+
+def _erase(key, img, p: float, count: int, max_frac: float):
+    """Up to ``count`` independent erase patches, each applied with
+    probability ``p`` (static unroll — count is a compile-time constant)."""
+    for i in range(count):
+        kd, ke, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        do = jax.random.bernoulli(kd, p)
+        img = jnp.where(do, _erase_one(ke, img, max_frac), img)
+    return img
+
+
 def _augment_one(
     key,
     img,
@@ -101,11 +129,16 @@ def _augment_one(
     contrast: float,
     zoom_p: float,
     zoom_min: float,
+    erase_p: float,
+    erase_count: int,
+    erase_max: float,
 ):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     img, boxes = _hflip(k1, img, boxes, hflip_p)
     img = _color_jitter(k2, img, brightness, contrast)
     img, boxes, mask = _crop_zoom(k3, img, boxes, mask, zoom_p, zoom_min)
+    if erase_p > 0.0:
+        img = _erase(k4, img, erase_p, erase_count, erase_max)
     return img, boxes, mask
 
 
@@ -120,8 +153,14 @@ def augment_detection_batch(
     contrast: float = 0.2,
     zoom_p: float = 0.5,
     zoom_min: float = 0.7,
+    erase_p: float = 0.0,
+    erase_count: int = 2,
+    erase_max: float = 0.35,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-sample random flip + color jitter + MXU crop-zoom.
+    """Per-sample random flip + color jitter + MXU crop-zoom + optional
+    random erasing (off by default — the round-4 fixture checkpoints were
+    trained without it; the round-5 hard-eval recipe enables it as the
+    occlusion-robustness augmentation).
 
     Returns (images, boxes, mask) with identical shapes; labels are
     untouched by construction (pass them through unchanged).  Safe inside
@@ -136,5 +175,8 @@ def augment_detection_batch(
         contrast=contrast,
         zoom_p=zoom_p,
         zoom_min=zoom_min,
+        erase_p=erase_p,
+        erase_count=erase_count,
+        erase_max=erase_max,
     )
     return jax.vmap(fn)(keys, images, boxes, mask)

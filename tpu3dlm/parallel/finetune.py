@@ -67,6 +67,7 @@ def make_yolo_train_step(
     mesh: Mesh,
     img_size: int,
     augment: dict | None = None,
+    sample_batch: int | None = None,
 ):
     """Detection finetune step (YOLOv10 dual-assignment loss), data-parallel.
 
@@ -80,7 +81,13 @@ def make_yolo_train_step(
     flip/jitter/crop-zoom INSIDE the jitted program, per shard (the key is
     folded with the shard's axis index so shards draw independent noise):
     train_step(variables, opt_state, key, images, gt_boxes, gt_labels, gt_mask).
+
+    ``sample_batch`` (requires ``augment``): draw that many frames per step
+    from the full corpus inside the jitted program instead of training
+    full-batch — bounds activation memory for 640-scale corpora.
     """
+    if sample_batch is not None and augment is None:
+        raise ValueError("sample_batch requires augment (the step needs a key)")
     from tpu3dlm.models.yolo_loss import yolov10_loss
 
     axis = mesh.axis_names[0]
@@ -123,6 +130,20 @@ def make_yolo_train_step(
 
     def per_shard(variables, opt_state, key, images, gt_boxes, gt_labels, gt_mask):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        if sample_batch is not None:
+            # in-jit minibatch draw: each shard samples sample_batch/n_dev
+            # of its LOCAL frames per step (uniform without replacement),
+            # so large corpora train at bounded activation memory with
+            # ZERO extra host dispatches — the gather fuses into the step
+            # program (the alternative, host-side fancy indexing, costs
+            # two tunnel round-trips per step)
+            n_local = images.shape[0]
+            b_local = max(1, sample_batch // mesh.devices.size)
+            ks, key = jax.random.split(key)
+            idx = jax.random.choice(ks, n_local, (b_local,), replace=False)
+            images, gt_boxes, gt_labels, gt_mask = (
+                images[idx], gt_boxes[idx], gt_labels[idx], gt_mask[idx]
+            )
         images, gt_boxes, gt_mask = augment_detection_batch(
             key, images, gt_boxes, gt_mask, **augment
         )

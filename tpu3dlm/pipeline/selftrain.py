@@ -180,6 +180,7 @@ def finetune_yolo(
     warmup_frac: float = 0.1,
     val_every: int = 0,
     val_history: list | None = None,
+    sample_batch: int | None = None,
 ):
     """Overfit/adapt YOLOv10 on (images, gt) — returns trained variables.
 
@@ -245,7 +246,9 @@ def finetune_yolo(
         aug_kw = None
     else:
         aug_kw = augment
-    step = make_yolo_train_step(yolo, tx, mesh, img_size, augment=aug_kw)
+    step = make_yolo_train_step(
+        yolo, tx, mesh, img_size, augment=aug_kw, sample_batch=sample_batch
+    )
 
     imgs = jnp.asarray(images_u8.astype(np.float32) / 255.0)
     gb, gl, gm = jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_mask)
