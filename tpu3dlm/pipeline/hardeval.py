@@ -393,27 +393,39 @@ def _perturb_scan_rgb(rgb: np.ndarray, axis: str, rng: np.random.Generator,
                       scan=None) -> np.ndarray:
     """Stored-frame perturbations for the image-level damage axes.
 
-    blur            defocus/motion softness: Gaussian sigma 1.2 at stored
-                    resolution — crop texture degrades, box geometry doesn't;
-    exposure        lighting shift: per-seed gain in [0.5, 0.65] or
-                    [1.4, 1.7] plus an offset — the crops' color cue moves;
-    crop_occlusion  a patch covering ~35% of every GT sign is painted a
+    blur            defocus/motion softness: Gaussian sigma 3.0 at stored
+                    resolution — strong enough to bleed wall color into the
+                    sign crops (flat-color synthetic signs are invariant to
+                    mild blur, which saturated the axis at 1.0);
+    exposure        lighting shift: frames alternate DARK (gain 0.4-0.55)
+                    and BRIGHT (gain 1.5-1.8) plus an offset, so every
+                    seed scores both directions — a single per-seed gain
+                    direction measured a 0.6 across-seed spread (dark
+                    gains break the color cue much harder than bright);
+    crop_occlusion  a patch covering ~56% of every GT sign is painted a
                     random dull color — the classifier sees partial signs
                     (positions drawn per frame from ``rng``).
+
+    Severities are tuned so the committed classifier lands BELOW ceiling
+    on at least the exposure axis (a stress gate saturated at 1.0 is the
+    round-3 blindness in a new coat) while clean stays ~1.0.
     """
     import cv2
 
     out = np.asarray(rgb).copy()
     if axis == "blur":
         for f in range(out.shape[0]):
-            out[f] = cv2.GaussianBlur(out[f], (0, 0), 1.2)
+            out[f] = cv2.GaussianBlur(out[f], (0, 0), 3.0)
     elif axis == "exposure":
-        gain = float(rng.choice([rng.uniform(0.5, 0.65),
-                                 rng.uniform(1.4, 1.7)]))
-        off = float(rng.uniform(-25, 25))
-        out = np.clip(out.astype(np.float32) * gain + off, 0, 255).astype(
-            np.uint8
-        )
+        for f in range(out.shape[0]):
+            gain = (
+                float(rng.uniform(0.4, 0.55)) if f % 2 == 0
+                else float(rng.uniform(1.5, 1.8))
+            )
+            off = float(rng.uniform(-25, 25))
+            out[f] = np.clip(
+                out[f].astype(np.float32) * gain + off, 0, 255
+            ).astype(np.uint8)
     elif axis == "crop_occlusion":
         assert gt_boxes_px is not None and scan is not None
         from tpu3dlm.pipeline.selftrain import scale_boxes_to_frame
@@ -428,7 +440,7 @@ def _perturb_scan_rgb(rgb: np.ndarray, axis: str, rng: np.random.Generator,
                 w, h = x2 - x1, y2 - y1
                 if w < 4 or h < 4:
                     continue
-                pw, ph = 0.6 * w, 0.6 * h  # ~36% of the box area
+                pw, ph = 0.75 * w, 0.75 * h  # ~56% of the box area
                 px = x1 + rng.uniform(0, max(w - pw, 1e-3))
                 py = y1 + rng.uniform(0, max(h - ph, 1e-3))
                 color = rng.integers(60, 160, 3)
@@ -437,7 +449,7 @@ def _perturb_scan_rgb(rgb: np.ndarray, axis: str, rng: np.random.Generator,
 
 
 def _jitter_boxes(boxes: np.ndarray, mask: np.ndarray,
-                  rng: np.random.Generator, frac: float = 0.08) -> np.ndarray:
+                  rng: np.random.Generator, frac: float = 0.25) -> np.ndarray:
     """Rectification jitter: shift/scale each detection box by up to
     ``frac`` of its size (loose detector boxes are what the rectifier sees
     in production — the crop gains background or loses sign margin)."""
@@ -507,8 +519,15 @@ def run_damage_hard_eval(
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, 0xDA3A6E])
             )
-            scene = generate_axis_scan(
-                out_root, f"dmg_{axis}", num_frames=num_frames, seed=seed
+            # all damage axes share the seed's jittered BASE scene — the
+            # perturbation is the ONLY difference vs `clean`, so an axis
+            # delta attributes to the perturbation, not scene variation
+            from tpu3dlm.data import synthetic as _syn
+
+            scene = _syn.generate_scan(
+                out_root, f"dmg_{axis}_s{seed}", num_frames=num_frames,
+                seed=seed, cloud_points_per_m2=1200,
+                **axis_kwargs("base", seed),
             )
             base = os.path.join(out_root, f"dmg_{axis}_s{seed}",
                                 "rtabmap_extract")
@@ -520,7 +539,7 @@ def run_damage_hard_eval(
                                        "poses.txt"),
                 img_size=img_size,
             )
-            if axis in ("blur", "exposure", "crop_occlusion"):
+            if axis in ("blur", "exposure"):
                 scan = _dc.replace(
                     scan,
                     rgb=_perturb_scan_rgb(
@@ -534,6 +553,20 @@ def run_damage_hard_eval(
                     det,
                     boxes=_jitter_boxes(
                         np.asarray(det.boxes), np.asarray(det.mask), rng
+                    ),
+                )
+            if axis == "crop_occlusion":
+                # perturb AFTER detection: this axis scores the CLASSIFIER
+                # under occluded crops (the detector's own occlusion curve
+                # is the detector corpus's axis) — painting before detect
+                # starved the axis to ~60 matched pairs because the
+                # detector dropped the occluded signs, measuring the wrong
+                # stage's failure
+                scan = _dc.replace(
+                    scan,
+                    rgb=_perturb_scan_rgb(
+                        scan.rgb, axis, rng,
+                        gt_boxes_px=scene.gt_boxes_2d, scan=scan,
                     ),
                 )
             det = classifier.classify_detections(scan, det)
