@@ -196,6 +196,170 @@ def overlap_main(n_captures: int, concurrency: int):
     sys.exit(0 if ok else 1)
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def soak_run(n_captures: int = 300, concurrency: int = 3,
+             corrupt_every: int = 50, unique: int = 12) -> dict:
+    """--soak: serving endurance (VERDICT r4 task 8).
+
+    Runs ScanWatcher over ``n_captures`` captures at the given
+    concurrency and checks the properties a long-lived service depends
+    on: flat RSS (all caches bounded — the gold/ANN LRUs, jitcache, scan
+    cache), ZERO stage retraces after warmup, no thread/fd leaks, and
+    correct quarantine accounting (every ``corrupt_every``-th capture
+    ships a truncated calibration YAML and must land in FAILED
+    quarantine, not wedge the loop).
+
+    Captures: ``unique`` fully generated scans (cycling the SIZES
+    shapes), cloned with hard-linked image trees + per-clone jittered
+    poses.txt (distinct content fingerprints at file-copy cost). A
+    background thread samples RSS every ~2 s; flatness = the RSS slope
+    over the SECOND half of the run (warm caches), in MB per 100
+    captures.
+    """
+    import shutil
+    import threading
+
+    import numpy as np
+
+    from tpu3dlm.pipeline.watch import (
+        DONE_SENTINEL,
+        FAILED_SENTINEL,
+        SUSPECT_SENTINEL,
+        ScanWatcher,
+    )
+
+    cfg_path, data_root, seed_names = make_serving_project(unique)
+    # warm pass: every bucket shape compiles here
+    run_watch_leg(cfg_path, data_root, seed_names, 1,
+                  budget=len(seed_names) + 2)
+
+    rng = np.random.default_rng(0)
+    names, n_corrupt = [], 0
+    skip = {DONE_SENTINEL, FAILED_SENTINEL, SUSPECT_SENTINEL}
+    for i in range(n_captures):
+        src = os.path.join(data_root, seed_names[i % len(seed_names)])
+        name = f"soak_{i:03d}"
+        dst = os.path.join(data_root, name)
+        shutil.copytree(
+            src, dst, copy_function=os.link,
+            ignore=lambda d, files: [f for f in files if f in skip],
+        )
+        # jitter the trajectory: a distinct content fingerprint per clone
+        # (and a distinct registration problem downstream)
+        pose_path = os.path.join(dst, "poses.txt")
+        lines = open(pose_path).read().splitlines()
+        out = [lines[0]]
+        for ln in lines[1:]:
+            p = ln.split()
+            p[1] = f"{float(p[1]) + rng.uniform(-5e-4, 5e-4):.6f}"
+            out.append(" ".join(p))
+        os.unlink(pose_path)  # hard-linked — break the link before write
+        with open(pose_path, "w") as f:
+            f.write("\n".join(out) + "\n")
+        if corrupt_every and (i + 1) % corrupt_every == 0:
+            calib = os.path.join(dst, "rtabmap_extract", "calibration",
+                                 "2.yaml")
+            if os.path.exists(calib):
+                os.unlink(calib)
+            with open(calib, "w") as f:
+                f.write("image_width: 640\n# truncated in export\n")
+            n_corrupt += 1
+        names.append(name)
+
+    before_jits = {k: f._cache_size() for k, f in tracked_jits().items()}
+    before_fds = len(os.listdir("/proc/self/fd"))
+    before_threads = threading.active_count()
+
+    samples: list[tuple[float, float]] = []
+    stop = threading.Event()
+
+    def sampler():
+        t0 = time.perf_counter()
+        while not stop.is_set():
+            samples.append((time.perf_counter() - t0, _rss_mb()))
+            stop.wait(2.0)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    w = ScanWatcher(cfg_path, poll_interval=0.02,
+                    max_scans=n_captures - n_corrupt,
+                    concurrency=concurrency, max_attempts=1)
+    t0 = time.perf_counter()
+    w.run()
+    wall = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5)
+
+    after_jits = {k: f._cache_size() for k, f in tracked_jits().items()}
+    retraced = {k: after_jits[k] - before_jits[k]
+                for k in before_jits if after_jits[k] > before_jits[k]}
+    done = sum(
+        os.path.exists(os.path.join(data_root, n, DONE_SENTINEL))
+        for n in names
+    )
+    failed = sum(
+        os.path.exists(os.path.join(data_root, n, FAILED_SENTINEL))
+        for n in names
+    )
+    suspect = sum(
+        os.path.exists(os.path.join(data_root, n, SUSPECT_SENTINEL))
+        for n in names
+    )
+    # RSS slope over the second half (MB per 100 captures): warm caches
+    # must be size-bounded, so growth past the midpoint is a leak
+    half = [s for s in samples if s[0] >= samples[-1][0] / 2]
+    slope = 0.0
+    if len(half) >= 2 and wall > 0:
+        dt = half[-1][0] - half[0][0]
+        rate = n_captures / wall  # captures per second
+        if dt > 0 and rate > 0:
+            slope = (half[-1][1] - half[0][1]) / (dt * rate) * 100.0
+
+    ok = (
+        done == n_captures - n_corrupt
+        and failed == n_corrupt
+        and not retraced
+        and abs(slope) < 40.0
+    )
+    if not ok:
+        print(
+            f"SANITY FAILURE: soak done={done}/{n_captures - n_corrupt} "
+            f"failed={failed}/{n_corrupt} retraced={retraced} "
+            f"rss_slope={slope:.1f} MB/100cap",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "serving_soak_captures_per_s",
+        "value": round((n_captures - n_corrupt) / wall, 3),
+        "unit": "captures/s",
+        "captures": n_captures,
+        "concurrency": concurrency,
+        "wall_s": round(wall, 2),
+        "done": done,
+        "failed_quarantined": failed,
+        "suspect_quarantined": suspect,
+        "expected_corrupt": n_corrupt,
+        "stage_retraces_after_warm": sum(retraced.values()) if retraced else 0,
+        "rss_start_mb": round(samples[0][1], 1) if samples else None,
+        "rss_end_mb": round(samples[-1][1], 1) if samples else None,
+        "rss_slope_mb_per_100cap": round(slope, 2),
+        "rss_timeline": [
+            (round(t, 1), round(m, 1)) for t, m in samples
+        ],
+        "fd_delta": len(os.listdir("/proc/self/fd")) - before_fds,
+        "thread_delta": __import__("threading").active_count()
+        - before_threads,
+        "sanity_ok": ok,
+    }
+
+
 def tracked_jits():
     from tpu3dlm.alignment import align as align_mod
     from tpu3dlm.mapper import nms3d, projection
@@ -225,6 +389,12 @@ def main():
     )
     ap.add_argument("--captures", type=int, default=6)
     ap.add_argument("--concurrency", type=int, default=2)
+    ap.add_argument(
+        "--soak", action="store_true",
+        help="Serving endurance: >=300 varied captures through the real "
+        "ScanWatcher; asserts flat RSS, zero retraces, no fd/thread "
+        "leaks, correct quarantine counts (VERDICT r4 task 8).",
+    )
     args = ap.parse_args()
     if args.light:
         global LIGHT
@@ -238,6 +408,14 @@ def main():
     from tpu3dlm.utils.backend import enable_compile_cache, require_backend
 
     enable_compile_cache()
+
+    if args.soak:
+        require_backend("serving_soak_captures_per_s", unit="captures/s")
+        n = args.captures if args.captures > 6 else 300
+        conc = args.concurrency if args.concurrency != 2 else 3
+        out = soak_run(n, conc)
+        print(json.dumps(out))
+        sys.exit(0 if out["sanity_ok"] else 1)
 
     if args.overlap:
         require_backend("serving_overlap_captures_per_s", unit="captures/s")

@@ -288,16 +288,36 @@ def main():
         # floor 0.70 leaves 0.178 = 4.4 sigma), so a gate flip needs a real
         # regression, not one noisy seed. placement_max 0.12 vs measured
         # worst 0.095 over the 5-seed corpus.
-        gate={
-            "combined_map50_min": 0.65,
-            "combined_map50_max": 0.97,
-            "axis_map50_min": {
-                "base": 0.78, "distractors": 0.75, "occlusion": 0.70,
-                "oblique": 0.70, "confusable": 0.80, "depth_noise": 0.82,
-            },
-            "placement_max_m": 0.12,
-            "min_n_gt_per_axis": 150,
-        },
+        gate=(
+            # full-scale (640²) floors: the production operating point
+            # measures 0.932-0.952 per axis (combined 0.933 std 0.043),
+            # so floors sit at 0.78-0.80 — >=3 sigma under every mean
+            # while far above the round-4 0.58 failure this gate exists
+            # to prevent regressing to
+            {
+                "combined_map50_min": 0.78,
+                "combined_map50_max": 0.97,
+                "axis_map50_min": {
+                    "base": 0.80, "distractors": 0.80, "occlusion": 0.80,
+                    "oblique": 0.80, "confusable": 0.80,
+                    "depth_noise": 0.80,
+                },
+                "placement_max_m": 0.12,
+                "min_n_gt_per_axis": 150,
+            }
+            if args.full_scale
+            else {
+                "combined_map50_min": 0.65,
+                "combined_map50_max": 0.97,
+                "axis_map50_min": {
+                    "base": 0.78, "distractors": 0.75, "occlusion": 0.70,
+                    "oblique": 0.70, "confusable": 0.80,
+                    "depth_noise": 0.82,
+                },
+                "placement_max_m": 0.12,
+                "min_n_gt_per_axis": 150,
+            }
+        ),
     )
     write_report(report, args.out)
     print(json.dumps(report["axes"], indent=1))
@@ -332,14 +352,28 @@ def main():
             # there — and their floors exist to catch a future drop off
             # that ceiling. Floors sit >= 3x the across-seed noise under
             # the means.
-            gate={
-                "axis_accuracy_min": {
-                    "clean": 0.95, "blur": 0.90, "exposure": 0.45,
-                    "crop_occlusion": 0.65, "box_jitter": 0.90,
-                },
-                "macro_f1_min": 0.90,
-                "min_pairs_per_axis": 150,
-            },
+            gate=(
+                # BEiT-base at 224 is markedly more robust than the toy
+                # classifier (exposure 0.94 vs 0.74) — crop_occlusion
+                # (0.756, std ~0.08) is its discriminating axis
+                {
+                    "axis_accuracy_min": {
+                        "clean": 0.95, "blur": 0.90, "exposure": 0.70,
+                        "crop_occlusion": 0.45, "box_jitter": 0.90,
+                    },
+                    "macro_f1_min": 0.90,
+                    "min_pairs_per_axis": 150,
+                }
+                if args.full_scale
+                else {
+                    "axis_accuracy_min": {
+                        "clean": 0.95, "blur": 0.90, "exposure": 0.45,
+                        "crop_occlusion": 0.65, "box_jitter": 0.90,
+                    },
+                    "macro_f1_min": 0.90,
+                    "min_pairs_per_axis": 150,
+                }
+            ),
         )
         suffix = "_FULL" if args.full_scale else ""
         dmg_out = os.path.join(REPO, "docs",

@@ -415,14 +415,29 @@ class ScanWatcher:
             "watching %s every %.1f s (concurrency %d)",
             self.data_root, self.poll_interval, self.concurrency,
         )
-        while True:
-            self.run_once()
-            if self.max_scans is not None:
-                if len(self.processed) + len(self._inflight) >= self.max_scans:
-                    self.drain()
-                if len(self.processed) >= self.max_scans:
-                    return
-            time.sleep(self.poll_interval)
+        try:
+            while True:
+                self.run_once()
+                if self.max_scans is not None:
+                    if (
+                        len(self.processed) + len(self._inflight)
+                        >= self.max_scans
+                    ):
+                        self.drain()
+                    if len(self.processed) >= self.max_scans:
+                        return
+                time.sleep(self.poll_interval)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        """Drain in-flight captures and release the worker pool — a
+        bounded run must not leak its threads into the host process (the
+        soak bench asserts thread_delta == 0 across a 300-capture run)."""
+        self.drain()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
 
 
 def main(argv=None):
