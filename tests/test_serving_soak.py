@@ -20,7 +20,10 @@ def test_short_soak(monkeypatch):
 
     monkeypatch.setattr(bench_serving, "LIGHT", True)
     out = bench_serving.soak_run(
-        n_captures=24, concurrency=2, corrupt_every=8, unique=4
+        n_captures=24, concurrency=2, corrupt_every=8, unique=4,
+        # per-100-captures slope amplifies one-off allocations ~8x at this
+        # scale; the strict 40 MB bound belongs to the 300-capture run
+        rss_slope_max=250.0,
     )
     assert out["sanity_ok"], out
     assert out["done"] == 21
