@@ -125,7 +125,8 @@ class RegistrationVerdict:
     reasons: tuple[str, ...]
     rmse: float
     inlier_frac: float
-    box_residual_m: float | None  # None when either side has no boxes
+    box_residual_m: float | None  # MEAN anchor residual; None = no boxes
+    box_residual_max_m: float | None  # MAX — the box_mismatch signal
     init_margin: float | None  # runner-up/chosen residual ratio (rot>45°)
     planarity: float  # λ_min/λ_max of the query-cloud covariance
     n_anchor_boxes: int
@@ -417,6 +418,20 @@ class Alignment:
         signage is not symmetric, and its labels travel with the boxes.
         Falls back to label-agnostic distance when a label is absent on the
         base side; returns None when either record set is empty."""
+        stats = self._box_residual_stats(T)
+        return None if stats is None else stats[0]
+
+    def _box_residual_stats(self, T: np.ndarray) -> tuple[float, float] | None:
+        """(mean, max) of the per-box anchor residuals under ``T``.
+
+        The mean ranks init candidates; the MAX feeds the verdict's
+        box_mismatch check — a near-symmetric scene can flip so that a
+        symmetric PAIR of same-label boxes land on each other's gold
+        twins while a single asymmetric box dissents by a metre, and the
+        mean dilutes that dissent below threshold (measured on the
+        envelope sweep: a 179° flip with t_err 6.4 m scored mean 0.43
+        vs max 1.2). One dissenting anchor is enough to distrust the
+        registration."""
         if not self.base_records or not self.comparison_records:
             return None
         by_label: dict[int, list[np.ndarray]] = {}
@@ -429,7 +444,7 @@ class Alignment:
             pool = by_label.get(r["label"])
             pool = np.stack(pool) if pool else all_base
             ds.append(float(np.linalg.norm(pool - c, axis=1).min()))
-        return float(np.mean(ds))
+        return float(np.mean(ds)), float(np.max(ds))
 
     def _init_candidates(self, comp_s: np.ndarray, base_s: np.ndarray, gold: dict):
         """Host-side candidate generation for the coarse initialisation.
@@ -810,11 +825,17 @@ class Alignment:
             reasons.append("high_rmse")
 
         # semantic-anchor consistency of the FINAL transform (host numpy
-        # over <=64 box centroids)
-        box_res = self._box_residual(self.final_transform)
+        # over <=64 box centroids). The MAX per-box residual, not the
+        # mean: one dissenting anchor beyond the match threshold means
+        # the transform cannot be matching what the mean says it matches
+        # (symmetric-pair dilution — _box_residual_stats docstring)
+        stats = self._box_residual_stats(self.final_transform)
+        box_res = box_max = None
+        if stats is not None:
+            box_res, box_max = stats
         n_boxes = min(len(self.base_records), len(self.comparison_records))
         thr = self.match_dist_threshold or 0.5
-        if box_res is not None and box_res > thr:
+        if box_max is not None and box_max > thr:
             reasons.append("box_mismatch")
 
         # init ambiguity: a candidate rotated >45° away from the chosen
@@ -857,6 +878,7 @@ class Alignment:
             rmse=rmse,
             inlier_frac=inlier,
             box_residual_m=None if box_res is None else float(box_res),
+            box_residual_max_m=None if box_max is None else float(box_max),
             init_margin=init_margin,
             planarity=planarity,
             n_anchor_boxes=n_boxes,
