@@ -196,9 +196,10 @@ class TestTrainingOptions:
 
         orig = ft.make_yolo_train_step
 
-        def spy(yolo, tx, mesh, img_size, augment=None):
+        def spy(yolo, tx, mesh, img_size, augment=None, sample_batch=None):
             seen["augment"] = augment
-            return orig(yolo, tx, mesh, img_size, augment=augment)
+            return orig(yolo, tx, mesh, img_size, augment=augment,
+                        sample_batch=sample_batch)
 
         monkeypatch.setattr(ft, "make_yolo_train_step", spy)
         imgs, boxes, labels, mask = data
