@@ -175,9 +175,12 @@ def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
     )
     beit_cfg = BeitConfig(num_labels=2, **{k: v for k, v in beit_kw.items()
                                            if k != "num_labels"})
+    # crop augmentation ON (round 5): the un-augmented classifier dropped
+    # to 0.74 under the exposure stress axis — same train-distribution
+    # failure the detector had, one stage later
     beit_params = finetune_beit(
         np.concatenate(crops_all), np.concatenate(dmg_all), beit_cfg,
-        steps=beit_steps,
+        steps=beit_steps, augment=True,
     )
     os.makedirs(out_dir, exist_ok=True)
     suffix = "_full" if full_scale else ""
@@ -366,9 +369,15 @@ def main():
                 }
                 if args.full_scale
                 else {
+                    # round-5 crop augmentation (exposure-range gain +
+                    # erase, ops/augment.augment_crop_batch) closed the
+                    # classifier's own stress gaps: exposure 0.74 -> 1.00,
+                    # crop_occlusion 0.92 -> 0.96 — floors raised to sit
+                    # just under the new ceiling so the axes stay
+                    # regression-sensitive
                     "axis_accuracy_min": {
-                        "clean": 0.95, "blur": 0.90, "exposure": 0.45,
-                        "crop_occlusion": 0.65, "box_jitter": 0.90,
+                        "clean": 0.95, "blur": 0.90, "exposure": 0.90,
+                        "crop_occlusion": 0.75, "box_jitter": 0.90,
                     },
                     "macro_f1_min": 0.90,
                     "min_pairs_per_axis": 150,

@@ -142,6 +142,65 @@ def _augment_one(
     return img, boxes, mask
 
 
+def _augment_crop_one(
+    key,
+    crop_u8,
+    *,
+    gain_lo: float,
+    gain_hi: float,
+    offset: float,
+    hflip_p: float,
+    erase_p: float,
+    erase_max: float,
+):
+    kg, ko, kf, ke, kd = jax.random.split(key, 5)
+    x = crop_u8.astype(jnp.float32)
+    # log-uniform gain covers dark and bright shifts symmetrically — the
+    # damage stress eval's exposure axis (hardeval._perturb_scan_rgb)
+    # draws gains in [0.4, 0.55] ∪ [1.5, 1.8]; training must cover it
+    g = jnp.exp(
+        jax.random.uniform(
+            kg, (), minval=jnp.log(gain_lo), maxval=jnp.log(gain_hi)
+        )
+    )
+    x = x * g + jax.random.uniform(ko, (), minval=-offset, maxval=offset)
+    x = jnp.clip(x, 0.0, 255.0)
+    do_f = jax.random.bernoulli(kf, hflip_p)
+    x = jnp.where(do_f, x[:, ::-1, :], x)
+    do_e = jax.random.bernoulli(kd, erase_p)
+    x01 = _erase_one(ke, x / 255.0, erase_max) * 255.0
+    x = jnp.where(do_e, x01, x)
+    return jnp.round(x).astype(jnp.uint8)
+
+
+def augment_crop_batch(
+    key: jax.Array,
+    crops_u8: jax.Array,  # (N, S, S, 3) uint8
+    *,
+    gain_lo: float = 0.4,
+    gain_hi: float = 1.8,
+    offset: float = 25.0,
+    hflip_p: float = 0.5,
+    erase_p: float = 0.5,
+    erase_max: float = 0.45,
+) -> jax.Array:
+    """Classifier-crop augmentation (round 5): per-crop exposure
+    gain/offset jitter spanning the stress eval's dark/bright range,
+    horizontal flip, and a random erase patch (partial-occlusion sim).
+    uint8 in, uint8 out; safe inside jit/shard_map."""
+    keys = jax.random.split(key, crops_u8.shape[0])
+    fn = partial(
+        _augment_crop_one,
+        gain_lo=gain_lo,
+        gain_hi=gain_hi,
+        offset=offset,
+        hflip_p=hflip_p,
+        erase_p=erase_p,
+        erase_max=erase_max,
+    )
+    return jax.vmap(fn)(keys, crops_u8)
+
+
 def augment_detection_batch(
     key: jax.Array,
     images: jax.Array,  # (F, S, S, 3) float32 in [0, 1]

@@ -23,10 +23,21 @@ def make_beit_train_step(
     beit: BeitClassifier,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
+    augment: dict | None = None,
 ):
     """Returns train_step(params, opt_state, crops_u8, labels) → (params,
     opt_state, loss), data-parallel over the mesh's batch axis with psum'd
-    gradients."""
+    gradients.
+
+    With ``augment`` (kwargs for ops/augment.augment_crop_batch, ``{}``
+    for defaults) the step takes a leading PRNG ``key`` and applies
+    in-jit crop augmentation — exposure-range gain/offset jitter, random
+    erase, horizontal flip. The round-5 damage stress eval showed WHY:
+    the un-augmented classifier drops to 0.74 accuracy under the
+    exposure axis (dark gains break the color cue) — the same
+    train-distribution failure the detector had, one stage later.
+    Signature: train_step(params, opt_state, key, crops_u8, labels).
+    """
     axis = mesh.axis_names[0]
 
     def loss_fn(params, crops_u8, labels):
@@ -34,7 +45,7 @@ def make_beit_train_step(
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         return loss.mean()
 
-    def per_shard(params, opt_state, crops_u8, labels):
+    def _update(params, opt_state, crops_u8, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, crops_u8, labels)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
@@ -43,10 +54,27 @@ def make_beit_train_step(
         return params, opt_state, loss
 
     b = P(axis)
+    if augment is None:
+        mapped = shard_map(
+            _update,
+            mesh=mesh,
+            in_specs=(P(), P(), b, b),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    from tpu3dlm.ops.augment import augment_crop_batch
+
+    def per_shard(params, opt_state, key, crops_u8, labels):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        crops_u8 = augment_crop_batch(key, crops_u8, **augment)
+        return _update(params, opt_state, crops_u8, labels)
+
     mapped = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(), b, b),
+        in_specs=(P(), P(), P(), b, b),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -295,8 +295,14 @@ def finetune_beit(
     mesh=None,
     seed: int = 0,
     log_every: int = 20,
+    augment: dict | bool | None = None,
 ):
-    """Finetune the BEiT damage classifier on labelled crops → params tree."""
+    """Finetune the BEiT damage classifier on labelled crops → params tree.
+
+    ``augment`` — True/kwarg-dict enables in-jit crop augmentation
+    (exposure gain/offset jitter spanning the stress-eval range, flip,
+    random erase — ops/augment.augment_crop_batch); off by default (the
+    pre-round-5 recipe)."""
     import jax
     import jax.numpy as jnp
 
@@ -324,12 +330,24 @@ def finetune_beit(
     crops_u8 = np.asarray(crops_u8)[idx]
     labels = np.asarray(labels)[idx]
 
+    if augment is True:
+        aug_kw = {}
+    elif augment is None or augment is False:
+        aug_kw = None
+    else:
+        aug_kw = augment
     beit = BeitClassifier(config)
     params, tx, opt_state = init_finetune(beit, jax.random.PRNGKey(seed), lr=lr)
-    step = make_beit_train_step(beit, tx, mesh)
+    step = make_beit_train_step(beit, tx, mesh, augment=aug_kw)
     c, y = jnp.asarray(crops_u8), jnp.asarray(labels)
+    base_key = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, c, y)
+        if aug_kw is None:
+            params, opt_state, loss = step(params, opt_state, c, y)
+        else:
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.fold_in(base_key, i), c, y
+            )
         if log_every and (i % log_every == 0 or i == steps - 1):
             logger.info("beit finetune step %d: loss=%.4f", i, float(loss))
     from tpu3dlm.utils.host import to_host
