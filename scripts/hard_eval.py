@@ -114,7 +114,7 @@ def training_specs(n_scenes: int = 14, rng_seed: int = 5000) -> list[dict]:
 
 def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
                       beit_steps: int, full_scale: bool,
-                      n_scenes: int = 14):
+                      n_scenes: int = 14, variant: str = "n"):
     """Domain-randomized augmented finetune → (yolo_ckpt, beit_ckpt)."""
     import numpy as np
 
@@ -169,7 +169,7 @@ def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
                brightness=0.3, contrast=0.3)
     yolo_vars = finetune_yolo(
         images, boxes, labels, mask, nc=nc, img_size=img_size,
-        steps=steps, augment=aug,
+        steps=steps, augment=aug, variant=variant,
         schedule="cosine", ema_decay=0.995,
         sample_batch=16 if full_scale else None,
     )
@@ -178,16 +178,20 @@ def train_checkpoints(out_dir: str, img_size: int, nc: int, steps: int,
     # crop augmentation ON (round 5): the un-augmented classifier dropped
     # to 0.74 under the exposure stress axis — same train-distribution
     # failure the detector had, one stage later
-    beit_params = finetune_beit(
-        np.concatenate(crops_all), np.concatenate(dmg_all), beit_cfg,
-        steps=beit_steps, augment=True,
-    )
     os.makedirs(out_dir, exist_ok=True)
-    suffix = "_full" if full_scale else ""
+    suffix = ("_full" if full_scale else "") + (
+        f"_{variant}" if variant != "n" else ""
+    )
     yolo_path = os.path.join(out_dir, f"yolo_hard{suffix}.msgpack")
-    beit_path = os.path.join(out_dir, f"beit_hard{suffix}.msgpack")
     save_flax_checkpoint(yolo_path, yolo_vars)
-    save_flax_checkpoint(beit_path, beit_params)
+    beit_path = None
+    if beit_steps > 0:
+        beit_params = finetune_beit(
+            np.concatenate(crops_all), np.concatenate(dmg_all), beit_cfg,
+            steps=beit_steps, augment=True,
+        )
+        beit_path = os.path.join(out_dir, f"beit_hard{suffix}.msgpack")
+        save_flax_checkpoint(beit_path, beit_params)
     return yolo_path, beit_path
 
 
@@ -198,6 +202,10 @@ def main():
                     help="retrain checkpoints on the widened corpus first")
     ap.add_argument("--full-scale", action="store_true",
                     help="YOLOv10-n @ 640 (TPU recommended)")
+    ap.add_argument("--variant", default="n", choices=["n", "s", "m"],
+                    help="YOLOv10 width variant (PERF.md deployment point "
+                         "C evidence: train+evaluate the wider variants "
+                         "on the same stress corpus)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--beit-steps", type=int, default=None)
@@ -234,6 +242,8 @@ def main():
     # full-batch steps underfit it
     steps = args.steps or (4000 if args.full_scale else 3000)
     beit_steps = args.beit_steps or (160 if args.full_scale else 120)
+    if args.skip_damage and args.train and args.beit_steps is None:
+        beit_steps = 0  # don't train the (expensive) classifier unused here
 
     t0 = time.time()
     beit_ckpt = args.beit_ckpt
@@ -241,7 +251,8 @@ def main():
         yolo_ckpt = args.yolo_ckpt
     elif args.train:
         yolo_ckpt, beit_ckpt = train_checkpoints(
-            args.out_dir, img_size, nc, steps, beit_steps, args.full_scale
+            args.out_dir, img_size, nc, steps, beit_steps, args.full_scale,
+            variant=args.variant,
         )
         if args.update_fixtures and not args.full_scale:
             import shutil
@@ -265,7 +276,7 @@ def main():
     # conf_thresh = 0.5 (precision-first); the artifact records its conf.
     report = run_hard_eval(
         yolo_ckpt, tempfile.mkdtemp(prefix="tpu3dlm_hard_eval_"),
-        img_size=img_size, nc=nc, conf=0.3,
+        img_size=img_size, nc=nc, conf=0.3, variant=args.variant,
     )
     report.update(
         metric="detector_hard_eval",
@@ -322,7 +333,14 @@ def main():
             }
         ),
     )
-    write_report(report, args.out)
+    out = args.out
+    if args.variant != "n" and out.endswith("ACCURACY_HARD_EVAL.json"):
+        # variant evidence gets its own artifact next to the n ones,
+        # e.g. ACCURACY_HARD_EVAL_FULL_S.json for --full-scale --variant s
+        suffix = ("_FULL" if args.full_scale else "") \
+            + f"_{args.variant.upper()}"
+        out = out.replace(".json", f"{suffix}.json")
+    write_report(report, out)
     print(json.dumps(report["axes"], indent=1))
     combined = report["axes"]["combined"]["map50"]
     base = report["axes"]["base"]["map50"]
@@ -337,7 +355,7 @@ def main():
         dmg = run_damage_hard_eval(
             yolo_ckpt, beit_ckpt,
             tempfile.mkdtemp(prefix="tpu3dlm_damage_eval_"),
-            img_size=img_size, nc=nc, conf=0.3,
+            img_size=img_size, nc=nc, conf=0.3, variant=args.variant,
             beit_kw={k: v for k, v in beit_kw.items() if k != "num_labels"},
         )
         dmg.update(

@@ -229,3 +229,29 @@ class TestDamagePerturbations:
         assert moved[mask].max() <= 2.0 + 1e-5  # 10% of the 20-px size
         np.testing.assert_array_equal(out[~mask], boxes[~mask])
         assert (moved[mask] > 0).any()
+
+
+class TestVariantPlumbing:
+    """--variant (PERF.md deployment point C): the eval stack must build
+    the detector at the requested YOLOv10 width, or an s/m checkpoint
+    would silently fail to load (template mismatch) — or worse, an
+    n-template would load garbage into a wider artifact's numbers."""
+
+    def test_load_detector_round_trips_s_variant(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tpu3dlm.models import weights as W
+        from tpu3dlm.models.yolov10 import YOLOv10
+
+        model = YOLOv10(nc=2, variant="s")
+        template = W.init_template(
+            model, jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        path = str(tmp_path / "yolo_s.msgpack")
+        W.save_flax_checkpoint(path, template)
+
+        det = hardeval._load_detector(path, 64, 2, 0.3, variant="s")
+        assert det.model.variant == "s"
+        # the n-width template must NOT accept the s checkpoint
+        with pytest.raises(Exception):
+            hardeval._load_detector(path, 64, 2, 0.3, variant="n")

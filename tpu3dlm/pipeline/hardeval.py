@@ -249,21 +249,21 @@ def generate_axis_scan(root: str, axis: str, num_frames: int = 7, seed: int = 7)
 
 
 def _load_detector(yolo_ckpt: str, img_size: int, nc: int, conf: float,
-                   max_det: int = 16):
+                   max_det: int = 16, variant: str = "n"):
     import jax.numpy as jnp
 
     from tpu3dlm.models import weights as W
     from tpu3dlm.models.yolov10 import YOLOv10
     from tpu3dlm.pipeline.detector import ObjectDetector
 
-    model = YOLOv10(nc=nc, variant="n")
+    model = YOLOv10(nc=nc, variant=variant)
     template = W.init_template(
         model, jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     )
     variables = W.load_flax_checkpoint(yolo_ckpt, template)
     return ObjectDetector(
         conf_thresh=conf, img_size=img_size, nc=nc, variables=variables,
-        max_det=max_det,
+        max_det=max_det, variant=variant,
     )
 
 
@@ -305,6 +305,7 @@ def run_hard_eval(
     num_frames: int = 14,
     axes: list[str] | None = None,
     seeds: tuple[int, ...] = EVAL_SEEDS,
+    variant: str = "n",
 ) -> dict:
     """Detect over every (axis, seed) scene instance; returns the report.
 
@@ -315,9 +316,10 @@ def run_hard_eval(
     from tpu3dlm.data.dataset import load_scan
     from tpu3dlm.pipeline.metrics import evaluate_detections
 
-    detector = _load_detector(yolo_ckpt, img_size, nc, conf)
+    detector = _load_detector(yolo_ckpt, img_size, nc, conf, variant=variant)
     report: dict = {"axes": {}, "img_size": img_size, "conf_thresh": conf,
-                    "num_frames": num_frames, "seeds": list(seeds)}
+                    "num_frames": num_frames, "seeds": list(seeds),
+                    "yolo_variant": variant}
     for axis in axes or list(AXES):
         per_seed: list[dict] = []
         for seed in seeds:
@@ -472,6 +474,7 @@ def run_damage_hard_eval(
     num_frames: int = 14,
     axes: tuple[str, ...] | None = None,
     seeds: tuple[int, ...] = EVAL_SEEDS,
+    variant: str = "n",
 ) -> dict:
     """Score the damage classifier through detect → rectify → classify on
     every (axis, seed) scene instance.
@@ -496,7 +499,7 @@ def run_damage_hard_eval(
         matched_pairs,
     )
 
-    detector = _load_detector(yolo_ckpt, img_size, nc, conf)
+    detector = _load_detector(yolo_ckpt, img_size, nc, conf, variant=variant)
     beit_kw = beit_kw or dict(image_size=32, hidden_size=32, num_layers=2,
                               num_heads=2, intermediate_size=64)
     cfg = BeitConfig(num_labels=2, **{k: v for k, v in beit_kw.items()
