@@ -51,6 +51,11 @@ DAMAGE_EVAL_FULL_REPORT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "docs",
     "ACCURACY_DAMAGE_EVAL_FULL.json"
 )
+# wider-variant evidence (PERF.md deployment point C): gated when present
+HARD_EVAL_FULL_S_REPORT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs",
+    "ACCURACY_HARD_EVAL_FULL_S.json"
+)
 
 
 def check_full_scale_report() -> dict:
@@ -261,6 +266,13 @@ def main() -> None:
     # number was certified only at toy resolution)
     hard_eval_full = check_hard_eval_report(HARD_EVAL_FULL_REPORT)
     damage_eval_full = check_damage_eval_report(DAMAGE_EVAL_FULL_REPORT)
+    # deployment point C evidence (yolo_variant = s at 640²): the artifact
+    # is optional — regenerating it needs a ~20-min TPU train — but once
+    # committed it is gated like the n ones
+    hard_eval_full_s = (
+        check_hard_eval_report(HARD_EVAL_FULL_S_REPORT)
+        if os.path.exists(HARD_EVAL_FULL_S_REPORT) else None
+    )
 
     fused = os.environ.get("BENCH_E2E_FUSED", "1") != "0"
     # warm-up run pays one-time compiles; the measured run is the serving
@@ -347,6 +359,7 @@ def main() -> None:
                 "full_scale_accuracy": full_scale,
                 "hard_eval_accuracy": hard_eval,
                 "hard_eval_full_accuracy": hard_eval_full,
+                "hard_eval_full_s_accuracy": hard_eval_full_s,
                 "damage_eval_accuracy": damage_eval,
                 "damage_eval_full_accuracy": damage_eval_full,
             }
