@@ -19,6 +19,11 @@ Usage:
     # full production scale (YOLOv10-n @ 640) — trains on TPU, ~15 min
     PYTHONPATH=. python scripts/hard_eval.py --train --full-scale
 
+    # wider-variant evidence (PERF.md deployment point C): same corpus,
+    # same gates, variant-suffixed artifact (ACCURACY_HARD_EVAL_FULL_S)
+    PYTHONPATH=. python scripts/hard_eval.py --train --full-scale \
+        --variant s --skip-damage --steps 2000
+
 Training corpus (--train): ``training_specs()`` — 14 domain-randomized
 scenes (jittered sign geometry/colors covering the eval jitter, occluders,
 distractors, desaturation, oblique sweeps, depth noise) plus in-jit
